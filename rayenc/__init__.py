@@ -1,0 +1,43 @@
+"""rayenc — a Ray-Data-native per-column lightweight-compression engine.
+
+Built from scratch against the behavior of REASY/parquet-playground-rs
+(see SURVEY.md; citations into /root/reference throughout): streaming
+``ray.data.Dataset`` reads of a source-code Parquet table
+(repo, path, commit, lang, content), ``map_batches`` over zero-copy
+Arrow batches into an actor-pool encode stage that samples each block's
+columns, auto-selects a codec (dict / rle / fsst / bitpack / foref /
+bss / zstd-plain), and writes compressed column blocks plus per-partition
+codec lineage + metrics to a resumable manifest. Decode reproduces every
+value bit-identically (per-row content sha256 verified).
+
+IMPORTANT: this package never calls ray.init()/ray.shutdown() — the
+driver, bench.py and the test fixture own the Ray session.
+"""
+
+from .blocks import decode_column, encode_column
+from .selector import encode_column_auto, select_codec
+from .encode import BlockEncoder, encode_dataset, lineage_table
+from .decode import BlockDecoder, decode_dataset
+from .jobs import plan_partitions, run_encode_job
+from .manifest import Manifest
+from .verify import reference_parquet_bytes, tables_bit_identical, verify_blocks
+
+__all__ = [
+    "encode_column",
+    "decode_column",
+    "select_codec",
+    "encode_column_auto",
+    "BlockEncoder",
+    "encode_dataset",
+    "lineage_table",
+    "BlockDecoder",
+    "decode_dataset",
+    "plan_partitions",
+    "run_encode_job",
+    "Manifest",
+    "reference_parquet_bytes",
+    "tables_bit_identical",
+    "verify_blocks",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,130 @@
+"""Column-block container: header + payload serialization, null handling.
+
+One encoded column chunk = one self-describing byte blob:
+
+    MAGIC "RYB1" | header_len u32 LE | header json | validity? | sections...
+
+The header records codec name, row count, arrow type, null count and the
+codec's params plus section lengths, so any worker can decode a block
+with no out-of-band state (per-block symbol tables etc. live in the
+sections — the property that keeps encode actors restart-safe,
+SURVEY.md §2.3 T1). Validity is handled here, NOT in codecs: codecs see
+null-free arrays (nulls filled with "" / 0), and the container restores
+the bitmap on decode — the explicit-null-bitmap discipline the
+reference's lossy FlatBuffers path violates
+(/root/reference/src/flatbuffers.rs:14-30) and its empty-vs-null tests
+demand (/root/reference/src/vec_pq_reader.rs:673-681).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import get_codec
+from .codecs.base import is_floatlike, is_intlike, is_stringlike
+from .codecs.util import type_from_str, type_to_str
+
+_MAGIC = b"RYB1"
+
+
+def _fill_value(t: pa.DataType):
+    if is_stringlike(t):
+        return b"" if pa.types.is_binary(t) or pa.types.is_large_binary(t) else ""
+    if is_floatlike(t):
+        return 0.0
+    return 0
+
+
+def prepare_array(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray | None, int]:
+    """Combine chunks; split off the validity bitmap; fill nulls.
+
+    Returns (null-free single-chunk array, validity bool array or None,
+    null_count)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_count = arr.null_count
+    if null_count == 0:
+        # ensure offset-0 buffers for zero-copy views
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])
+        return arr, None, 0
+    validity = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_date32(t):
+        iview = arr.view(pa.int64() if pa.types.is_timestamp(t) else pa.int32())
+        filled = pc.fill_null(iview, 0).view(t)
+    else:
+        filled = pc.fill_null(arr, _fill_value(t))
+    if filled.offset != 0:
+        filled = pa.concat_arrays([filled])
+    return filled, validity, null_count
+
+
+def restore_nulls(decoded: pa.Array, validity: np.ndarray) -> pa.Array:
+    mask = pa.array(validity, type=pa.bool_())
+    return pc.if_else(mask, decoded, pa.nulls(len(decoded), decoded.type))
+
+
+def encode_column(
+    arr: pa.Array | pa.ChunkedArray, codec_name: str, level: int = 3
+) -> bytes:
+    """Encode one column chunk into a self-describing block blob."""
+    filled, validity, null_count = prepare_array(arr)
+    codec = get_codec(codec_name)
+    params, sections = codec.encode(filled, level)
+    vbuf = (
+        np.packbits(validity.astype(np.uint8), bitorder="little").tobytes()
+        if null_count
+        else b""
+    )
+    header = {
+        "codec": codec_name,
+        "n": len(filled),
+        "type": type_to_str(arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type),
+        "null_count": int(null_count),
+        "params": params,
+        "sections": {k: len(v) for k, v in sections.items()},
+    }
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    parts = [_MAGIC, len(hjson).to_bytes(4, "little"), hjson, vbuf]
+    parts.extend(sections.values())
+    return b"".join(parts)
+
+
+def decode_column(blob: bytes | memoryview) -> pa.Array:
+    """Decode a block blob back to the original arrow array (bit-identical)."""
+    blob = memoryview(blob)
+    if bytes(blob[:4]) != _MAGIC:
+        raise ValueError("not a RYB1 block")
+    hlen = int.from_bytes(blob[4:8], "little")
+    header = json.loads(bytes(blob[8 : 8 + hlen]))
+    n = header["n"]
+    typ = type_from_str(header["type"])
+    pos = 8 + hlen
+    null_count = header["null_count"]
+    validity = None
+    if null_count:
+        vlen = (n + 7) // 8
+        vbits = np.frombuffer(blob[pos : pos + vlen], dtype=np.uint8)
+        validity = np.unpackbits(vbits, count=n, bitorder="little").astype(bool)
+        pos += vlen
+    sections: dict[str, bytes] = {}
+    for name, length in header["sections"].items():
+        sections[name] = bytes(blob[pos : pos + length])
+        pos += length
+    codec = get_codec(header["codec"])
+    decoded = codec.decode(header["params"], sections, n, typ)
+    if validity is not None:
+        decoded = restore_nulls(decoded, validity)
+    return decoded
+
+
+def block_codec(blob: bytes | memoryview) -> dict:
+    """Read just the header of a block blob (codec name, params, sizes)."""
+    blob = memoryview(blob)
+    hlen = int.from_bytes(blob[4:8], "little")
+    return json.loads(bytes(blob[8 : 8 + hlen]))

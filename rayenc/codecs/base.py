@@ -1,0 +1,76 @@
+"""Codec interface — the engine's deliberate extension seam.
+
+The reference's only abstraction seam is the ``ColumnsBuilder`` trait
+(/root/reference/src/columns_builder.rs:12-21); our analog is ``Codec``:
+a pure ``encode(array) -> (params, sections)`` / ``decode -> array`` pair
+with zero Ray dependencies, so codecs are unit-testable in isolation and
+the actor pool just holds a registry (SURVEY.md §2.3 T1).
+
+Contract:
+- ``encode`` receives a NULL-FREE, single-chunk pyarrow array (the block
+  container in rayenc.blocks handles validity bitmaps); it returns a
+  JSON-serializable ``params`` dict plus named byte ``sections``.
+- ``decode(params, sections, n, typ)`` must reproduce the array
+  bit-identically (the reference's round-trip discipline,
+  /root/reference/src/vec_pq_reader.rs:793-882).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+import pyarrow as pa
+
+
+def is_stringlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def is_intlike(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t)
+
+
+def is_floatlike(t: pa.DataType) -> bool:
+    return pa.types.is_floating(t)
+
+
+def int_view(arr: pa.Array) -> np.ndarray:
+    """Zero-copy int64/int32/... numpy view of a null-free int-like array."""
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        arr = arr.view(pa.int64())
+    elif pa.types.is_date32(t):
+        arr = arr.view(pa.int32())
+    return arr.to_numpy(zero_copy_only=True)
+
+
+def int_array_from(values: np.ndarray, typ: pa.DataType) -> pa.Array:
+    """Rebuild an int-like arrow array (incl. timestamp/date) from int64 numpy."""
+    if pa.types.is_timestamp(typ):
+        return pa.array(values.astype(np.int64), type=pa.int64()).view(typ)
+    if pa.types.is_date32(typ):
+        return pa.array(values.astype(np.int32), type=pa.int32()).view(typ)
+    return pa.array(values.astype(typ.to_pandas_dtype()), type=typ)
+
+
+class Codec(ABC):
+    """A per-column lightweight compression scheme."""
+
+    name: str = "?"
+
+    @abstractmethod
+    def supports(self, t: pa.DataType) -> bool: ...
+
+    @abstractmethod
+    def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]: ...
+
+    @abstractmethod
+    def decode(
+        self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
+    ) -> pa.Array: ...

@@ -1,0 +1,206 @@
+"""Low-level vectorized primitives shared by all codecs.
+
+Everything here is pure numpy / pyarrow — zero Ray dependencies — so the
+codec library can be unit-tested and reused outside the pipeline. The
+bit-packing primitives are the Python analog of the reference's
+level/value decode loops (/root/reference/src/vec_pq_reader.rs:109-242),
+but vectorized: a Python per-value loop in a hot path is a design bug
+here (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# --------------------------------------------------------------------------
+# zstd (general-purpose backstop container compression, the analog of the
+# reference's ZSTD(3) writer default, /root/reference/src/bin/js2pq/main.rs:91)
+# --------------------------------------------------------------------------
+
+_ZSTD_CACHE: dict[int, pa.Codec] = {}
+
+
+def zstd_codec(level: int = 3) -> pa.Codec:
+    c = _ZSTD_CACHE.get(level)
+    if c is None:
+        c = pa.Codec("zstd", compression_level=level)
+        _ZSTD_CACHE[level] = c
+    return c
+
+
+def zstd_compress(data: bytes | memoryview | np.ndarray, level: int = 3) -> bytes:
+    buf = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+    if len(buf) == 0:
+        return b""
+    return zstd_codec(level).compress(buf, asbytes=True)
+
+
+def zstd_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    if uncompressed_size == 0:
+        return b""
+    return zstd_codec().decompress(data, decompressed_size=uncompressed_size, asbytes=True)
+
+
+# --------------------------------------------------------------------------
+# bit packing (uint64 values < 2**width -> packed little-endian bit stream)
+# --------------------------------------------------------------------------
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent max_value (0 -> 0 bits)."""
+    if max_value < 0:
+        raise ValueError("bit_width expects non-negative max")
+    return int(max_value).bit_length()
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative ints into `width` bits each (LSB-first)."""
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of pack_bits -> uint64 array of length n."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    bits = np.unpackbits(raw, count=n * width, bitorder="little")
+    bits = bits.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def pack_bits_z(values: np.ndarray, width: int, level: int = 3) -> bytes:
+    """bit-pack then zstd (packed streams often still have structure)."""
+    return zstd_compress(pack_bits(values, width), level)
+
+
+def unpack_bits_z(buf: bytes, width: int, n: int) -> np.ndarray:
+    packed_len = (n * width + 7) // 8
+    return unpack_bits(zstd_decompress(buf, packed_len), width, n)
+
+
+# --------------------------------------------------------------------------
+# zigzag (signed -> unsigned, for delta streams)
+# --------------------------------------------------------------------------
+
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    s = np.ascontiguousarray(v, dtype=np.int64)
+    return ((s.astype(np.uint64) << np.uint64(1)) ^ (s >> np.int64(63)).astype(np.uint64))
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = np.ascontiguousarray(u, dtype=np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# arrow type <-> string (stored in block headers)
+# --------------------------------------------------------------------------
+
+_SIMPLE_TYPES = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "date32[day]": pa.date32(),
+}
+
+
+def type_to_str(t: pa.DataType) -> str:
+    return str(t)
+
+
+def type_from_str(s: str) -> pa.DataType:
+    t = _SIMPLE_TYPES.get(s)
+    if t is not None:
+        return t
+    if s.startswith("timestamp["):
+        inner = s[len("timestamp[") : -1]
+        if "," in inner:
+            unit, tz = inner.split(",", 1)
+            tz = tz.strip().removeprefix("tz=")
+            return pa.timestamp(unit.strip(), tz=tz)
+        return pa.timestamp(inner.strip())
+    raise ValueError(f"unsupported arrow type string: {s!r}")
+
+
+# --------------------------------------------------------------------------
+# string array <-> (bytes, lengths) without per-row Python
+# --------------------------------------------------------------------------
+
+
+def string_array_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Return (data_bytes uint8 array, per-row byte lengths int64).
+
+    `arr` must be a null-free string/large_string/binary/large_binary array.
+    Zero-copy views onto the Arrow buffers.
+    """
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    off_buf, data_buf = bufs[1], bufs[2]
+    offsets = np.frombuffer(off_buf, dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    if data_buf is None:
+        data = np.empty(0, dtype=np.uint8)
+    else:
+        data = np.frombuffer(data_buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    lengths = np.diff(offsets).astype(np.int64)
+    return data, lengths
+
+
+def strings_from_parts(
+    data: np.ndarray, lengths: np.ndarray, typ: pa.DataType
+) -> pa.Array:
+    """Rebuild a null-free string/binary array from concatenated bytes + lengths."""
+    n = len(lengths)
+    total = int(lengths.sum()) if n else 0
+    large = pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)
+    if not large and total > (1 << 31) - 1:
+        raise ValueError("block too large for 32-bit offsets; lower block size")
+    off_dtype = np.int64 if large else np.int32
+    offsets = np.zeros(n + 1, dtype=off_dtype)
+    np.cumsum(lengths, out=offsets[1:])
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    return pa.Array.from_buffers(
+        typ, n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())]
+    )
+
+
+def encode_lengths(lengths: np.ndarray, level: int = 3) -> tuple[dict, bytes]:
+    """Compact representation for a lengths array: FOR + bit-pack + zstd."""
+    if len(lengths) == 0:
+        return {"ref": 0, "w": 0}, b""
+    lo = int(lengths.min())
+    hi = int(lengths.max())
+    w = bit_width(hi - lo)
+    meta = {"ref": lo, "w": w}
+    return meta, pack_bits_z(lengths.astype(np.int64) - lo, w, level)
+
+
+def decode_lengths(meta: dict, buf: bytes, n: int) -> np.ndarray:
+    vals = unpack_bits_z(buf, meta["w"], n).astype(np.int64)
+    return vals + int(meta["ref"])

@@ -1,0 +1,72 @@
+"""Decode stage: Dataset of encoded block rows -> original columns.
+
+The analog of the reference's columnar read path
+(/root/reference/src/bin/parqbench/main.rs:276-333): per block, per
+column, a typed decode back into Arrow arrays — except ours is a
+distributed ``map_batches`` stage over the block table instead of a
+single-threaded loop, and decode must be bit-identical (the round-trip
+contract of /root/reference/src/vec_pq_reader.rs:793-882).
+
+Row order is stable within a block and blocks carry
+(partition_id, block_seq), so global order is reconstructible
+(SURVEY.md §2.5 ordering note).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from .blocks import decode_column
+
+
+class BlockDecoder:
+    """map_batches callable: block rows in -> decoded source rows out."""
+
+    def __init__(self, columns: list[str] | None = None, with_provenance: bool = False):
+        self.columns = columns
+        self.with_provenance = with_provenance
+
+    def decode_block_row(
+        self, names: list[str], blobs: list, block_id: str, block_seq: int
+    ) -> pa.Table:
+        cols: dict[str, pa.Array] = {}
+        n = None
+        for name, blob in zip(names, blobs):
+            arr = decode_column(blob)
+            cols[name] = arr
+            n = len(arr)
+        if self.with_provenance:
+            cols["_block_id"] = pa.array([block_id] * (n or 0))
+            cols["_block_seq"] = pa.array([block_seq] * (n or 0), type=pa.int64())
+        return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = [c[4:] for c in batch.column_names if c.startswith("col_")]
+        if self.columns:
+            names = [c for c in names if c in self.columns]
+        tables = []
+        ids = batch["block_id"].to_pylist()
+        seqs = batch["block_seq"].to_pylist() if "block_seq" in batch.column_names else [0] * len(ids)
+        for i in range(batch.num_rows):
+            blobs = [batch[f"col_{name}"][i].as_py() for name in names]
+            tables.append(self.decode_block_row(names, blobs, ids[i], seqs[i]))
+        return pa.concat_tables(tables)
+
+
+def decode_dataset(
+    blocks: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    with_provenance: bool = False,
+    concurrency: int | tuple[int, int] | None = (1, 8),
+) -> "ray.data.Dataset":
+    """Streaming decode: block rows -> Dataset of original source rows."""
+    return blocks.map_batches(
+        BlockDecoder,
+        fn_constructor_kwargs={"columns": columns, "with_provenance": with_provenance},
+        batch_format="pyarrow",
+        batch_size=4,  # a few blocks per call; each expands to thousands of rows
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

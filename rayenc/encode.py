@@ -1,0 +1,180 @@
+"""Encode stage: streaming Dataset -> Dataset of encoded column blocks.
+
+The Ray-Data-first restatement of the reference's single-threaded
+encode loop (/root/reference/src/bin/js2pq/main.rs:46-131): where the
+reference materializes one whole file into one RecordBatch on one
+thread, we stream Arrow blocks through a ``map_batches`` actor pool —
+each incoming zero-copy Arrow batch becomes one encoded block (one
+output row holding a binary blob per column + codec lineage + metrics),
+and the streaming executor pipelines read / encode / write with
+backpressure. The actor holds the codec registry and running counters
+(SURVEY.md §2.3 T1); all per-block state (symbol tables, dictionaries)
+ships inside the blocks, so actors are restart-safe.
+
+Scale notes (100 TB design): no shuffle in this path — encoding is
+embarrassingly parallel over blocks; batch_size bounds rows per block so
+a batch x concurrency fits worker heaps even with megabyte content
+values; blobs flow through the object store to a parquet sink
+(compression=NONE — blocks are already compressed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data
+
+from .blocks import block_codec, encode_column
+from .rowhash import chain_hash
+from .selector import encode_column_auto
+
+DEFAULT_BLOCK_ROWS = 8192
+HASH_COLUMN = "content"
+
+
+class BlockEncoder:
+    """map_batches callable: one input Arrow batch -> one block row.
+
+    Stateful-stage pattern: construct once per actor (codec registry,
+    counters), called per batch — the Ray analog of the reference's
+    reusable ``Builders`` accumulator
+    (/root/reference/src/columns_builder.rs:23-33,109-147).
+    """
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        level: int = 3,
+        sample_rows: int = 4096,
+        hash_column: str | None = HASH_COLUMN,
+        forced_codecs: dict[str, str] | None = None,
+    ):
+        self.columns = columns
+        self.level = level
+        self.sample_rows = sample_rows
+        self.hash_column = hash_column
+        self.forced_codecs = forced_codecs or {}
+        self.blocks_done = 0
+        self.rows_done = 0
+
+    def encode_table(self, batch: pa.Table, block_seq: int = 0, partition_id: str = "") -> pa.Table:
+        cols = self.columns or batch.column_names
+        n = batch.num_rows
+        out: dict[str, Any] = {}
+        lineage: dict[str, Any] = {}
+        src_bytes = 0
+        enc_bytes = 0
+        h = hashlib.sha256()
+        for name in cols:
+            arr = batch[name]
+            t0 = time.perf_counter()
+            forced = self.forced_codecs.get(name)
+            if forced:
+                blob = encode_column(arr, forced, self.level)
+                choice_info = {"codec": forced, "reason": "forced"}
+            else:
+                blob, choice = encode_column_auto(arr, self.level, self.sample_rows)
+                choice_info = choice.lineage()
+            ms = (time.perf_counter() - t0) * 1000
+            src_bytes += arr.nbytes
+            enc_bytes += len(blob)
+            choice_info.update(
+                {"src_bytes": int(arr.nbytes), "enc_bytes": len(blob), "ms": round(ms, 3)}
+            )
+            lineage[name] = choice_info
+            out[f"col_{name}"] = pa.array([blob], type=pa.binary())
+            h.update(blob[:64])  # header prefix feeds the block id
+        h.update(n.to_bytes(8, "little"))
+        content_hash = ""
+        if self.hash_column and self.hash_column in cols:
+            content_hash = chain_hash(batch[self.hash_column])
+            h.update(content_hash.encode())
+        block_id = h.hexdigest()[:32]
+        self.blocks_done += 1
+        self.rows_done += n
+        meta = {
+            "block_id": pa.array([block_id]),
+            "partition_id": pa.array([partition_id]),
+            "block_seq": pa.array([block_seq], type=pa.int64()),
+            "n_rows": pa.array([n], type=pa.int64()),
+            "source_bytes": pa.array([src_bytes], type=pa.int64()),
+            "encoded_bytes": pa.array([enc_bytes], type=pa.int64()),
+            "content_sha256": pa.array([content_hash]),
+            "lineage": pa.array([json.dumps(lineage, separators=(",", ":"))]),
+        }
+        meta.update(out)
+        return pa.table(meta)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.encode_table(batch)
+
+
+def encode_dataset(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    level: int = 3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    hash_column: str | None = HASH_COLUMN,
+    concurrency: int | tuple[int, int] | None = (1, 8),
+    forced_codecs: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """Streaming encode: Dataset of source rows -> Dataset of block rows."""
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(
+        BlockEncoder,
+        fn_constructor_kwargs={
+            "columns": columns,
+            "level": level,
+            "hash_column": hash_column,
+            "forced_codecs": forced_codecs,
+        },
+        batch_format="pyarrow",
+        batch_size=block_rows,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def lineage_table(blocks_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-(block, column) codec-choice lineage rows from a block Dataset."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            "block_id": [],
+            "column": [],
+            "codec": [],
+            "src_bytes": [],
+            "enc_bytes": [],
+            "ms": [],
+            "reason": [],
+        }
+        for bid, lin in zip(
+            batch["block_id"].to_pylist(), batch["lineage"].to_pylist()
+        ):
+            for col, info in json.loads(lin).items():
+                rows["block_id"].append(bid)
+                rows["column"].append(col)
+                rows["codec"].append(info["codec"])
+                rows["src_bytes"].append(info["src_bytes"])
+                rows["enc_bytes"].append(info["enc_bytes"])
+                rows["ms"].append(info["ms"])
+                rows["reason"].append(info.get("reason", ""))
+        return pa.table(
+            {
+                "block_id": pa.array(rows["block_id"]),
+                "column": pa.array(rows["column"]),
+                "codec": pa.array(rows["codec"]),
+                "src_bytes": pa.array(rows["src_bytes"], type=pa.int64()),
+                "enc_bytes": pa.array(rows["enc_bytes"], type=pa.int64()),
+                "ms": pa.array(rows["ms"], type=pa.float64()),
+                "reason": pa.array(rows["reason"]),
+            }
+        )
+
+    return blocks_ds.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,239 @@
+"""Resumable encode job: partition plan -> encode -> atomic commit.
+
+The full-lifecycle pipeline from SURVEY.md §3.4: plan partitions from
+parquet metadata (file + row-group ranges — deterministic ids so a rerun
+recognizes finished work), skip committed partitions, encode the rest
+through the shared ``BlockEncoder`` core, write each partition's block
+table atomically, commit a manifest entry per partition.
+
+The work queue is a small Ray Dataset of partition descriptors (a
+control-plane table, a few hundred bytes per row); the heavy data is
+read inside the encode actor with pyarrow, column-pruned, row-group at
+a time, so one partition never materializes more than one row-group +
+one encoded block. This is the deliberate exception documented in the
+survey: resumability requires partition identity, which Ray's opaque
+batch splitting does not expose — everything else stays in the pure
+streaming path (rayenc.encode.encode_dataset).
+
+Skew handling (north rule): partitions are bounded by row-group ranges
+(`max_partition_bytes`), so a giant input file becomes many partitions;
+within a partition, blocks are capped at `block_rows` rows AND
+`max_block_bytes` of string payload, so one huge content blob cannot
+stall an actor or blow a worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .encode import BlockEncoder
+from .manifest import Manifest
+
+DEFAULT_MAX_PARTITION_BYTES = 256 << 20
+DEFAULT_MAX_BLOCK_BYTES = 64 << 20
+
+
+def plan_partitions(
+    input_paths: list[str] | str,
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+) -> list[dict]:
+    """Metadata-only scan: split every input file into row-group ranges
+    of ~max_partition_bytes uncompressed, each a deterministic partition."""
+    if isinstance(input_paths, str):
+        p = Path(input_paths)
+        paths = sorted(str(q) for q in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+    else:
+        paths = [str(p) for p in input_paths]
+    parts: list[dict] = []
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        n_rg = md.num_row_groups
+        start = 0
+        acc = 0
+        for rg in range(n_rg):
+            acc += md.row_group(rg).total_byte_size
+            last = rg == n_rg - 1
+            if acc >= max_partition_bytes or last:
+                pid = hashlib.sha256(
+                    f"{os.path.basename(path)}:{start}-{rg}".encode()
+                ).hexdigest()[:16]
+                parts.append(
+                    {
+                        "partition_id": pid,
+                        "path": path,
+                        "rg_start": start,
+                        "rg_end": rg,  # inclusive
+                        "est_bytes": acc,
+                    }
+                )
+                start = rg + 1
+                acc = 0
+    return parts
+
+
+class PartitionEncoder:
+    """Actor-pool stage: one partition descriptor in -> one committed
+    partition out (blocks parquet + manifest entry)."""
+
+    def __init__(
+        self,
+        out_root: str,
+        columns: list[str] | None,
+        level: int,
+        block_rows: int,
+        max_block_bytes: int,
+        hash_column: str | None,
+    ):
+        self.out_root = Path(out_root)
+        self.blocks_dir = self.out_root / "blocks"
+        self.blocks_dir.mkdir(parents=True, exist_ok=True)
+        self.manifest = Manifest(out_root)
+        self.core = BlockEncoder(columns=columns, level=level, hash_column=hash_column)
+        self.columns = columns
+        self.block_rows = block_rows
+        self.max_block_bytes = max_block_bytes
+
+    def _iter_blocks(self, table: pa.Table):
+        """Split a row-group table into encode blocks bounded by rows AND
+        bytes (huge content values -> small row counts)."""
+        n = table.num_rows
+        pos = 0
+        avg_row = max(table.nbytes // max(n, 1), 1)
+        bytes_cap = max(1, self.max_block_bytes // avg_row)
+        step = max(1, min(self.block_rows, bytes_cap))
+        while pos < n:
+            yield table.slice(pos, step)
+            pos += step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results: list[dict] = []
+        for row in batch.to_pylist():
+            results.append(self._encode_partition(row))
+        return pa.Table.from_pylist(results)
+
+    def _encode_partition(self, part: dict) -> dict:
+        t0 = time.perf_counter()
+        pid = part["partition_id"]
+        pf = pq.ParquetFile(part["path"])
+        out_tables: list[pa.Table] = []
+        rows = 0
+        seq = 0
+        for rg in range(part["rg_start"], part["rg_end"] + 1):
+            rg_table = pf.read_row_group(rg, columns=self.columns)
+            for block in self._iter_blocks(rg_table):
+                out_tables.append(
+                    self.core.encode_table(block, block_seq=seq, partition_id=pid)
+                )
+                rows += block.num_rows
+                seq += 1
+        blocks_table = pa.concat_tables(out_tables)
+        out_file = self.blocks_dir / f"{pid}.parquet"
+        tmp = out_file.with_suffix(".tmp")
+        # blocks are already compressed; don't pay zstd twice
+        pq.write_table(blocks_table, tmp, compression="none")
+        os.replace(tmp, out_file)
+
+        lineages = [json.loads(s) for s in blocks_table["lineage"].to_pylist()]
+        col_summary: dict[str, dict] = {}
+        for lin in lineages:
+            for col, info in lin.items():
+                cs = col_summary.setdefault(
+                    col, {"codecs": {}, "src_bytes": 0, "enc_bytes": 0, "ms": 0.0}
+                )
+                cs["codecs"][info["codec"]] = cs["codecs"].get(info["codec"], 0) + 1
+                cs["src_bytes"] += info["src_bytes"]
+                cs["enc_bytes"] += info["enc_bytes"]
+                cs["ms"] = round(cs["ms"] + info["ms"], 3)
+        entry = {
+            "partition_id": pid,
+            "input": {
+                "path": part["path"],
+                "rg_start": part["rg_start"],
+                "rg_end": part["rg_end"],
+            },
+            "rows": rows,
+            "blocks": seq,
+            "source_bytes": int(
+                sum(blocks_table["source_bytes"].to_pylist())
+            ),
+            "encoded_bytes": int(
+                sum(blocks_table["encoded_bytes"].to_pylist())
+            ),
+            "block_hashes": blocks_table["content_sha256"].to_pylist(),
+            "columns": col_summary,
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "output": str(out_file),
+        }
+        self.manifest.commit(entry)
+        return {
+            "partition_id": pid,
+            "rows": rows,
+            "blocks": seq,
+            "source_bytes": entry["source_bytes"],
+            "encoded_bytes": entry["encoded_bytes"],
+            "wall_s": entry["wall_s"],
+            "skipped": False,
+        }
+
+
+def run_encode_job(
+    input_paths: list[str] | str,
+    out_root: str,
+    columns: list[str] | None = None,
+    level: int = 3,
+    block_rows: int = 8192,
+    max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+    hash_column: str | None = "content",
+    concurrency: int | tuple[int, int] = (1, 16),
+) -> dict:
+    """Resumable distributed encode. Returns a job summary dict.
+
+    Rerun-safe: partitions already in the manifest are skipped before any
+    data is read (kill-and-rerun covered by tests/test_resume.py).
+    """
+    manifest = Manifest(out_root)
+    parts = plan_partitions(input_paths, max_partition_bytes)
+    committed = manifest.committed_ids()
+    pending = [p for p in parts if p["partition_id"] not in committed]
+    summary = {
+        "partitions_total": len(parts),
+        "partitions_skipped": len(parts) - len(pending),
+        "partitions_encoded": 0,
+        "rows": 0,
+        "source_bytes": 0,
+        "encoded_bytes": 0,
+    }
+    if pending:
+        ds = ray.data.from_items(pending)
+        results = ds.map_batches(
+            PartitionEncoder,
+            fn_constructor_kwargs={
+                "out_root": out_root,
+                "columns": columns,
+                "level": level,
+                "block_rows": block_rows,
+                "max_block_bytes": max_block_bytes,
+                "hash_column": hash_column,
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        ).take_all()  # control-plane rows: one per partition, tiny
+        summary["partitions_encoded"] = len(results)
+        summary["rows"] = sum(r["rows"] for r in results)
+        summary["source_bytes"] = sum(r["source_bytes"] for r in results)
+        summary["encoded_bytes"] = sum(r["encoded_bytes"] for r in results)
+    summary["manifest"] = manifest.summary()
+    return summary

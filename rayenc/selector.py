@@ -1,0 +1,182 @@
+"""Codec auto-selector: sample -> stats -> candidates -> measured choice.
+
+The dynamic replacement for the reference's static per-column encoding
+policy (/root/reference/src/bin/js2pq/main.rs:96-114, SURVEY.md §2.6):
+where the reference hard-codes "dictionary for tag columns,
+BYTE_STREAM_SPLIT for sums_double, stats off for binary", we compute
+per-column-per-block statistics (cardinality ratio, run ratio,
+sortedness, avg length), shortlist candidate codecs by those stats, then
+TRIAL-ENCODE a contiguous sample with each candidate and pick the
+smallest measured size — never heuristics alone (a heuristic that loses
+on real bytes is a lie in the manifest). The choice plus the why is
+recorded as lineage in the block header and the partition manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .blocks import encode_column, prepare_array
+from .codecs import get_codec
+from .codecs.base import int_view, is_floatlike, is_intlike, is_stringlike
+
+SAMPLE_ROWS = 4096
+SAMPLE_BYTES = 2 << 20       # cap trial sample at 2 MiB of string payload
+FSST_SAMPLE_BYTES = 128 << 10  # fsst trials are costlier; train on less
+FSST_MAX_AVG_LEN = 1024      # fsst targets short/medium strings
+
+
+@dataclass
+class Choice:
+    codec: str
+    stats: dict
+    trials: dict[str, int] = field(default_factory=dict)
+    reason: str = ""
+
+    def lineage(self) -> dict:
+        return {
+            "codec": self.codec,
+            "stats": self.stats,
+            "trials": self.trials,
+            "reason": self.reason,
+        }
+
+
+def _sample(arr: pa.Array, max_rows: int, max_bytes: int) -> pa.Array:
+    """Contiguous head slice (contiguity preserves run structure)."""
+    s = arr.slice(0, min(len(arr), max_rows))
+    if is_stringlike(arr.type) and s.nbytes > max_bytes and len(s) > 16:
+        # shrink row count until the byte cap holds (huge content blobs)
+        avg = max(s.nbytes // max(len(s), 1), 1)
+        s = arr.slice(0, max(16, max_bytes // avg))
+    return s
+
+
+def column_stats(sample: pa.Array) -> dict:
+    n = len(sample)
+    stats: dict = {"n_sample": n, "null_count": int(sample.null_count)}
+    if n == 0:
+        return stats
+    stats["distinct"] = int(pc.count_distinct(sample).as_py())
+    stats["distinct_ratio"] = stats["distinct"] / n
+    t = sample.type
+    filled, _, _ = prepare_array(sample)
+    if is_stringlike(t):
+        stats["avg_len"] = float(sample.nbytes / max(n, 1))
+        codes_arr = pc.dictionary_encode(filled)
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=True)
+    elif is_intlike(t):
+        codes = int_view(filled)
+        stats["min"] = int(codes.min())
+        stats["max"] = int(codes.max())
+        stats["sorted"] = bool(np.all(np.diff(codes.astype(np.int64)) >= 0))
+    else:
+        fv = filled.to_numpy(zero_copy_only=True)
+        codes = fv.view(f"u{fv.dtype.itemsize}")
+    runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if n > 1 else n
+    stats["runs"] = runs
+    stats["run_ratio"] = runs / n
+    return stats
+
+
+def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
+    n = stats.get("n_sample", 0)
+    if n == 0:
+        return ["plain"]
+    cands = ["plain"]
+    dr = stats.get("distinct_ratio", 1.0)
+    rr = stats.get("run_ratio", 1.0)
+    if is_stringlike(t):
+        if dr < 0.6:
+            cands.append("dict")
+        if rr < 0.6:
+            cands.append("rle")
+        if dr >= 0.05 and stats.get("avg_len", 1e9) <= FSST_MAX_AVG_LEN:
+            cands.append("fsst")
+    elif is_intlike(t):
+        cands.append("foref")
+        if stats.get("min", -1) >= 0:
+            cands.append("bitpack")
+        if rr < 0.6:
+            cands.append("rle")
+        if dr < 0.2:
+            cands.append("dict")
+        cands.append("bss")
+    elif is_floatlike(t):
+        cands.append("bss")
+        if dr < 0.2:
+            cands.append("dict")
+        if rr < 0.6:
+            cands.append("rle")
+    return cands
+
+
+def select_codec(
+    arr: pa.Array | pa.ChunkedArray,
+    sample_rows: int = SAMPLE_ROWS,
+    level: int = 3,
+) -> Choice:
+    """Pick the codec for one column chunk by measured trial size."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    sample = _sample(arr, sample_rows, SAMPLE_BYTES)
+    stats = column_stats(sample)
+    cands = candidate_codecs(arr.type, stats)
+    trials: dict[str, int] = {}
+    ratios: dict[str, float] = {}  # payload bytes per source byte (comparable across samples)
+    for name in cands:
+        trial_sample = sample
+        if name == "fsst" and sample.nbytes > FSST_SAMPLE_BYTES:
+            trial_sample = _sample(arr, sample_rows, FSST_SAMPLE_BYTES)
+        try:
+            blob = encode_column(trial_sample, name, level)
+        except Exception:  # a candidate that cannot encode loses by default
+            continue
+        # compare payloads net of the fixed json header: at real block sizes
+        # (100k+ rows) the header vanishes, so letting it bias a 4k-row
+        # sample would systematically punish multi-section codecs
+        hlen = int.from_bytes(blob[4:8], "little")
+        payload = len(blob) - 8 - hlen
+        trials[name] = len(blob)
+        ratios[name] = payload / max(trial_sample.nbytes, 1)
+    if not trials:
+        return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
+    best_name, best_ratio = min(ratios.items(), key=lambda kv: kv[1])
+    # tie-break: a lightweight codec within 2% of the zstd backstop wins —
+    # equal size but cheaper decode + random access at scale
+    if best_name == "plain":
+        for name, r in sorted(ratios.items(), key=lambda kv: kv[1]):
+            if name != "plain" and r <= best_ratio * 1.02 + 1e-9:
+                best_name = name
+                break
+    reason = (
+        f"min trial payload among {sorted(trials)} "
+        f"(distinct_ratio={stats.get('distinct_ratio', 1):.3f}, "
+        f"run_ratio={stats.get('run_ratio', 1):.3f})"
+    )
+    return Choice(best_name, stats, trials, reason)
+
+
+def encode_column_auto(
+    arr: pa.Array | pa.ChunkedArray, level: int = 3, sample_rows: int = SAMPLE_ROWS
+) -> tuple[bytes, Choice]:
+    """Select a codec on a sample, then encode the full column with it.
+
+    Falls back to plain if the selected codec fails on the full data
+    (e.g. bitpack chosen on a non-negative sample but the tail has a
+    negative value)."""
+    choice = select_codec(arr, sample_rows, level)
+    try:
+        blob = encode_column(arr, choice.codec, level)
+    except Exception:
+        choice = Choice(
+            "plain", choice.stats, choice.trials, f"{choice.codec} failed on full data; zstd backstop"
+        )
+        blob = encode_column(arr, "plain", level)
+    return blob, choice
