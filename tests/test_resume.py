@@ -1,0 +1,91 @@
+"""Resumable-job tests: kill after k partitions, rerun, only the rest run.
+
+The reference reprocesses everything on rerun
+(/root/reference/scripts/process.sh:42-59); the north rule requires a
+manifest commit log instead. These tests simulate partial completion by
+pre-committing a subset of partitions and assert the rerun encodes only
+the remainder, plus atomicity of the commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import Manifest, plan_partitions, run_encode_job, verify_blocks
+
+
+def test_plan_partitions_deterministic(corpus_parquet):
+    p1 = plan_partitions(corpus_parquet, max_partition_bytes=1 << 20)
+    p2 = plan_partitions(corpus_parquet, max_partition_bytes=1 << 20)
+    assert [x["partition_id"] for x in p1] == [x["partition_id"] for x in p2]
+    assert len(p1) > 1, "fixture should split into multiple partitions"
+    # ranges tile the file's row groups without overlap
+    md = pq.ParquetFile(corpus_parquet).metadata
+    covered = []
+    for part in p1:
+        covered.extend(range(part["rg_start"], part["rg_end"] + 1))
+    assert covered == list(range(md.num_row_groups))
+
+
+def test_full_job_then_noop_rerun(ray_session, corpus_parquet, tmp_path):
+    out = str(tmp_path / "job")
+    s1 = run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    assert s1["partitions_encoded"] == s1["partitions_total"] > 1
+    assert s1["rows"] == 3000
+    s2 = run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    assert s2["partitions_encoded"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+
+
+def test_partial_completion_resumes_rest(ray_session, corpus_parquet, tmp_path):
+    out = str(tmp_path / "job")
+    parts = plan_partitions(corpus_parquet, max_partition_bytes=1 << 20)
+    # simulate a killed run: first k partitions committed, rest not
+    k = len(parts) // 2
+    assert k >= 1
+    m = Manifest(out)
+    for p in parts[:k]:
+        m.commit(
+            {
+                "partition_id": p["partition_id"],
+                "rows": 0,
+                "blocks": 0,
+                "source_bytes": 0,
+                "encoded_bytes": 0,
+            }
+        )
+    s = run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    assert s["partitions_skipped"] == k
+    assert s["partitions_encoded"] == len(parts) - k
+
+
+def test_commit_is_atomic(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.commit({"partition_id": "abc", "rows": 5})
+    # no tmp litter
+    leftovers = [p for p in (m.dir).iterdir() if p.suffix == ".tmp"]
+    assert not leftovers
+    assert m.committed_ids() == {"abc"}
+    with open(m.entry_path("abc")) as f:
+        assert json.load(f)["rows"] == 5
+
+
+def test_job_output_verifies(ray_session, corpus_parquet, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "job")
+    run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    blocks = rd.read_parquet(f"{out}/blocks")
+    v = verify_blocks(blocks)
+    assert v["ok"] and v["rows"] == 3000
