@@ -1,0 +1,203 @@
+"""Benchmark harness — the feedback loop against BASELINE.md.
+
+Headline: the flagship encode job (streaming read_parquet ->
+map_batches(BlockEncoder actor pool) -> block table) over the
+deterministic F1 source-code corpus (repo, path, commit, lang, content —
+the BASELINE.json input_hint shape, synthesized at bench scale per the
+no-external-data rule), plus decode + sha256 verify. Reports GB/s of
+content bytes and compressed size vs the reference pyarrow-zstd3
+parquet. Secondary: representative queries() timings over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline encode sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extra metrics}
+
+--scaling: run the headline twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input; report both throughputs + efficiency
+(the sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/rayenc_bench"
+CORPUS_ROWS = int(os.environ.get("RAYENC_BENCH_ROWS", "40000"))
+
+
+def ensure_corpus() -> tuple[str, dict]:
+    """Generate (once) the deterministic bench corpus + sidecar stats."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"corpus_{CORPUS_ROWS}.parquet")
+    meta_path = path + ".meta.json"
+    if not (os.path.exists(path) and os.path.exists(meta_path)):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from rayenc.corpus import gen_corpus
+
+        t = gen_corpus(CORPUS_ROWS)
+        pq.write_table(t, path, row_group_size=4000)
+        meta = {
+            "rows": t.num_rows,
+            "content_bytes": int(
+                pc.sum(pc.binary_length(t["content"].cast("binary"))).as_py()
+            ),
+            "total_bytes": int(t.nbytes),
+        }
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    with open(meta_path) as f:
+        return path, json.load(f)
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayenc import decode_dataset, encode_dataset, reference_parquet_bytes, verify_blocks
+
+    corpus_path, meta = ensure_corpus()
+
+    # warm the page cache (untimed) so we measure compute, not first disk read
+    pq.read_table(corpus_path)
+
+    # ---- headline: encode ----
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(corpus_path)
+    blocks = encode_dataset(
+        ds, block_rows=4000, hash_column="content", concurrency=(2, num_cpus)
+    ).materialize()
+    encode_s = time.perf_counter() - t0
+
+    enc_rows = blocks.select_columns(["n_rows", "source_bytes", "encoded_bytes"]).take_all()
+    ours_bytes = sum(r["encoded_bytes"] for r in enc_rows)
+    src_bytes = sum(r["source_bytes"] for r in enc_rows)
+    gbs = meta["content_bytes"] / encode_s / 1e9
+
+    # ---- decode ----
+    t0 = time.perf_counter()
+    for _ in decode_dataset(blocks, concurrency=(2, num_cpus)).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        pass
+    decode_s = time.perf_counter() - t0
+
+    # ---- verify ----
+    t0 = time.perf_counter()
+    v = verify_blocks(blocks)
+    verify_s = time.perf_counter() - t0
+    assert v["ok"], v
+
+    # reference parquet size (pyarrow zstd-3 twin of the reference writer)
+    ref_cache = os.path.join(BENCH_DIR, f"refsize_{CORPUS_ROWS}.json")
+    if os.path.exists(ref_cache):
+        with open(ref_cache) as f:
+            ref_bytes = json.load(f)["ref_bytes"]
+    else:
+        ref_bytes = reference_parquet_bytes(pq.read_table(corpus_path))
+        with open(ref_cache, "w") as f:
+            json.dump({"ref_bytes": ref_bytes}, f)
+
+    # ---- representative queries over the sf dir ----
+    from rayenc.pipelines.queries import QUERIES
+
+    query_times: dict[str, float] = {}
+    for name in [
+        "roundtrip_documents",
+        "roundtrip_lineitem",
+        "selector_stats_by_lang",
+        "numeric_stats_lineitem",
+        "doc_token_stats",
+        "dedup_exact",
+        "near_dup_pairs_minhash",
+        "knn_brute",
+        "embedding_near_dup",
+    ]:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "iter_batches"):  # consume Datasets fully
+            for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+                pass
+        query_times[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_encode_wall_sec",
+        "value": round(encode_s, 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_rows": meta["rows"],
+        "content_gb": round(meta["content_bytes"] / 1e9, 4),
+        "encode_gbps": round(gbs, 4),
+        "decode_sec": round(decode_s, 3),
+        "verify_sec": round(verify_s, 3),
+        "encoded_bytes": ours_bytes,
+        "source_bytes": src_bytes,
+        "ref_parquet_bytes": ref_bytes,
+        "size_vs_ref": round(ours_bytes / ref_bytes, 4),
+        "verify_ok": v["ok"],
+    }
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        ensure_corpus()  # build once so both children only measure compute
+        lo, hi = 8, 32
+        r_lo, r_hi = run_child(lo), run_child(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "gbps_8": r_lo["encode_gbps"],
+                    "gbps_32": r_hi["encode_gbps"],
+                    "queries": r_hi["queries"],
+                    "sf": sf_dir,
+                    "num_cpus": [lo, hi],
+                }
+            )
+        )
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(ncpu, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

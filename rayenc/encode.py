@@ -53,6 +53,7 @@ class BlockEncoder:
         sample_rows: int = 4096,
         hash_column: str | None = HASH_COLUMN,
         forced_codecs: dict[str, str] | None = None,
+        retrial_blocks: int = 16,
     ):
         self.columns = columns
         self.level = level
@@ -61,6 +62,15 @@ class BlockEncoder:
         self.forced_codecs = forced_codecs or {}
         self.blocks_done = 0
         self.rows_done = 0
+        # per-column codec choice cache: trial selection runs on the first
+        # block and every `retrial_blocks` thereafter; in between the cached
+        # winner encodes directly (per-partition selection granularity —
+        # data drifts slowly within a partition, and trial encodes are the
+        # dominant selector cost). A failed cached encode falls back to
+        # plain and forces a re-trial on the next block.
+        self.retrial_blocks = retrial_blocks
+        self._cached: dict[str, str] = {}
+        self._since_trial: dict[str, int] = {}
 
     def encode_table(self, batch: pa.Table, block_seq: int = 0, partition_id: str = "") -> pa.Table:
         cols = self.columns or batch.column_names
@@ -74,12 +84,27 @@ class BlockEncoder:
             arr = batch[name]
             t0 = time.perf_counter()
             forced = self.forced_codecs.get(name)
+            cached = self._cached.get(name)
             if forced:
                 blob = encode_column(arr, forced, self.level)
                 choice_info = {"codec": forced, "reason": "forced"}
+            elif cached is not None and self._since_trial.get(name, 0) < self.retrial_blocks:
+                try:
+                    blob = encode_column(arr, cached, self.level)
+                    choice_info = {"codec": cached, "reason": "cached selection"}
+                    self._since_trial[name] += 1
+                except Exception:
+                    blob = encode_column(arr, "plain", self.level)
+                    choice_info = {
+                        "codec": "plain",
+                        "reason": f"cached {cached} failed; re-trial next block",
+                    }
+                    del self._cached[name]
             else:
                 blob, choice = encode_column_auto(arr, self.level, self.sample_rows)
                 choice_info = choice.lineage()
+                self._cached[name] = choice.codec
+                self._since_trial[name] = 0
             ms = (time.perf_counter() - t0) * 1000
             src_bytes += arr.nbytes
             enc_bytes += len(blob)

@@ -1,0 +1,432 @@
+"""Driver-contract queries: one entry per operator/pipeline, with DuckDB
+oracles where SQL can express the semantics (SURVEY.md §7.1 step 9).
+
+Column-name discipline: every computed column is named identically in
+the Ray implementation and the oracle SQL (the driver hash-compares
+values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..encode import encode_dataset, lineage_table
+from ..stages import ann, dedup, multimodal, text
+from .flagship import roundtrip_table
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+LINEITEM_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# engine round-trips (identity projections through encode->decode)
+# ---------------------------------------------------------------------------
+
+
+def q_roundtrip_documents(sf_dir: str):
+    return roundtrip_table(sf_dir, "documents", DOC_COLS, hash_column="text")
+
+
+def q_roundtrip_lineitem(sf_dir: str):
+    return roundtrip_table(sf_dir, "lineitem", LINEITEM_COLS, hash_column=None)
+
+
+# ---------------------------------------------------------------------------
+# selector-statistics aggregates (the stats pass the codec selector runs,
+# expressed as Dataset aggregates with SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_selector_stats_by_lang(sf_dir: str) -> pa.Table:
+    """Zero-shuffle partial aggregation (lang is low-cardinality)."""
+    from ..stages.agg import grouped_agg_lowcard
+
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    main = grouped_agg_lowcard(
+        ds,
+        ["lang"],
+        {"n_docs": (None, "count"), "total_chars": ("n_chars", "sum")},
+    )
+    pairs = grouped_agg_lowcard(
+        ds, ["lang", "source"], {"c": (None, "count")}
+    )
+    nsrc = pairs.groupby("lang").size().reset_index(name="n_sources")
+    out = main.merge(nsrc, on="lang").sort_values("lang")
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64")),
+            "total_chars": pa.array(out["total_chars"].astype("int64")),
+            "n_sources": pa.array(out["n_sources"].astype("int64")),
+        }
+    )
+
+
+def q_numeric_stats_lineitem(sf_dir: str) -> pa.Table:
+    from ..stages.agg import grouped_agg_lowcard
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_orderkey"],
+    )
+    out = grouped_agg_lowcard(
+        ds,
+        ["l_returnflag"],
+        {
+            "n_items": (None, "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_orderkey": ("l_orderkey", "min"),
+            "max_orderkey": ("l_orderkey", "max"),
+        },
+    ).sort_values("l_returnflag")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+            "n_items": pa.array(out["n_items"].astype("int64")),
+            "sum_qty": pa.array(out["sum_qty"].astype("float64")),
+            "min_orderkey": pa.array(out["min_orderkey"].astype("int64")),
+            "max_orderkey": pa.array(out["max_orderkey"].astype("int64")),
+        }
+    )
+
+
+def q_topk_longest_docs(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    t = pa.concat_tables(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return t.select(["doc_id", "n_chars"])
+
+
+def q_group_counts_lang_source(sf_dir: str) -> pa.Table:
+    from ..stages.agg import grouped_agg_lowcard
+
+    ds = _docs(sf_dir, ["lang", "source"])
+    out = grouped_agg_lowcard(ds, ["lang", "source"], {"n_docs": (None, "count")}).sort_values(
+        ["lang", "source"]
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64")),
+        }
+    )
+
+
+def q_distinct_langs(sf_dir: str) -> pa.Table:
+    vals = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(vals, type=pa.string())})
+
+
+def q_filter_high_value_orders(sf_dir: str):
+    """Predicate pushed to the parquet read (row-group pruning)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 200000.0),
+    )
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    return text.token_stats_dataset(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_quality_scores(sf_dir: str):
+    return text.quality_dataset(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_lang_id_documents(sf_dir: str):
+    return text.langid_dataset(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return text.fingerprint_dataset(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return dedup.dedup_exact(ds)
+
+
+def q_dedup_minhash_survivors(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    kept = dedup.dedup_minhash(ds)
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def q_near_dup_pairs_minhash(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dedup.minhash_candidate_pairs(ds, threshold=0.5)
+    df = pairs.to_pandas()
+    if df.empty:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+        )
+    df = df.sort_values(["doc_a", "doc_b"])
+    return pa.table(
+        {
+            "doc_a": pa.array(df["doc_a"].astype("int64")),
+            "doc_b": pa.array(df["doc_b"].astype("int64")),
+        }
+    )
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dedup.simhash_pairs(ds, max_hamming=3)
+    df = pairs.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    df = df.sort_values(["doc_a", "doc_b"])
+    return pa.table(
+        {
+            "doc_a": pa.array(df["doc_a"].astype("int64")),
+            "doc_b": pa.array(df["doc_b"].astype("int64")),
+            "hamming": pa.array(df["hamming"].astype("int64")),
+        }
+    )
+
+
+def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # 0.4: the synthetic embeddings have no >=0.95 near-dups; 0.4 exercises
+    # a non-vacuous pair set (59 pairs at sf0.01)
+    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.4)
+    df = pairs.to_pandas()
+    if df.empty:  # all-empty datasets lose schema through to_pandas
+        return pa.table(
+            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+        )
+    df = df.sort_values(["id_a", "id_b"])
+    return pa.table(
+        {
+            "id_a": pa.array(df["id_a"].astype("int64")),
+            "id_b": pa.array(df["id_b"].astype("int64")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n_q: int = 3) -> np.ndarray:
+    t = pa.concat_tables(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], n_q)), batch_format="pyarrow"
+        )
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    t = t.combine_chunks()
+    order = pc.sort_indices(t["vec_id"])
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    mat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(
+        -1, dim
+    )
+    return mat[order.to_numpy(zero_copy_only=False)]
+
+
+def q_knn_brute(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ann.knn_brute(ds, _query_vectors(sf_dir), k=10)
+    return res.select(["query_id", "rank", "vec_id"])
+
+
+def q_knn_lsh(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ann.knn_lsh(ds, _query_vectors(sf_dir), k=10)
+    return res.select(["query_id", "rank", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# engine metrics / lineage (non-SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_codec_selection_documents(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir)
+    blocks = encode_dataset(ds, block_rows=2000, hash_column="text")
+    lt = lineage_table(blocks).to_pandas()
+    agg = (
+        lt.groupby(["column", "codec"])
+        .agg(n_blocks=("block_id", "count"), enc_bytes=("enc_bytes", "sum"))
+        .reset_index()
+        .sort_values(["column", "codec"])
+    )
+    return pa.table(
+        {
+            "column": pa.array(agg["column"], type=pa.string()),
+            "codec": pa.array(agg["codec"], type=pa.string()),
+            "n_blocks": pa.array(agg["n_blocks"].astype("int64")),
+            "enc_bytes": pa.array(agg["enc_bytes"].astype("int64")),
+        }
+    )
+
+
+def q_compression_documents(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir)
+    blocks = encode_dataset(ds, block_rows=2000, hash_column="text")
+    rows = blocks.select_columns(["n_rows", "source_bytes", "encoded_bytes"]).take_all()
+    src = sum(r["source_bytes"] for r in rows)
+    enc = sum(r["encoded_bytes"] for r in rows)
+    return pa.table(
+        {
+            "rows": pa.array([sum(r["n_rows"] for r in rows)], type=pa.int64()),
+            "source_bytes": pa.array([src], type=pa.int64()),
+            "encoded_bytes": pa.array([enc], type=pa.int64()),
+            "ratio": pa.array([enc / src if src else 0.0], type=pa.float64()),
+        }
+    )
+
+
+def q_multimodal_features(sf_dir: str) -> pa.Table:
+    """Plumbing check for the stubbed multimodal decode stage (no media
+    libs in container; FakeDecoder is deterministic)."""
+    t = multimodal.synthesize_media_table(256)
+    ds = rd.from_arrow(t)
+    out = multimodal.decode_pipeline(ds, batch_size=32)
+    resized = out.map_batches(
+        multimodal.FakeResizer, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    df = resized.to_pandas().sort_values("media_id")
+    return pa.table(
+        {
+            "media_id": pa.array(df["media_id"].astype("int64")),
+            "feat0": pa.array(
+                [float(v[0]) for v in df["features"]], type=pa.float64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "roundtrip_documents": q_roundtrip_documents,
+    "roundtrip_lineitem": q_roundtrip_lineitem,
+    "selector_stats_by_lang": q_selector_stats_by_lang,
+    "numeric_stats_lineitem": q_numeric_stats_lineitem,
+    "topk_longest_docs": q_topk_longest_docs,
+    "group_counts_lang_source": q_group_counts_lang_source,
+    "distinct_langs": q_distinct_langs,
+    "filter_high_value_orders": q_filter_high_value_orders,
+    "doc_token_stats": q_doc_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id_documents": q_lang_id_documents,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_survivors": q_dedup_minhash_survivors,
+    "near_dup_pairs_minhash": q_near_dup_pairs_minhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "knn_brute": q_knn_brute,
+    "knn_lsh": q_knn_lsh,
+    "codec_selection_documents": q_codec_selection_documents,
+    "compression_documents": q_compression_documents,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "roundtrip_lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice, "
+        "l_returnflag, l_linestatus, l_shipdate FROM lineitem"
+    ),
+    "selector_stats_by_lang": (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources "
+        "FROM documents GROUP BY lang"
+    ),
+    "numeric_stats_lineitem": (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, "
+        "CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey, "
+        "CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "topk_longest_docs": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 20"
+    ),
+    "group_counts_lang_source": (
+        "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY lang, source"
+    ),
+    "distinct_langs": "SELECT DISTINCT lang FROM documents",
+    "filter_high_value_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0"
+    ),
+    "doc_token_stats": (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc "
+        "FROM documents"
+    ),
+    "dedup_exact": (
+        "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+    ),
+    "knn_brute": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), "
+        "s AS (SELECT q.qid AS query_id, e.vec_id, "
+        "list_cosine_similarity(q.qv, e.embedding) AS cos "
+        "FROM q CROSS JOIN embeddings e), "
+        "r AS (SELECT query_id, vec_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS rank "
+        "FROM s) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM r WHERE rank < 10"
+    ),
+    "embedding_near_dup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    # rows-only (non-SQL-expressible or heuristic/approximate):
+    # quality_scores, lang_id_documents, doc_fingerprints,
+    # dedup_minhash_survivors, near_dup_pairs_minhash, simhash_pairs,
+    # knn_lsh, codec_selection_documents, compression_documents,
+    # multimodal_features
+}

@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: exact cosine top-k — the query matrix is broadcast once
+  with ray.put, each map_batches task does one numpy matmul against its
+  batch and emits batch-local top-k candidates; a final tiny reduce picks
+  global top-k. No shuffle of the corpus, no driver-side scan.
+- ``knn_lsh``: the scale path — random-hyperplane sign buckets (seeded,
+  deterministic); queries probe their own bucket plus 1-bit-flip
+  neighbors, so each query touches a small fraction of the corpus.
+  Approximate by construction; recall grows with n_planes/probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import embedding_matrix
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        dim = len(col[0]) if len(col) else 0
+    mat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float32)
+    return mat.reshape(len(batch), dim) if dim else mat.reshape(len(batch), 0)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_brute(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, rank, vec_id, cos) sorted by
+    (query_id, rank); ties broken by vec_id for determinism."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(qn)
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bm = _normalize(_batch_matrix(batch, vec_col))
+            scores = self.q @ bm.T  # (n_q, n_batch)
+            out_q, out_v, out_s = [], [], []
+            kk = min(k, scores.shape[1])
+            for qi in range(scores.shape[0]):
+                # stable candidate order: score desc, then vec_id asc
+                order = np.lexsort((ids, -scores[qi]))[:kk]
+                out_q.extend([qi] * len(order))
+                out_v.extend(ids[order].tolist())
+                out_s.extend(scores[qi][order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    cands = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    # final reduce: tiny (n_queries x k x n_batches rows)
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    for qi, g in cands.groupby("query_id"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows()):
+            out["query_id"].append(int(qi))
+            out["rank"].append(rank)
+            out["vec_id"].append(int(row["vec_id"]))
+            out["cos"].append(float(row["cos"]))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "cos": pa.array(out["cos"], type=pa.float64()),
+        }
+    )
+
+
+def lsh_plan(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k: only corpus vectors whose LSH bucket matches the
+    query's bucket (or differs by one bit) are scored."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    planes = lsh_plan(qn.shape[1], n_planes)
+    qb = _bucket_of(qn, planes)
+    # probe set per query: own bucket + 1-bit flips
+    probe: set[int] = set()
+    for b in qb.tolist():
+        probe.add(b)
+        for j in range(n_planes):
+            probe.add(b ^ (1 << j))
+    state = ray.put((qn, planes, probe))
+
+    class BucketTopK:
+        def __init__(self):
+            self.q, self.planes, self.probe = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bm = _normalize(_batch_matrix(batch, vec_col))
+            buckets = _bucket_of(bm, self.planes)
+            mask = np.fromiter(
+                (int(b) in self.probe for b in buckets), dtype=bool, count=len(buckets)
+            )
+            if not mask.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cos": pa.array([], type=pa.float64()),
+                    }
+                )
+            sub_ids = ids[mask]
+            sub = bm[mask]
+            scores = self.q @ sub.T
+            out_q, out_v, out_s = [], [], []
+            kk = min(k, scores.shape[1])
+            for qi in range(scores.shape[0]):
+                order = np.lexsort((sub_ids, -scores[qi]))[:kk]
+                out_q.extend([qi] * len(order))
+                out_v.extend(sub_ids[order].tolist())
+                out_s.extend(scores[qi][order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    cands = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    for qi, g in cands.groupby("query_id"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows()):
+            out["query_id"].append(int(qi))
+            out["rank"].append(rank)
+            out["vec_id"].append(int(row["vec_id"]))
+            out["cos"].append(float(row["cos"]))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "cos": pa.array(out["cos"], type=pa.float64()),
+        }
+    )

@@ -1,0 +1,202 @@
+"""Text-analysis stages over a documents table.
+
+All hot paths are vectorized pyarrow.compute / numpy; the only Python
+loops run over compiled-regex match lists (C-backed) or per-distinct
+values. Stateful pieces (compiled regexes, stopword tables) live in
+actor ``__init__`` per the actor-pool pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_WS_TOKEN = r"\S+"
+
+
+def token_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Whitespace token count + byte/char lengths, all Arrow kernels."""
+    text = batch[text_col]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pc.count_substring_regex(text, _WS_TOKEN).cast(pa.int64()),
+            "n_bytes": pc.binary_length(text.cast(pa.binary())).cast(pa.int64()),
+            "n_chars_calc": pc.utf8_length(text).cast(pa.int64()),
+        }
+    )
+
+
+# Stopword cores for the languages present in the synthetic corpora plus
+# common web languages; lang-id is an n-gram/stopword heuristic, not a
+# model (no network, no model files in this environment).
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it for was on are as with".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von den im".split()),
+    "fr": frozenset("le la les de des et un une est que pour dans sur au".split()),
+    "es": frozenset("el la los las de y un una es que para en con por no".split()),
+    "pt": frozenset("o a os as de e um uma é que para em com por não".split()),
+    "it": frozenset("il la i le di e un una è che per in con del non".split()),
+}
+
+
+class LangId:
+    """Actor-pool stage: heuristic language ID.
+
+    Scores each doc by stopword hits per candidate language plus a CJK /
+    Cyrillic / Greek charset check; deterministic, tie-broken by language
+    code. Regexes compile once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ가-힯]")
+        self.cyr_re = re.compile(r"[Ѐ-ӿ]")
+        self.langs = sorted(_STOPWORDS)
+
+    def classify(self, text: str | None) -> str:
+        if not text:
+            return "und"
+        sample = text[:4000]
+        n_cjk = len(self.cjk_re.findall(sample))
+        if n_cjk > max(8, len(sample) // 50):
+            return "zh"
+        if len(self.cyr_re.findall(sample)) > max(8, len(sample) // 50):
+            return "ru"
+        words = [w.lower() for w in self.word_re.findall(sample)]
+        if not words:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang in self.langs:
+            sw = _STOPWORDS[lang]
+            score = sum(1 for w in words if w in sw) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score >= 0.03 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Length / charset-ratio quality features, all Arrow kernels.
+
+    alpha/digit/space/punct ratios over characters, mean token length,
+    plus a composite [0,1] quality score (monotone blend used for
+    filtering thresholds downstream)."""
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    denom = pc.max_element_wise(n_chars, 1.0)
+    alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.float64())
+    digit = pc.count_substring_regex(text, r"[0-9]").cast(pa.float64())
+    space = pc.count_substring_regex(text, r"\s").cast(pa.float64())
+    tokens = pc.count_substring_regex(text, _WS_TOKEN).cast(pa.float64())
+    alpha_ratio = pc.divide(alpha, denom)
+    digit_ratio = pc.divide(digit, denom)
+    space_ratio = pc.divide(space, denom)
+    mean_tok_len = pc.divide(
+        pc.subtract(n_chars, space), pc.max_element_wise(tokens, 1.0)
+    )
+    # composite: favor alpha-heavy, penalize digit-heavy and degenerate
+    # whitespace; clamp to [0,1]
+    comp = pc.subtract(alpha_ratio, pc.multiply(digit_ratio, 0.5))
+    comp = pc.subtract(comp, pc.abs(pc.subtract(space_ratio, 0.15)))
+    comp = pc.max_element_wise(pc.min_element_wise(comp, 1.0), 0.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars_calc": n_chars.cast(pa.int64()),
+            "alpha_ratio": alpha_ratio,
+            "digit_ratio": digit_ratio,
+            "space_ratio": space_ratio,
+            "mean_token_len": mean_tok_len,
+            "quality": comp,
+        }
+    )
+
+
+def _kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hashes of every k-byte window (vectorized)."""
+    if len(data) < k:
+        return np.empty(0, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    weights = np.empty(k, dtype=np.uint64)
+    weights[0] = 1
+    for i in range(1, k):
+        weights[i] = weights[i - 1] * base
+    n_win = len(data) - k + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):  # k is small (8): k passes over the array, no per-row loop
+        acc += data[j : j + n_win].astype(np.uint64) * weights[k - 1 - j]
+    return acc
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> pa.Table:
+    """Document fingerprint: min k-gram rolling hash per doc (a 1-perm
+    MinHash over byte k-shingles — winnowing-style content id that is
+    stable under document reordering within a corpus)."""
+    from ..blocks import prepare_array
+    from ..codecs.util import string_array_parts
+
+    filled, validity, _ = prepare_array(batch[text_col].cast(pa.string()))
+    data, lengths = string_array_parts(filled)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    hashes = _kgram_hashes(data, k)
+    out = np.zeros(len(lengths), dtype=np.uint64)
+    for i in range(len(lengths)):  # per-doc reduce over precomputed window hashes
+        lo, hi = offsets[i], max(offsets[i + 1] - k + 1, offsets[i])
+        if hi > lo:
+            out[i] = hashes[lo:hi].min()
+        else:  # shorter than k: FNV over the raw bytes
+            out[i] = _short_hash(data[offsets[i] : offsets[i + 1]])
+    fp = np.array([f"{v:016x}" for v in out], dtype=object)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "fingerprint": pa.array(fp.tolist(), type=pa.string()),
+        }
+    )
+
+
+def _short_hash(chunk: np.ndarray) -> np.uint64:
+    acc = np.uint64(14695981039346656037)
+    base = np.uint64(1099511628211)
+    for b in chunk.tolist():  # only for docs shorter than k bytes
+        acc = (acc ^ np.uint64(b)) * base
+    return acc
+
+
+def token_stats_dataset(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    return ds.map_batches(lambda b: token_stats(b, **kw), batch_format="pyarrow")
+
+
+def quality_dataset(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    return ds.map_batches(lambda b: quality_scores(b, **kw), batch_format="pyarrow")
+
+
+def langid_dataset(ds: "ray.data.Dataset", concurrency=(1, 4), **kw) -> "ray.data.Dataset":
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def fingerprint_dataset(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    return ds.map_batches(lambda b: fingerprint_batch(b, **kw), batch_format="pyarrow")
