@@ -126,19 +126,19 @@ def gen_corpus(
             "".join(rng.choice(hexchars, size=40)) for _ in range(n_commits)
         ]
         commit_assign = np.sort(rng.integers(0, n_commits, size=cnt))
-        # content: join of random pool lines, log-normal length
+        # content: join of random pool lines, log-normal length; the joins
+        # run in polars (vectorized group-concat) — a Python join-per-row
+        # dominates generation time at bench scales
         n_lines = np.clip(
             rng.lognormal(np.log(median_lines), 1.0, size=cnt).astype(np.int64), 0, None
         )
+        contents.extend(_render_contents(rng, pool, n_lines, max_content_bytes))
         for i in range(cnt):
             repo_col.append(repo)
             p = paths[i]
             path_col.append(p)
             commit_col.append(commit_ids[commit_assign[i]])
             lang_col.append(LANG_BY_EXT[p.rsplit(".", 1)[1]])
-            k = int(n_lines[i])
-            body = "\n".join(pool[rng.integers(0, len(pool), size=k)]) if k else ""
-            contents.append(body[:max_content_bytes])
 
     # sprinkle deterministic edge rows: empty, unicode, near-binary, huge
     n = len(contents)
@@ -156,6 +156,41 @@ def gen_corpus(
             "content": pa.array(contents, type=pa.string()),
         }
     )
+
+
+def _render_contents(
+    rng: np.random.Generator,
+    pool: np.ndarray,
+    n_lines: np.ndarray,
+    max_content_bytes: int,
+) -> list[str]:
+    """Join random pool lines per row, vectorized via polars group-concat."""
+    total = int(n_lines.sum())
+    if total == 0:
+        return [""] * len(n_lines)
+    line_idx = rng.integers(0, len(pool), size=total)
+    row_ids = np.repeat(np.arange(len(n_lines)), n_lines)
+    try:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {"row": row_ids, "line": pool[line_idx].astype(str)}
+        )
+        joined = (
+            df.group_by("row", maintain_order=True)
+            .agg(pl.col("line").str.join("\n"))
+            .to_dict(as_series=False)
+        )
+        by_row = dict(zip(joined["row"], joined["line"]))
+    except ImportError:  # pragma: no cover
+        by_row = {}
+        pos = 0
+        for i, k in enumerate(n_lines):
+            by_row[i] = "\n".join(pool[line_idx[pos : pos + k]]) if k else ""
+            pos += int(k)
+    return [
+        (by_row.get(i, "") or "")[:max_content_bytes] for i in range(len(n_lines))
+    ]
 
 
 def write_corpus(

@@ -59,9 +59,14 @@ def decode_dataset(
     blocks: "ray.data.Dataset",
     columns: list[str] | None = None,
     with_provenance: bool = False,
-    concurrency: int | tuple[int, int] | None = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Streaming decode: block rows -> Dataset of original source rows."""
+    if concurrency is None:
+        from .encode import default_pool_size
+
+        n = default_pool_size()
+        concurrency = (n, n)
     return blocks.map_batches(
         BlockDecoder,
         fn_constructor_kwargs={"columns": columns, "with_provenance": with_provenance},

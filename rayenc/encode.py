@@ -37,6 +37,20 @@ DEFAULT_BLOCK_ROWS = 8192
 HASH_COLUMN = "content"
 
 
+def default_pool_size() -> int:
+    """Encode-pool size: ~3/4 of cluster CPUs, the rest left for the read
+    stage. A pool that reserves every CPU starves the upstream read tasks
+    and serializes the pipeline (measured: 32 actors on 32 CPUs ran 2.4x
+    SLOWER than 24 on the same input)."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(2, (ncpu * 3) // 4)
+
+
 class BlockEncoder:
     """map_batches callable: one input Arrow batch -> one block row.
 
@@ -145,12 +159,19 @@ def encode_dataset(
     level: int = 3,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     hash_column: str | None = HASH_COLUMN,
-    concurrency: int | tuple[int, int] | None = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     forced_codecs: dict[str, str] | None = None,
 ) -> "ray.data.Dataset":
-    """Streaming encode: Dataset of source rows -> Dataset of block rows."""
+    """Streaming encode: Dataset of source rows -> Dataset of block rows.
+
+    concurrency=None sizes a FIXED actor pool at ~3/4 of cluster CPUs
+    (fixed, not autoscaling: the autoscaler's ramp-up leaves actors cold
+    through most of a medium job, and a full-width pool starves the read)."""
     if columns:
         ds = ds.select_columns(columns)
+    if concurrency is None:
+        n = default_pool_size()
+        concurrency = (n, n)
     return ds.map_batches(
         BlockEncoder,
         fn_constructor_kwargs={

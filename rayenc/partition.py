@@ -1,0 +1,106 @@
+"""Partition assignment: salted repo-groupby + within-partition sort.
+
+The engine's ONE data shuffle (SURVEY.md §7.2): co-locating a repo's
+rows before encoding manufactures the runs and low-cardinality locality
+the lightweight codecs feed on (same repo -> same dict entries; sorted
+path/commit -> RLE runs). Skew is explicit (north rule): repo follows a
+Zipf — one giant repo can hold ~40% of rows (FIXTURES.md F1) — so giant
+repos are SALTED into `ceil(rows / target)` sub-partitions by a stable
+hash of path, and no single group (hence no single encode actor) stalls
+the pipeline.
+
+Two passes:
+1. metadata-sized stats pass: rows per repo (pre-aggregated per batch —
+   output is one row per repo per batch, never row-scale);
+2. salt map broadcast via ray.put (read once per actor, never
+   re-shipped per batch), then groupby(_pkey).map_groups(sort) — the
+   shuffle — feeding the encode stage.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def repo_row_counts(ds: "ray.data.Dataset", key: str = "repo") -> pd.DataFrame:
+    """Rows per repo via per-batch partial counts (no shuffle)."""
+    from .stages.agg import grouped_agg_lowcard
+
+    return grouped_agg_lowcard(ds, [key], {"rows": (None, "count")})
+
+
+def build_salt_map(
+    counts: pd.DataFrame, key: str = "repo", target_rows: int = 100_000
+) -> dict[str, int]:
+    """repo -> number of salted sub-partitions (1 for normal repos)."""
+    out: dict[str, int] = {}
+    for _, row in counts.iterrows():
+        out[row[key]] = max(1, -(-int(row["rows"]) // target_rows))
+    return out
+
+
+def _stable_hash(values: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(v.encode()) for v in values), dtype=np.uint64, count=len(values)
+    )
+
+
+def salted_partition(
+    ds: "ray.data.Dataset",
+    key: str = "repo",
+    salt_col: str = "path",
+    sort_within: tuple[str, ...] = ("path", "commit"),
+    target_rows: int = 100_000,
+) -> "ray.data.Dataset":
+    """Assign each row a partition key `repo#salt`, shuffle so each
+    partition is contiguous, and sort rows within each partition —
+    the compression-locality layout the encode stage consumes."""
+    counts = repo_row_counts(ds, key)
+    salt_map = build_salt_map(counts, key, target_rows)
+    ref = ray.put(salt_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        smap = ray.get(ref)
+        keys = batch[key].to_pylist()
+        salts = np.zeros(len(keys), dtype=np.uint64)
+        n_salts = np.fromiter(
+            (smap.get(k, 1) for k in keys), dtype=np.uint64, count=len(keys)
+        )
+        multi = n_salts > 1
+        if multi.any():
+            h = _stable_hash(batch[salt_col].to_pylist())
+            salts = np.where(multi, h % n_salts, 0)
+        pkey = pa.array(
+            [f"{k}#{s:03d}" for k, s in zip(keys, salts)], type=pa.string()
+        )
+        return batch.append_column("_pkey", pkey)
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow")
+
+    sort_cols = list(sort_within)
+
+    def sort_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_cols).drop(columns=["_pkey"])
+
+    return keyed.groupby("_pkey").map_groups(sort_group, batch_format="pandas")
+
+
+def locality_encode(
+    ds: "ray.data.Dataset",
+    target_rows: int = 100_000,
+    block_rows: int = 4000,
+    **encode_kw,
+) -> "ray.data.Dataset":
+    """salted_partition -> encode: the full SURVEY §3.4 layout path."""
+    from .encode import encode_dataset
+
+    laid_out = salted_partition(ds, target_rows=target_rows)
+    return encode_dataset(laid_out, block_rows=block_rows, **encode_kw)

@@ -1,0 +1,181 @@
+"""Tests for the training-data stages (text, dedup, ann, multimodal, agg)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+DOCS = pa.table(
+    {
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+                "the quick brown fox leaps over the lazy dog",  # near dup of 1
+                "der schnelle braune fuchs springt über den faulen hund und die katze",
+                "",  # empty
+                "le renard brun rapide saute par dessus le chien paresseux et le chat",
+            ],
+            type=pa.string(),
+        ),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(DOCS)
+
+
+def test_token_stats(ray_session, docs_ds):
+    from rayenc.stages.text import token_stats_dataset
+
+    out = token_stats_dataset(docs_ds).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist()[0] == 9
+    assert out["n_tokens"].tolist()[4] == 0
+    assert (out["n_bytes"] >= out["n_tokens"]).all()
+
+
+def test_quality_scores(ray_session, docs_ds):
+    from rayenc.stages.text import quality_dataset
+
+    out = quality_dataset(docs_ds).to_pandas().sort_values("doc_id")
+    assert ((out["alpha_ratio"] >= 0) & (out["alpha_ratio"] <= 1)).all()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+
+
+def test_lang_id(ray_session, docs_ds):
+    from rayenc.stages.text import langid_dataset
+
+    out = langid_dataset(docs_ds, concurrency=1).to_pandas().sort_values("doc_id")
+    preds = out["lang_pred"].tolist()
+    assert preds[0] == "en"
+    assert preds[3] == "de"
+    assert preds[4] == "und"
+    assert preds[5] == "fr"
+
+
+def test_fingerprints_deterministic(ray_session, docs_ds):
+    from rayenc.stages.text import fingerprint_dataset
+
+    a = fingerprint_dataset(docs_ds).to_pandas().sort_values("doc_id")
+    b = fingerprint_dataset(docs_ds).to_pandas().sort_values("doc_id")
+    assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+    # identical texts share a fingerprint; distinct texts don't (here)
+    fps = a["fingerprint"].tolist()
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+
+
+def test_dedup_exact(ray_session, docs_ds):
+    from rayenc.stages.dedup import dedup_exact
+
+    out = dedup_exact(docs_ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3, 4, 5, 6]  # doc 2 dropped (dup of 1)
+
+
+def test_minhash_near_dup(ray_session, docs_ds):
+    from rayenc.stages.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs_ds, threshold=0.3, n_perm=64).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert not any(4 in p or 6 in p for p in got)  # different languages
+
+
+def test_simhash_pairs(ray_session, docs_ds):
+    from rayenc.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in got  # identical text -> identical simhash (hamming 0)
+
+
+def test_embedding_near_dup_and_knn(ray_session):
+    import ray.data as rd
+
+    from rayenc.stages.ann import knn_brute, knn_lsh
+    from rayenc.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    base[5] = base[0] + 0.001  # near-dup pair (0, 5)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(base.reshape(-1), type=pa.float32()), 8
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.999).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 5) in got
+
+    res = knn_brute(ds, base[:2], k=3).to_pandas()
+    r0 = res[res["query_id"] == 0].sort_values("rank")
+    assert r0["vec_id"].tolist()[0] == 0  # itself first
+    assert 5 in r0["vec_id"].tolist()  # near-dup in top-3
+
+    approx = knn_lsh(ds, base[:2], k=3, n_planes=6).to_pandas()
+    a0 = approx[approx["query_id"] == 0].sort_values("rank")
+    assert a0["vec_id"].tolist()[0] == 0  # own bucket always probed
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from rayenc.stages.multimodal import (
+        FakeDecoder,
+        FakeResizer,
+        StrictDecoder,
+        decode_pipeline,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32)
+    ds = rd.from_arrow(t)
+    out = decode_pipeline(ds, batch_size=8).materialize()
+    df = out.to_pandas().sort_values("media_id")
+    assert len(df) == 32
+    assert all(len(f) == 16 for f in df["features"])
+    resized = (
+        out.map_batches(FakeResizer, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert all(len(f) == 8 for f in resized["features"])
+    # deterministic
+    df2 = decode_pipeline(rd.from_arrow(t), batch_size=8).to_pandas().sort_values("media_id")
+    assert [list(x) for x in df["features"]] == [list(x) for x in df2["features"]]
+    # strict stub raises clearly
+    with pytest.raises(NotImplementedError):
+        StrictDecoder()(t)
+
+
+def test_grouped_agg_lowcard(ray_session):
+    import ray.data as rd
+
+    from rayenc.stages.agg import grouped_agg_lowcard
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", "a", "a", "b"]),
+            "v": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    out = grouped_agg_lowcard(
+        rd.from_arrow(t).repartition(3),
+        ["k"],
+        {"n": (None, "count"), "s": ("v", "sum"), "mn": ("v", "min"), "mx": ("v", "max")},
+    )
+    a = out[out["k"] == "a"].iloc[0]
+    assert (a["n"], a["s"], a["mn"], a["mx"]) == (3, 8, 1, 4)
+    b = out[out["k"] == "b"].iloc[0]
+    assert (b["n"], b["s"], b["mn"], b["mx"]) == (2, 7, 2, 5)
