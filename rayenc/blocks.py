@@ -69,10 +69,28 @@ def restore_nulls(decoded: pa.Array, validity: np.ndarray) -> pa.Array:
     return pc.if_else(mask, decoded, pa.nulls(len(decoded), decoded.type))
 
 
+def _is_list(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+    )
+
+
 def encode_column(
     arr: pa.Array | pa.ChunkedArray, codec_name: str, level: int = 3
 ) -> bytes:
-    """Encode one column chunk into a self-describing block blob."""
+    """Encode one column chunk into a self-describing block blob.
+
+    List columns (list / large_list / fixed_size_list — the reference's
+    nested payloads, /root/reference/src/schema.rs:13-34) are encoded as
+    per-row lengths (frame-of-reference packed) + a recursively encoded
+    child block of the flattened values; `codec_name` names the CHILD
+    codec. Null list vs empty list is preserved via the validity bitmap
+    (def-level 0 vs 1 in the reference,
+    /root/reference/src/vec_pq_reader.rs:176-195)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _is_list(arr.type):
+        return _encode_list(arr, codec_name, level)
     filled, validity, null_count = prepare_array(arr)
     codec = get_codec(codec_name)
     params, sections = codec.encode(filled, level)
@@ -103,7 +121,6 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
     hlen = int.from_bytes(blob[4:8], "little")
     header = json.loads(bytes(blob[8 : 8 + hlen]))
     n = header["n"]
-    typ = type_from_str(header["type"])
     pos = 8 + hlen
     null_count = header["null_count"]
     validity = None
@@ -116,11 +133,108 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
     for name, length in header["sections"].items():
         sections[name] = bytes(blob[pos : pos + length])
         pos += length
+    if header["codec"] == "list":
+        return _decode_list(header, validity, sections)
+    typ = type_from_str(header["type"])
     codec = get_codec(header["codec"])
     decoded = codec.decode(header["params"], sections, n, typ)
     if validity is not None:
         decoded = restore_nulls(decoded, validity)
     return decoded
+
+
+def _encode_list(arr: pa.Array, child_codec: str, level: int = 3) -> bytes:
+    from .codecs.util import encode_lengths
+
+    t = arr.type
+    n = len(arr)
+    null_count = arr.null_count
+    validity = None
+    if null_count:
+        validity = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(arr)
+    lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if null_count:
+        lengths = np.where(validity, lengths, 0)
+    child = pc.list_flatten(arr)  # values of non-null lists only
+    child_blob = encode_column(child, child_codec, level)
+    lmeta, lbuf = encode_lengths(lengths, level)
+    kind = (
+        "fixed_size_list"
+        if pa.types.is_fixed_size_list(t)
+        else ("large_list" if pa.types.is_large_list(t) else "list")
+    )
+    header = {
+        "codec": "list",
+        "n": n,
+        "type": kind,
+        "null_count": int(null_count),
+        "params": {
+            "lmeta": lmeta,
+            "child_field": t.value_field.name,
+            "list_size": t.list_size if pa.types.is_fixed_size_list(t) else 0,
+            "child_len": len(child),
+        },
+        "sections": {"lengths": len(lbuf), "child": len(child_blob)},
+    }
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    vbuf = (
+        np.packbits(validity.astype(np.uint8), bitorder="little").tobytes()
+        if null_count
+        else b""
+    )
+    return b"".join(
+        [_MAGIC, len(hjson).to_bytes(4, "little"), hjson, vbuf, lbuf, child_blob]
+    )
+
+
+def _decode_list(header: dict, validity: np.ndarray | None, sections: dict) -> pa.Array:
+    from .codecs.util import decode_lengths
+
+    n = header["n"]
+    params = header["params"]
+    child = decode_column(sections["child"])
+    lengths = decode_lengths(params["lmeta"], sections["lengths"], n)
+    field = pa.field(params["child_field"], child.type)
+    vbuf = None
+    if validity is not None:
+        vbuf = pa.py_buffer(
+            np.packbits(validity.astype(np.uint8), bitorder="little").tobytes()
+        )
+    if header["type"] == "fixed_size_list":
+        size = params["list_size"]
+        typ = pa.list_(field, size)
+        # scatter valid rows' values into a dense child of n*size slots
+        if validity is None:
+            full = child
+        else:
+            full = _scatter_child(child, validity, n, size)
+        return pa.Array.from_buffers(typ, n, [vbuf], children=[full])
+    large = header["type"] == "large_list"
+    typ = pa.large_list(field) if large else pa.list_(field)
+    off_dtype = np.int64 if large else np.int32
+    offsets = np.zeros(n + 1, dtype=off_dtype)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.Array.from_buffers(
+        typ, n, [vbuf, pa.py_buffer(offsets.tobytes())], children=[child]
+    )
+
+
+def _scatter_child(child: pa.Array, validity: np.ndarray, n: int, size: int) -> pa.Array:
+    """Place the packed valid-row values into an n*size child (null rows
+    get zero/empty filler that sits under the list-level null bitmap)."""
+    positions = np.flatnonzero(np.repeat(validity, size))
+    take_idx = np.full(n * size, -1, dtype=np.int64)
+    take_idx[positions] = np.arange(len(child))
+    # index -1 -> null in take; fill after
+    idx = pa.array(
+        np.where(take_idx >= 0, take_idx, 0), type=pa.int64()
+    )
+    dense = pc.take(child, idx)
+    mask = pa.array(take_idx >= 0, type=pa.bool_())
+    filler = _fill_value(child.type) if not _is_list(child.type) else None
+    dense = pc.if_else(mask, dense, pa.scalar(filler, type=child.type))
+    return dense
 
 
 def block_codec(blob: bytes | memoryview) -> dict:

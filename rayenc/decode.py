@@ -65,8 +65,7 @@ def decode_dataset(
     if concurrency is None:
         from .encode import default_pool_size
 
-        n = default_pool_size()
-        concurrency = (n, n)
+        concurrency = (1, default_pool_size())
     return blocks.map_batches(
         BlockDecoder,
         fn_constructor_kwargs={"columns": columns, "with_provenance": with_provenance},

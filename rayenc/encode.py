@@ -164,14 +164,16 @@ def encode_dataset(
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
-    concurrency=None sizes a FIXED actor pool at ~3/4 of cluster CPUs
-    (fixed, not autoscaling: the autoscaler's ramp-up leaves actors cold
-    through most of a medium job, and a full-width pool starves the read)."""
+    concurrency=None autoscales (1, ~3/4 of cluster CPUs). The cap leaves
+    CPUs for the read stage (a full-width pool starves it — measured 2.4x
+    slowdown); min=1 keeps chained actor stages (encode -> decode in one
+    lazy pipeline) from deadlocking over fixed reservations. Benchmarks
+    that run one stage at a time pass an explicit fixed (n, n) pool to
+    skip the autoscaler ramp."""
     if columns:
         ds = ds.select_columns(columns)
     if concurrency is None:
-        n = default_pool_size()
-        concurrency = (n, n)
+        concurrency = (1, default_pool_size())
     return ds.map_batches(
         BlockEncoder,
         fn_constructor_kwargs={

@@ -50,6 +50,14 @@ def q_roundtrip_lineitem(sf_dir: str):
     return roundtrip_table(sf_dir, "lineitem", LINEITEM_COLS, hash_column=None)
 
 
+def q_roundtrip_embeddings(sf_dir: str):
+    """Nested-list round-trip: embedding is list<float> (the reference's
+    List payload model, /root/reference/src/schema.rs:13-34)."""
+    return roundtrip_table(
+        sf_dir, "embeddings", ["vec_id", "embedding", "label"], hash_column=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # selector-statistics aggregates (the stats pass the codec selector runs,
 # expressed as Dataset aggregates with SQL oracles)
@@ -346,6 +354,7 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
+    "roundtrip_embeddings": q_roundtrip_embeddings,
     "selector_stats_by_lang": q_selector_stats_by_lang,
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
@@ -374,6 +383,7 @@ ORACLES = {
         "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice, "
         "l_returnflag, l_linestatus, l_shipdate FROM lineitem"
     ),
+    "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
     "selector_stats_by_lang": (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "

@@ -168,10 +168,20 @@ def encode_column_auto(
 ) -> tuple[bytes, Choice]:
     """Select a codec on a sample, then encode the full column with it.
 
+    List columns select the codec on the FLATTENED child values (the
+    list shell is always lengths+validity, see blocks._encode_list).
     Falls back to plain if the selected codec fails on the full data
     (e.g. bitpack chosen on a non-negative sample but the tail has a
     negative value)."""
-    choice = select_codec(arr, sample_rows, level)
+    t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        child = pc.list_flatten(
+            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        )
+        choice = select_codec(child, sample_rows, level)
+        choice.reason = f"child-values selection: {choice.reason}"
+    else:
+        choice = select_codec(arr, sample_rows, level)
     try:
         blob = encode_column(arr, choice.codec, level)
     except Exception:
