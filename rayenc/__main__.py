@@ -1,0 +1,210 @@
+"""CLI — the Ray-Data restatement of the reference's two binaries.
+
+- ``encode`` / ``decode`` / ``verify`` / ``gen``: the js2pq-equivalent
+  lifecycle (/root/reference/src/bin/js2pq/main.rs:46-131), resumable via
+  the manifest job.
+- ``bench-read``: the parqbench equivalent
+  (/root/reference/src/bin/parqbench/main.rs:216-262): iterate a block
+  table row-by-row vs columnar, folding every value into an anti-DCE
+  "touch" counter (:58-169) and reporting avg ms/iteration.
+
+Owns its Ray session (library code never does): guarded ray.init with
+num_cpus from RAY_GRAFT_CPUS (default 32), shutdown at exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_gen(args: argparse.Namespace) -> int:
+    from rayenc.corpus import write_corpus
+
+    path = write_corpus(args.out, args.rows, seed=args.seed)
+    print(json.dumps({"written": path, "rows": args.rows}))
+    return 0
+
+
+def cmd_encode(args: argparse.Namespace) -> int:
+    _init_ray()
+    from rayenc.jobs import run_encode_job
+
+    summary = run_encode_job(
+        args.input,
+        args.out,
+        block_rows=args.block_rows,
+        level=args.level,
+        hash_column=args.hash_column or None,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_decode(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+
+    blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
+    out = decode_dataset(blocks)
+    out.write_parquet(args.out)
+    print(json.dumps({"decoded_to": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from rayenc.verify import verify_blocks
+
+    blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
+    v = verify_blocks(blocks, hash_column=args.hash_column)
+    print(json.dumps(v))
+    return 0 if v["ok"] else 1
+
+
+def _touch_value(v) -> int:
+    """Anti-DCE fold, the parqbench counter semantics
+    (/root/reference/src/bin/parqbench/main.rs:58-169): numeric -> int
+    value, strings/binary -> length, null -> 1, lists -> fold elements."""
+    if v is None:
+        return 1
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, (str, bytes)):
+        return len(v)
+    if isinstance(v, list):
+        return sum(_touch_value(x) for x in v)
+    return 1
+
+
+def _touch_column(col) -> int:
+    """Vectorized fold with IDENTICAL semantics to _touch_value so both
+    read paths print the same counter (the reference's two reader types
+    agree on it, /root/reference/src/bin/parqbench/main.rs:58-214)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    nulls = col.null_count
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        # row path folds len(str) = CHARACTERS, not bytes
+        s = pc.sum(pc.utf8_length(col)).as_py() or 0
+        return int(s) + nulls
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        s = pc.sum(pc.binary_length(col)).as_py() or 0
+        return int(s) + nulls
+    if pa.types.is_floating(t):
+        v = col.drop_null().to_numpy(zero_copy_only=False)
+        return int(np.trunc(v[np.isfinite(v)]).sum()) + nulls
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t):
+        v = pc.fill_null(col, 1)
+        if pa.types.is_timestamp(t):
+            v = v.view(pa.int64())
+        return int(pc.sum(v.cast(pa.int64())).as_py() or 0)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        child_sum = _touch_column(pc.list_flatten(col))
+        return child_sum + nulls
+    return sum(_touch_value(v) for v in col.to_pylist())
+
+
+def cmd_bench_read(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    results = {}
+    for mode in ("columnar", "row-by-row"):
+        total = 0.0
+        counter = 0
+        for _ in range(args.iterations):
+            ds = rd.read_parquet(args.input)
+            t0 = time.perf_counter()
+            counter = 0
+            if mode == "columnar":
+                for batch in ds.iter_batches(batch_size=10_000, batch_format="pyarrow"):
+                    for col in batch.columns:
+                        counter += _touch_column(col)
+            else:
+                for row in ds.iter_rows():
+                    for v in row.values():
+                        counter += _touch_value(v)
+            total += time.perf_counter() - t0
+        results[mode] = {
+            "avg_ms": round(total / args.iterations * 1000, 2),
+            "counter": counter,
+        }
+    print(json.dumps({"iterations": args.iterations, **results}))
+    return 0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(prog="rayenc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="write a deterministic synthetic corpus")
+    g.add_argument("out")
+    g.add_argument("--rows", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    e = sub.add_parser("encode", help="resumable encode job (input parquet -> block table + manifest)")
+    e.add_argument("input")
+    e.add_argument("out")
+    e.add_argument("--block-rows", type=int, default=8000)
+    e.add_argument("--level", type=int, default=3)
+    e.add_argument("--hash-column", default="content")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="decode a block table back to parquet")
+    d.add_argument("blocks", help="encode job output root")
+    d.add_argument("out")
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("verify", help="verify sha256 chains of a block table")
+    v.add_argument("blocks", help="encode job output root")
+    v.add_argument("--hash-column", default="content")
+    v.set_defaults(fn=cmd_verify)
+
+    b = sub.add_parser("bench-read", help="row-by-row vs columnar read benchmark (parqbench parity)")
+    b.add_argument("input")
+    b.add_argument("--iterations", type=int, default=3)
+    b.set_defaults(fn=cmd_bench_read)
+
+    args = p.parse_args()
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,6 +155,102 @@ def q_filter_high_value_orders(sf_dir: str):
     return ds
 
 
+def q_events_windowed(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event_type over the events stream:
+    vectorized window assignment in map_batches + zero-shuffle partial
+    aggregation (the Ray Data batch-shape of a streaming window; ordering
+    assumption: none needed for tumbling count/sum)."""
+    from ..stages.agg import grouped_agg_lowcard
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_hour": hour.cast(pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    keyed = ds.map_batches(add_window, batch_format="pyarrow")
+    out = grouped_agg_lowcard(
+        keyed,
+        ["event_type", "window_hour"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
+    ).sort_values(["event_type", "window_hour"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "window_hour": pa.array(out["window_hour"].astype("int64")),
+            "n_events": pa.array(out["n_events"].astype("int64")),
+            "sum_value": pa.array(
+                out["sum_value"].astype("float64").round(2), type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_orders_by_region(sf_dir: str) -> pa.Table:
+    """Broadcast join: dimension chain customer->nation->region is tiny,
+    so it is collapsed to a custkey->region_name lookup shipped once via
+    ray.put and joined inside map_batches — no shuffle of the fact table
+    (the small-side join pattern; both-sides-large would bucket by key)."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    import ray as _ray
+
+    from ..stages.agg import grouped_agg_lowcard
+
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq_mod.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq_mod.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    lookup = dict(zip(dim["c_custkey"], dim["r_name"]))
+    ref = _ray.put(lookup)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def attach_region(b: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        names = [lk.get(k) for k in b["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "r_name": pa.array(names, type=pa.string()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        )
+
+    joined = ds.map_batches(attach_region, batch_format="pyarrow")
+    out = grouped_agg_lowcard(
+        joined,
+        ["r_name"],
+        {"n_orders": (None, "count"), "total_price": ("o_totalprice", "sum")},
+    ).sort_values("r_name")
+    return pa.table(
+        {
+            "r_name": pa.array(out["r_name"], type=pa.string()),
+            "n_orders": pa.array(out["n_orders"].astype("int64")),
+            "total_price": pa.array(
+                out["total_price"].astype("float64").round(2), type=pa.float64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -361,6 +457,8 @@ QUERIES = {
     "group_counts_lang_source": q_group_counts_lang_source,
     "distinct_langs": q_distinct_langs,
     "filter_high_value_orders": q_filter_high_value_orders,
+    "events_windowed": q_events_windowed,
+    "orders_by_region": q_orders_by_region,
     "doc_token_stats": q_doc_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
@@ -408,6 +506,21 @@ ORACLES = {
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "filter_high_value_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0"
+    ),
+    "events_windowed": (
+        "SELECT event_type, "
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_hour, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
+        "FROM events GROUP BY event_type, window_hour"
+    ),
+    "orders_by_region": (
+        "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
     ),
     "doc_token_stats": (
         "SELECT doc_id, "
