@@ -30,7 +30,7 @@ def flagship(
     blocks = encode_dataset(
         ds, block_rows=block_rows, hash_column="text", concurrency=concurrency
     ).materialize()  # blocks table is ~1000x smaller than source; safe to pin
-    v = verify_blocks(blocks)
+    v = verify_blocks(blocks, hash_column="text")
     if not v["ok"]:
         raise RuntimeError(f"verification failed: {v}")
     return decode_dataset(blocks, concurrency=concurrency)
