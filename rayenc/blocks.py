@@ -32,10 +32,14 @@ _MAGIC = b"RYB1"
 
 
 def _fill_value(t: pa.DataType):
+    if pa.types.is_fixed_size_binary(t):
+        return b"\x00" * t.byte_width
     if is_stringlike(t):
         return b"" if pa.types.is_binary(t) or pa.types.is_large_binary(t) else ""
     if is_floatlike(t):
         return 0.0
+    if pa.types.is_boolean(t):
+        return False
     return 0
 
 

@@ -26,10 +26,27 @@ class PlainCodec(Codec):
     name = "plain"
 
     def supports(self, t: pa.DataType) -> bool:
-        return is_stringlike(t) or is_intlike(t) or is_floatlike(t)
+        return (
+            is_stringlike(t)
+            or is_intlike(t)
+            or is_floatlike(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_fixed_size_binary(t)
+        )
 
     def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
         t = arr.type
+        if pa.types.is_boolean(t):
+            bits = np.packbits(
+                arr.to_numpy(zero_copy_only=False).astype(np.uint8), bitorder="little"
+            )
+            return {"kind": "bool"}, {"data": zstd_compress(bits, level)}
+        if pa.types.is_fixed_size_binary(t):
+            width = t.byte_width
+            data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+                arr.offset * width : (arr.offset + len(arr)) * width
+            ]
+            return {"kind": "fsb", "width": width}, {"data": zstd_compress(data, level)}
         if is_stringlike(t):
             data, lengths = string_array_parts(arr)
             lmeta, lbuf = encode_lengths(lengths, level)
@@ -45,6 +62,16 @@ class PlainCodec(Codec):
     def decode(
         self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
     ) -> pa.Array:
+        if params["kind"] == "bool":
+            packed = zstd_decompress(sections["data"], (n + 7) // 8)
+            bits = np.unpackbits(
+                np.frombuffer(packed, dtype=np.uint8), count=n, bitorder="little"
+            )
+            return pa.array(bits.astype(bool), type=pa.bool_())
+        if params["kind"] == "fsb":
+            width = params["width"]
+            raw = zstd_decompress(sections["data"], n * width)
+            return pa.Array.from_buffers(typ, n, [None, pa.py_buffer(raw)])
         if params["kind"] == "str":
             data = np.frombuffer(
                 zstd_decompress(sections["data"], params["nbytes"]), dtype=np.uint8

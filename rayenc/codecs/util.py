@@ -135,6 +135,8 @@ def type_from_str(s: str) -> pa.DataType:
     t = _SIMPLE_TYPES.get(s)
     if t is not None:
         return t
+    if s.startswith("fixed_size_binary["):
+        return pa.binary(int(s[len("fixed_size_binary[") : -1]))
     if s.startswith("timestamp["):
         inner = s[len("timestamp[") : -1]
         if "," in inner:

@@ -77,8 +77,13 @@ def column_stats(sample: pa.Array) -> dict:
         stats["max"] = int(codes.max())
         stats["sorted"] = bool(np.all(np.diff(codes.astype(np.int64)) >= 0))
     else:
-        fv = filled.to_numpy(zero_copy_only=True)
-        codes = fv.view(f"u{fv.dtype.itemsize}")
+        try:
+            fv = filled.to_numpy(zero_copy_only=False)
+            codes = fv.view(f"u{fv.dtype.itemsize}")
+        except Exception:  # bool / fixed_size_binary etc: skip run stats
+            stats["runs"] = n
+            stats["run_ratio"] = 1.0
+            return stats
     runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if n > 1 else n
     stats["runs"] = runs
     stats["run_ratio"] = runs / n
@@ -114,6 +119,7 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
             cands.append("dict")
         if rr < 0.6:
             cands.append("rle")
+    # bool / fixed_size_binary fall through with ["plain"] only
     return cands
 
 

@@ -170,3 +170,22 @@ def test_block_header_readable():
     blob = encode_column(pa.array(["x", "x", "y"]), "dict")
     hdr = block_codec(blob)
     assert hdr["codec"] == "dict" and hdr["n"] == 3
+
+
+def test_bool_roundtrip():
+    arr = pa.array([True, False, None, True, True], type=pa.bool_())
+    out = decode_column(encode_column(arr, "plain"))
+    assert out.equals(arr)
+
+
+def test_fixed_size_binary_roundtrip():
+    arr = pa.array(
+        [b"abcd", None, b"\x00\x01\x02\x03", b"zzzz"], type=pa.binary(4)
+    )
+    out = decode_column(encode_column(arr, "plain"))
+    assert out.equals(arr)
+
+
+def test_list_of_bool_roundtrip():
+    arr = pa.array([[True, None], None, []], type=pa.list_(pa.bool_()))
+    assert decode_column(encode_column(arr, "plain")).equals(arr)
