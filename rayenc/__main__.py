@@ -51,11 +51,19 @@ def cmd_encode(args: argparse.Namespace) -> int:
     summary = run_encode_job(
         args.input,
         args.out,
+        columns=args.columns.split(",") if args.columns else None,
         block_rows=args.block_rows,
         level=args.level,
         hash_column=args.hash_column or None,
     )
     print(json.dumps(summary))
+    return 0
+
+
+def cmd_manifest(args: argparse.Namespace) -> int:
+    from rayenc.manifest import Manifest
+
+    print(json.dumps(Manifest(args.out).summary()))
     return 0
 
 
@@ -179,7 +187,12 @@ def main() -> int:
     e.add_argument("--block-rows", type=int, default=8000)
     e.add_argument("--level", type=int, default=3)
     e.add_argument("--hash-column", default="content")
+    e.add_argument("--columns", default=None, help="comma-separated column pruning")
     e.set_defaults(fn=cmd_encode)
+
+    m = sub.add_parser("manifest", help="print the manifest summary of an encode job")
+    m.add_argument("out", help="encode job output root")
+    m.set_defaults(fn=cmd_manifest)
 
     d = sub.add_parser("decode", help="decode a block table back to parquet")
     d.add_argument("blocks", help="encode job output root")

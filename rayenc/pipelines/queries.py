@@ -251,6 +251,34 @@ def q_orders_by_region(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_props_stats(sf_dir: str) -> pa.Table:
+    """Scalar-function breadth: extract props.k (JSON) with a vectorized
+    Arrow regex kernel, aggregate per event_type — zero shuffle."""
+    from ..stages.agg import grouped_agg_lowcard
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    keyed = ds.map_batches(extract, batch_format="pyarrow")
+    out = grouped_agg_lowcard(
+        keyed,
+        ["event_type"],
+        {"n_events": (None, "count"), "sum_k": ("k", "sum"), "max_k": ("k", "max")},
+    ).sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_events": pa.array(out["n_events"].astype("int64")),
+            "sum_k": pa.array(out["sum_k"].astype("int64")),
+            "max_k": pa.array(out["max_k"].astype("int64")),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -458,6 +486,7 @@ QUERIES = {
     "distinct_langs": q_distinct_langs,
     "filter_high_value_orders": q_filter_high_value_orders,
     "events_windowed": q_events_windowed,
+    "events_props_stats": q_events_props_stats,
     "orders_by_region": q_orders_by_region,
     "doc_token_stats": q_doc_token_stats,
     "quality_scores": q_quality_scores,
@@ -513,6 +542,12 @@ ORACLES = {
         "CAST(COUNT(*) AS BIGINT) AS n_events, "
         "ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
         "FROM events GROUP BY event_type, window_hour"
+    ),
+    "events_props_stats": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k "
+        "FROM events GROUP BY event_type"
     ),
     "orders_by_region": (
         "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
