@@ -26,7 +26,7 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/rayenc_bench"
-CORPUS_ROWS = int(os.environ.get("RAYENC_BENCH_ROWS", "300000"))
+CORPUS_ROWS = int(os.environ.get("RAYENC_BENCH_ROWS", "1200000"))
 
 
 N_SHARDS = 32
