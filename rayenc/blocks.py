@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .codecs import get_codec
-from .codecs.base import is_floatlike, is_intlike, is_stringlike
+from .codecs.base import is_floatlike, is_stringlike
 from .codecs.util import type_from_str, type_to_str
 
 _MAGIC = b"RYB1"

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .blocks import block_codec, encode_column
+from .blocks import encode_column
 from .rowhash import chain_hash
 from .selector import encode_column_auto
 

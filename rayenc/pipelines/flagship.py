@@ -10,8 +10,6 @@ streaming form.
 
 from __future__ import annotations
 
-import pyarrow as pa
-
 import ray.data as rd
 
 from ..decode import decode_dataset

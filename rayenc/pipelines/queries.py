@@ -14,8 +14,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
-
 from ..encode import encode_dataset, lineage_table
 from ..stages import ann, dedup, multimodal, text
 from .flagship import roundtrip_table

@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .blocks import encode_column, prepare_array
-from .codecs import get_codec
 from .codecs.base import int_view, is_floatlike, is_intlike, is_stringlike
 
 SAMPLE_ROWS = 4096

@@ -18,8 +18,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .dedup import embedding_matrix
-
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
