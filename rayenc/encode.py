@@ -189,6 +189,19 @@ def encode_dataset(
     )
 
 
+def write_blocks(blocks: "ray.data.Dataset", out_dir: str) -> None:
+    """Sink a block Dataset to parquet WITHOUT recompression (blocks are
+    already codec-compressed; paying zstd twice would only burn CPU —
+    the reference's stats-off-for-binary precedent,
+    /root/reference/src/bin/js2pq/main.rs:110-111)."""
+    blocks.write_parquet(out_dir, compression="none")
+
+
+def read_blocks(path: str) -> "ray.data.Dataset":
+    """Open a block table written by write_blocks / the encode job."""
+    return ray.data.read_parquet(path)
+
+
 def lineage_table(blocks_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-(block, column) codec-choice lineage rows from a block Dataset."""
 

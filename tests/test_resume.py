@@ -89,3 +89,49 @@ def test_job_output_verifies(ray_session, corpus_parquet, tmp_path):
     blocks = rd.read_parquet(f"{out}/blocks")
     v = verify_blocks(blocks)
     assert v["ok"] and v["rows"] == 3000
+
+
+def test_huge_content_rows_capped(ray_session, tmp_path):
+    """A giant content value must not blow up block sizing: with a small
+    max_block_bytes the partition splits into many small blocks (north
+    rule: huge blobs cannot stall one actor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    big = pa.table(
+        {
+            "repo": pa.array(["r"] * 40),
+            "path": pa.array([f"p{i}" for i in range(40)]),
+            "commit": pa.array(["c" * 40] * 40),
+            "lang": pa.array(["python"] * 40),
+            "content": pa.array(["x" * 200_000] * 40),  # 8 MB total
+        }
+    )
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(big, src, row_group_size=40)
+    out = str(tmp_path / "job")
+    s = run_encode_job(
+        src, out, block_rows=1000, max_block_bytes=1 << 20, concurrency=1
+    )
+    entry = Manifest(out).entries()[0]
+    assert entry["blocks"] >= 8  # 8 MB / 1 MB cap
+    import ray.data as rd
+
+    assert verify_blocks(rd.read_parquet(f"{out}/blocks"))["ok"]
+
+
+def test_write_read_blocks_roundtrip(ray_session, corpus_parquet, tmp_path):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from rayenc.encode import encode_dataset, read_blocks, write_blocks
+
+    blocks = encode_dataset(
+        rd.read_parquet(corpus_parquet), block_rows=1000, concurrency=2
+    )
+    out = str(tmp_path / "blocks_out")
+    write_blocks(blocks, out)
+    back = read_blocks(out)
+    v = verify_blocks(back)
+    assert v["ok"] and v["rows"] == pq.ParquetFile(corpus_parquet).metadata.num_rows
