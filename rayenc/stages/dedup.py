@@ -339,21 +339,26 @@ class SimHasher:
         self._word_hash: dict[str, int] = {}
 
     def simhash(self, text: str | None) -> np.uint64:
+        """64-bit SimHash over word BIGRAMS — unigram features are too
+        coarse for template-heavy corpora (every doc drawn from one
+        vocabulary hashes within a few bits of every other, making the
+        pair set quadratic; measured 3M pairs over 5k synthetic docs)."""
         if not text:
             return np.uint64(0)
         words = self.token_re.findall(text.lower())
         if not words:
             return np.uint64(0)
         cache = self._word_hash
-        uniq = set(words)
+        uniq = set(zip(words, words[1:])) if len(words) > 1 else set(words)
         hs = np.empty(len(uniq), dtype=np.uint64)
         for i, w in enumerate(uniq):
-            h = cache.get(w)
+            key = w if isinstance(w, str) else "\x1f".join(w)
+            h = cache.get(key)
             if h is None:
                 h = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                    hashlib.blake2b(key.encode(), digest_size=8).digest(), "little"
                 )
-                cache[w] = h
+                cache[key] = h
             hs[i] = h
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
         votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
