@@ -195,13 +195,21 @@ def run_encode_job(
     max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
     hash_column: str | None = "content",
-    concurrency: int | tuple[int, int] = (1, 16),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
     Rerun-safe: partitions already in the manifest are skipped before any
     data is read (kill-and-rerun covered by tests/test_resume.py).
     """
+    if concurrency is None:
+        # unlike the streaming path, the partition actor reads its own
+        # input (no separate read stage to starve): use nearly all CPUs
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        concurrency = (1, max(2, ncpu - 2))
     manifest = Manifest(out_root)
     parts = plan_partitions(input_paths, max_partition_bytes)
     committed = manifest.committed_ids()
