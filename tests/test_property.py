@@ -1,0 +1,82 @@
+"""Property-based round-trip tests (hypothesis) — beyond the reference's
+hand-built goldens (/root/reference/src/vec_pq_reader.rs:563-683): any
+generated array, any codec that supports its type, must round-trip
+bit-identically through the block container. No Ray involved."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from rayenc.blocks import decode_column, encode_column
+from rayenc.codecs import codecs_for_type
+from rayenc.selector import encode_column_auto
+
+TEXT = st.one_of(
+    st.none(),
+    st.text(max_size=200),
+    st.text(alphabet="ab", max_size=8),  # runs and tiny domain
+)
+
+INTS = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.integers(min_value=0, max_value=255),
+)
+
+FLOATS = st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+)
+
+
+def roundtrip_all(arr: pa.Array):
+    for codec in codecs_for_type(arr.type):
+        if codec.name == "bitpack" and arr.null_count < len(arr):
+            vals = [v for v in arr.to_pylist() if v is not None]
+            if vals and min(vals) < 0:
+                continue  # bitpack requires non-negative (selector enforces)
+        out = decode_column(encode_column(arr, codec.name))
+        assert len(out) == len(arr), codec.name
+        for got, want in zip(out.to_pylist(), arr.to_pylist()):
+            if isinstance(want, float) and isinstance(got, float) and np.isnan(want):
+                assert np.isnan(got), codec.name
+            else:
+                assert got == want, (codec.name, got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXT, max_size=60))
+def test_string_roundtrip_property(values):
+    roundtrip_all(pa.array(values, type=pa.string()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(INTS, max_size=60))
+def test_int_roundtrip_property(values):
+    roundtrip_all(pa.array(values, type=pa.int64()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(FLOATS, max_size=60))
+def test_float_roundtrip_property(values):
+    roundtrip_all(pa.array(values, type=pa.float64()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.lists(INTS, max_size=8)), max_size=30))
+def test_list_int_roundtrip_property(values):
+    arr = pa.array(values, type=pa.list_(pa.int64()))
+    out = decode_column(encode_column(arr, "plain"))
+    assert out.equals(arr)
+    out2 = decode_column(encode_column(arr, "foref"))
+    assert out2.equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, max_size=60))
+def test_auto_selection_roundtrip_property(values):
+    arr = pa.array(values, type=pa.string())
+    blob, _ = encode_column_auto(arr)
+    assert decode_column(blob).equals(arr)
