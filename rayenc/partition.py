@@ -31,19 +31,39 @@ import ray.data
 
 
 def repo_row_counts(ds: "ray.data.Dataset", key: str = "repo") -> pd.DataFrame:
-    """Rows per repo via per-batch partial counts (no shuffle)."""
+    """Rows per repo via per-batch partial counts (no shuffle). Driver
+    memory is O(total repos) — fine up to millions of repos; for larger
+    key spaces use giant_repo_counts (shuffle, tiny result)."""
     from .stages.agg import grouped_agg_lowcard
 
     return grouped_agg_lowcard(ds, [key], {"rows": (None, "count")})
 
 
+def giant_repo_counts(
+    ds: "ray.data.Dataset", key: str = "repo", target_rows: int = 100_000
+) -> pd.DataFrame:
+    """Rows per repo, returning ONLY repos above target_rows — the scale
+    path: one single-column groupby shuffle, and the driver/broadcast
+    side holds just the skewed tail (giant repos are few by definition),
+    never the full repo universe."""
+    counts = ds.select_columns([key]).groupby(key).count()
+    big = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], target_rows)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return big.rename(columns={"count()": "rows"})
+
+
 def build_salt_map(
     counts: pd.DataFrame, key: str = "repo", target_rows: int = 100_000
 ) -> dict[str, int]:
-    """repo -> number of salted sub-partitions (1 for normal repos)."""
+    """repo -> number of salted sub-partitions, ONLY for repos that need
+    splitting (>1 salt); absent repos default to a single partition."""
     out: dict[str, int] = {}
     for _, row in counts.iterrows():
-        out[row[key]] = max(1, -(-int(row["rows"]) // target_rows))
+        n = max(1, -(-int(row["rows"]) // target_rows))
+        if n > 1:
+            out[row[key]] = n
     return out
 
 
@@ -59,28 +79,42 @@ def salted_partition(
     salt_col: str = "path",
     sort_within: tuple[str, ...] = ("path", "commit"),
     target_rows: int = 100_000,
+    use_shuffle_counts: bool = False,
 ) -> "ray.data.Dataset":
     """Assign each row a partition key `repo#salt`, shuffle so each
     partition is contiguous, and sort rows within each partition —
-    the compression-locality layout the encode stage consumes."""
-    counts = repo_row_counts(ds, key)
+    the compression-locality layout the encode stage consumes.
+
+    The broadcast salt map holds only GIANT repos; the per-batch
+    assignment is vectorized per giant repo (the giant set is small),
+    with zero per-row Python for the common case."""
+    if use_shuffle_counts:
+        counts = giant_repo_counts(ds, key, target_rows)
+    else:
+        counts = repo_row_counts(ds, key)
     salt_map = build_salt_map(counts, key, target_rows)
     ref = ray.put(salt_map)
 
     def assign(batch: pa.Table) -> pa.Table:
         smap = ray.get(ref)
-        keys = batch[key].to_pylist()
-        salts = np.zeros(len(keys), dtype=np.uint64)
-        n_salts = np.fromiter(
-            (smap.get(k, 1) for k in keys), dtype=np.uint64, count=len(keys)
-        )
-        multi = n_salts > 1
-        if multi.any():
-            h = _stable_hash(batch[salt_col].to_pylist())
-            salts = np.where(multi, h % n_salts, 0)
-        pkey = pa.array(
-            [f"{k}#{s:03d}" for k, s in zip(keys, salts)], type=pa.string()
-        )
+        n = batch.num_rows
+        salts = np.zeros(n, dtype=np.uint64)
+        if smap:
+            keys_arr = batch[key]
+            h = None
+            for giant, n_salts in smap.items():  # few giants; vectorized each
+                mask = pc.equal(keys_arr, giant).to_numpy(zero_copy_only=False)
+                if mask.any():
+                    if h is None:
+                        h = _stable_hash(batch[salt_col].to_pylist())
+                    salts[mask] = h[mask] % np.uint64(n_salts)
+        if salts.any():
+            salt_str = pa.array(
+                np.char.mod("#%03d", salts).tolist(), type=pa.string()
+            )
+        else:
+            salt_str = pa.array(["#000"] * n, type=pa.string())
+        pkey = pc.binary_join_element_wise(batch[key], salt_str, "")
         return batch.append_column("_pkey", pkey)
 
     keyed = ds.map_batches(assign, batch_format="pyarrow")

@@ -29,7 +29,7 @@ def test_salt_map_splits_giants(ray_session, shuffled_corpus):
     assert giant["rows"] > 500  # the F1 corpus has a giant repo
     assert smap[giant["repo"]] >= 2  # giant is salted
     small = counts.sort_values("rows").iloc[0]
-    assert smap[small["repo"]] == 1
+    assert small["repo"] not in smap  # normal repos default to 1 (absent)
 
 
 def test_salted_partition_lossless_and_local(ray_session, shuffled_corpus):
