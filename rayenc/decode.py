@@ -50,7 +50,10 @@ class BlockDecoder:
         ids = batch["block_id"].to_pylist()
         seqs = batch["block_seq"].to_pylist() if "block_seq" in batch.column_names else [0] * len(ids)
         for i in range(batch.num_rows):
-            blobs = [batch[f"col_{name}"][i].as_py() for name in names]
+            # as_buffer(): zero-copy view of the (multi-MB) block blob
+            blobs = [
+                memoryview(batch[f"col_{name}"][i].as_buffer()) for name in names
+            ]
             tables.append(self.decode_block_row(names, blobs, ids[i], seqs[i]))
         return pa.concat_tables(tables)
 

@@ -37,7 +37,7 @@ def verify_blocks(blocks: "ray.data.Dataset", hash_column: str = "content") -> d
         ok = []
         rows = []
         for i in range(batch.num_rows):
-            blob = batch[f"col_{hash_column}"][i].as_py()
+            blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
             arr = dec.decode_block_row([hash_column], [blob], "", 0)[hash_column]
             ok.append(chain_hash(arr) == batch["content_sha256"][i].as_py())
             rows.append(len(arr))
