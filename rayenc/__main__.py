@@ -67,6 +67,19 @@ def cmd_manifest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_layout(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from rayenc.partition import salted_partition
+
+    ds = rd.read_parquet(args.input)
+    out = salted_partition(ds, target_rows=args.target_rows, use_shuffle_counts=True)
+    out.write_parquet(args.out)
+    print(json.dumps({"layout_to": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_decode(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -193,6 +206,15 @@ def main() -> int:
     m = sub.add_parser("manifest", help="print the manifest summary of an encode job")
     m.add_argument("out", help="encode job output root")
     m.set_defaults(fn=cmd_manifest)
+
+    lay = sub.add_parser(
+        "layout",
+        help="rewrite a corpus with the salted-repo locality layout (opt-in shuffle before encode)",
+    )
+    lay.add_argument("input")
+    lay.add_argument("out")
+    lay.add_argument("--target-rows", type=int, default=100_000)
+    lay.set_defaults(fn=cmd_layout)
 
     d = sub.add_parser("decode", help="decode a block table back to parquet")
     d.add_argument("blocks", help="encode job output root")
