@@ -69,6 +69,18 @@ def decode_dataset(
         from .encode import default_pool_size
 
         concurrency = (1, default_pool_size())
+    if columns:
+        # block-level projection pushdown: only the requested columns'
+        # blobs leave the block table (the prune-at-the-read rule applied
+        # to our own format; a reader that ships every blob for a
+        # 2-column decode would be wrong)
+        keep = ["block_id"] + [
+            c
+            for c in ("partition_id", "block_seq", "n_rows")
+            if c in blocks.schema().names
+        ]
+        keep += [f"col_{c}" for c in columns]
+        blocks = blocks.select_columns([c for c in keep if c in blocks.schema().names])
     return blocks.map_batches(
         BlockDecoder,
         fn_constructor_kwargs={"columns": columns, "with_provenance": with_provenance},

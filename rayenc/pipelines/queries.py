@@ -48,6 +48,17 @@ def q_roundtrip_lineitem(sf_dir: str):
     return roundtrip_table(sf_dir, "lineitem", LINEITEM_COLS, hash_column=None)
 
 
+def q_roundtrip_documents_projected(sf_dir: str):
+    """Block-level projection pushdown: decode ONLY (doc_id, lang) blobs
+    out of the full encoded block table."""
+    from ..decode import decode_dataset
+    from ..encode import encode_dataset
+
+    ds = _docs(sf_dir, DOC_COLS)
+    blocks = encode_dataset(ds, block_rows=2000, hash_column="text")
+    return decode_dataset(blocks, columns=["doc_id", "lang"])
+
+
 def q_roundtrip_embeddings(sf_dir: str):
     """Nested-list round-trip: embedding is list<float> (the reference's
     List payload model, /root/reference/src/schema.rs:13-34)."""
@@ -477,6 +488,7 @@ QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_embeddings": q_roundtrip_embeddings,
+    "roundtrip_documents_projected": q_roundtrip_documents_projected,
     "selector_stats_by_lang": q_selector_stats_by_lang,
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
@@ -509,6 +521,7 @@ ORACLES = {
         "l_returnflag, l_linestatus, l_shipdate FROM lineitem"
     ),
     "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+    "roundtrip_documents_projected": "SELECT doc_id, lang FROM documents",
     "selector_stats_by_lang": (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
