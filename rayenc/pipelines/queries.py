@@ -309,6 +309,73 @@ def q_doc_fingerprints(sf_dir: str):
     return text.fingerprint_dataset(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic ~10% stratified sample: Knuth multiplicative hash of
+    doc_id (no RNG -> reproducible across engines and oracle-checkable;
+    the scale pattern behind 'Stratified Random Sampling over Streaming
+    and Stored Data', see PAPERS.md). Pure map_batches filter."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return b.filter(pa.array(h < np.uint64(429496729)))
+
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return t
+
+
+def q_topk_docs_per_lang(sf_dir: str) -> pa.Table:
+    """Group-wise top-k (window ranking): 3 longest docs per lang."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    out = ds.groupby("lang").map_groups(top3, batch_format="pandas").to_pandas()
+    out = out.sort_values(["lang", "rank"])
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "rank": pa.array(out["rank"].astype("int64")),
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "n_chars": pa.array(out["n_chars"].astype("int64")),
+        }
+    )
+
+
+_CODE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^ \t\n\rA-Za-z0-9_]"
+
+
+def q_code_token_stats(sf_dir: str) -> pa.Table:
+    """Code-aware tokenization (identifiers | numbers | single symbols —
+    the BPE-ish pre-tokenizer shape), all Arrow regex kernels; the regex
+    is RE2-and-Python compatible so the oracle matches exactly."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        total = pc.count_substring_regex(b["text"], _CODE_TOKEN_RE).cast(pa.int64())
+        idents = pc.count_substring_regex(
+            b["text"], r"[A-Za-z_][A-Za-z0-9_]*"
+        ).cast(pa.int64())
+        numbers = pc.count_substring_regex(b["text"], r"[0-9]+").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_code_tokens": total,
+                "n_idents": idents,
+                "n_numbers": numbers,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -499,6 +566,9 @@ QUERIES = {
     "events_props_stats": q_events_props_stats,
     "orders_by_region": q_orders_by_region,
     "doc_token_stats": q_doc_token_stats,
+    "code_token_stats": q_code_token_stats,
+    "stratified_sample": q_stratified_sample,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
     "doc_fingerprints": q_doc_fingerprints,
@@ -577,6 +647,23 @@ ORACLES = {
     ),
     "dedup_exact": (
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+    ),
+    "code_token_stats": (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^ \t\n\rA-Za-z0-9_]')) AS BIGINT) AS n_code_tokens, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*')) AS BIGINT) AS n_idents, "
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers "
+        "FROM documents"
+    ),
+    "stratified_sample": (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
+    ),
+    "topk_docs_per_lang": (
+        "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM ("
+        "SELECT lang, doc_id, n_chars, "
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank "
+        "FROM documents) WHERE rank <= 3"
     ),
     "knn_brute": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), "
