@@ -225,6 +225,11 @@ def minhash_candidate_pairs(
     Jaccard >= threshold. texts never shuffle; signatures do."""
     import pandas as pd
 
+    if n_perm % n_bands != 0 or n_perm // n_bands < 1:
+        raise ValueError(
+            f"n_perm ({n_perm}) must be a positive multiple of n_bands ({n_bands})"
+        )
+
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
