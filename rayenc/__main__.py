@@ -67,6 +67,22 @@ def cmd_manifest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_js2pq(args: argparse.Namespace) -> int:
+    _init_ray()
+    import pyarrow as pa
+
+    from rayenc.histograms import read_histograms, write_policy_parquet
+
+    ds = read_histograms(args.inputs, hexify=args.hexify_tag_columns)
+    table = pa.concat_tables(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    write_policy_parquet(table, args.out)
+    print(json.dumps({"written": args.out, "rows": table.num_rows}))
+    return 0
+
+
 def cmd_layout(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -215,6 +231,15 @@ def main() -> int:
     lay.add_argument("out")
     lay.add_argument("--target-rows", type=int, default=100_000)
     lay.set_defaults(fn=cmd_layout)
+
+    js = sub.add_parser(
+        "js2pq",
+        help="reference-parity: histogram JSON[.gz] files -> pivoted parquet with per-column policy",
+    )
+    js.add_argument("inputs", nargs="+")
+    js.add_argument("out")
+    js.add_argument("--hexify-tag-columns", action="store_true")
+    js.set_defaults(fn=cmd_js2pq)
 
     d = sub.add_parser("decode", help="decode a block table back to parquet")
     d.add_argument("blocks", help="encode job output root")

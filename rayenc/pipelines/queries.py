@@ -527,6 +527,48 @@ def q_compression_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def q_histogram_ingest(sf_dir: str) -> pa.Table:
+    """js2pq-parity pipeline over deterministic synthetic histogram JSON
+    (no histogram table exists in testdata; inputs are generated
+    deterministically, so the rows-only check is stable): gzip-JSON ->
+    tag-schema inference -> pivot -> per-metric summary."""
+    import os
+
+    from ..histograms import gen_histograms, read_histograms, write_histogram_json
+
+    d = "/tmp/rayenc_hist_fixture"
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for i, gz in enumerate([False, True, False]):
+        p = os.path.join(d, f"m{i}.json" + (".gz" if gz else ""))
+        if not os.path.exists(p):
+            write_histogram_json(p, gen_histograms(n_series=30, seed=100 + i, metric=f"metric_{i}"))
+        paths.append(p)
+    ds = read_histograms(paths)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        pts = pc.list_value_length(b["ts"]).cast(pa.int64())
+        return pa.table({"metric": b["metric"], "points": pts})
+
+    import pandas as pd
+
+    df = (
+        ds.map_batches(summarize, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("metric")
+        .agg(n_series=("points", "count"), total_points=("points", "sum"))
+        .reset_index()
+        .sort_values("metric")
+    )
+    return pa.table(
+        {
+            "metric": pa.array(df["metric"], type=pa.string()),
+            "n_series": pa.array(df["n_series"].astype("int64")),
+            "total_points": pa.array(df["total_points"].astype("int64")),
+        }
+    )
+
+
 def q_multimodal_features(sf_dir: str) -> pa.Table:
     """Plumbing check for the stubbed multimodal decode stage (no media
     libs in container; FakeDecoder is deterministic)."""
@@ -582,6 +624,7 @@ QUERIES = {
     "codec_selection_documents": q_codec_selection_documents,
     "compression_documents": q_compression_documents,
     "multimodal_features": q_multimodal_features,
+    "histogram_ingest": q_histogram_ingest,
 }
 
 ORACLES = {
