@@ -43,6 +43,13 @@ DEFAULT_MAX_PARTITION_BYTES = 256 << 20
 DEFAULT_MAX_BLOCK_BYTES = 64 << 20
 
 
+def _width_or(t, default: int) -> int:
+    try:
+        return max(t.byte_width, 1)
+    except (ValueError, AttributeError):
+        return default
+
+
 def plan_partitions(
     input_paths: list[str] | str,
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
@@ -105,13 +112,40 @@ class PartitionEncoder:
 
     def _iter_blocks(self, table: pa.Table):
         """Split a row-group table into encode blocks bounded by rows AND
-        bytes (huge content values -> small row counts)."""
+        bytes — byte-accurate per row, so one megabyte blob among small
+        rows still closes its block at the cap instead of hiding behind
+        an average (the reference's one-batch-per-file simplification,
+        /root/reference/src/bin/js2pq/main.rs:119, is exactly the failure
+        mode this avoids)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
         n = table.num_rows
+        if n == 0:
+            return
+        row_bytes = np.zeros(n, dtype=np.int64)
+        for name in table.column_names:
+            col = table[name]
+            t = col.type
+            if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                lens = pc.fill_null(
+                    pc.binary_length(col.cast(pa.large_binary())), 0
+                ).to_numpy(zero_copy_only=False)
+                row_bytes += lens.astype(np.int64)
+            elif pa.types.is_list(t) or pa.types.is_large_list(t):
+                lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+                    zero_copy_only=False
+                )
+                row_bytes += lens.astype(np.int64) * _width_or(t.value_type, 8)
+            else:
+                row_bytes += _width_or(t, 8)
+        cum = np.cumsum(row_bytes)
         pos = 0
-        avg_row = max(table.nbytes // max(n, 1), 1)
-        bytes_cap = max(1, self.max_block_bytes // avg_row)
-        step = max(1, min(self.block_rows, bytes_cap))
         while pos < n:
+            base = cum[pos - 1] if pos else 0
+            # furthest row index keeping the block under the byte cap
+            hi = int(np.searchsorted(cum, base + self.max_block_bytes, side="right"))
+            step = max(1, min(self.block_rows, hi - pos))
             yield table.slice(pos, step)
             pos += step
 
