@@ -27,9 +27,15 @@ class BlockDecoder:
     def __init__(self, columns: list[str] | None = None, with_provenance: bool = False):
         self.columns = columns
         self.with_provenance = with_provenance
+        self._cur_partition_seq = 0
 
     def decode_block_row(
-        self, names: list[str], blobs: list, block_id: str, block_seq: int
+        self,
+        names: list[str],
+        blobs: list,
+        block_id: str,
+        block_seq: int,
+        partition_id: str = "",
     ) -> pa.Table:
         cols: dict[str, pa.Array] = {}
         n = None
@@ -39,7 +45,12 @@ class BlockDecoder:
             n = len(arr)
         if self.with_provenance:
             cols["_block_id"] = pa.array([block_id] * (n or 0))
+            cols["_partition_id"] = pa.array([partition_id] * (n or 0))
+            cols["_partition_seq"] = pa.array(
+                [self._cur_partition_seq] * (n or 0), type=pa.int64()
+            )
             cols["_block_seq"] = pa.array([block_seq] * (n or 0), type=pa.int64())
+            cols["_row_in_block"] = pa.array(range(n or 0), type=pa.int64())
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -49,12 +60,25 @@ class BlockDecoder:
         tables = []
         ids = batch["block_id"].to_pylist()
         seqs = batch["block_seq"].to_pylist() if "block_seq" in batch.column_names else [0] * len(ids)
+        pids = (
+            batch["partition_id"].to_pylist()
+            if "partition_id" in batch.column_names
+            else [""] * len(ids)
+        )
+        pseqs = (
+            batch["partition_seq"].to_pylist()
+            if "partition_seq" in batch.column_names
+            else [0] * len(ids)
+        )
         for i in range(batch.num_rows):
             # as_buffer(): zero-copy view of the (multi-MB) block blob
             blobs = [
                 memoryview(batch[f"col_{name}"][i].as_buffer()) for name in names
             ]
-            tables.append(self.decode_block_row(names, blobs, ids[i], seqs[i]))
+            self._cur_partition_seq = pseqs[i]
+            tables.append(
+                self.decode_block_row(names, blobs, ids[i], seqs[i], pids[i])
+            )
         return pa.concat_tables(tables)
 
 
@@ -76,7 +100,7 @@ def decode_dataset(
         # 2-column decode would be wrong)
         keep = ["block_id"] + [
             c
-            for c in ("partition_id", "block_seq", "n_rows")
+            for c in ("partition_id", "partition_seq", "block_seq", "n_rows")
             if c in blocks.schema().names
         ]
         keep += [f"col_{c}" for c in columns]
@@ -88,4 +112,31 @@ def decode_dataset(
         batch_size=4,  # a few blocks per call; each expands to thousands of rows
         zero_copy_batch=True,
         concurrency=concurrency,
+    )
+
+
+def decode_ordered(
+    blocks: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Decode with GLOBAL source order reconstructed: every row carries
+    (_partition_id, _block_seq, _row_in_block) — a total order over the
+    original rows (SURVEY.md §2.5 ordering note) — and the result is
+    sorted by it (one shuffle; use plain decode_dataset when order is
+    irrelevant). Provenance columns are dropped from the output."""
+    dec = decode_dataset(
+        blocks, columns=columns, with_provenance=True, concurrency=concurrency
+    )
+    ordered = dec.sort(["_partition_seq", "_block_seq", "_row_in_block"])
+    drop = [
+        "_block_id",
+        "_partition_id",
+        "_partition_seq",
+        "_block_seq",
+        "_row_in_block",
+    ]
+    return ordered.map_batches(
+        lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+        batch_format="pyarrow",
     )

@@ -86,7 +86,13 @@ class BlockEncoder:
         self._cached: dict[str, str] = {}
         self._since_trial: dict[str, int] = {}
 
-    def encode_table(self, batch: pa.Table, block_seq: int = 0, partition_id: str = "") -> pa.Table:
+    def encode_table(
+        self,
+        batch: pa.Table,
+        block_seq: int = 0,
+        partition_id: str = "",
+        partition_seq: int = 0,
+    ) -> pa.Table:
         cols = self.columns or batch.column_names
         n = batch.num_rows
         out: dict[str, Any] = {}
@@ -139,6 +145,7 @@ class BlockEncoder:
         meta = {
             "block_id": pa.array([block_id]),
             "partition_id": pa.array([partition_id]),
+            "partition_seq": pa.array([partition_seq], type=pa.int64()),
             "block_seq": pa.array([block_seq], type=pa.int64()),
             "n_rows": pa.array([n], type=pa.int64()),
             "source_bytes": pa.array([src_bytes], type=pa.int64()),

@@ -77,6 +77,7 @@ def plan_partitions(
                 parts.append(
                     {
                         "partition_id": pid,
+                        "partition_seq": len(parts),  # plan-order ordinal
                         "path": path,
                         "rg_start": start,
                         "rg_end": rg,  # inclusive
@@ -166,7 +167,12 @@ class PartitionEncoder:
             rg_table = pf.read_row_group(rg, columns=self.columns)
             for block in self._iter_blocks(rg_table):
                 out_tables.append(
-                    self.core.encode_table(block, block_seq=seq, partition_id=pid)
+                    self.core.encode_table(
+                        block,
+                        block_seq=seq,
+                        partition_id=pid,
+                        partition_seq=int(part.get("partition_seq", 0)),
+                    )
                 )
                 rows += block.num_rows
                 seq += 1

@@ -96,3 +96,26 @@ def test_edge_table_through_pipeline(ray_session):
     got = out.select(table.column_names)
     assert chain_hash(got["content"]) == chain_hash(table["content"])
     assert tables_bit_identical(got, table)
+
+
+def test_decode_ordered_reconstructs_source_order(ray_session, tmp_path, corpus_parquet):
+    """Global order: encode via the job (partition ids + block seqs),
+    decode_ordered must reproduce the source rows in original order."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayenc import run_encode_job
+    from rayenc.decode import decode_ordered
+    from rayenc.rowhash import chain_hash
+
+    out = str(tmp_path / "job")
+    run_encode_job(
+        corpus_parquet, out, block_rows=700, max_partition_bytes=1 << 20, concurrency=2
+    )
+    blocks = rd.read_parquet(f"{out}/blocks")
+    dec = decode_ordered(blocks)
+    t = pa.concat_tables(dec.iter_batches(batch_size=None, batch_format="pyarrow"))
+    src = pq.read_table(corpus_parquet)
+    # ORDER-SENSITIVE equality via per-row hash chains
+    assert chain_hash(t["content"]) == chain_hash(src["content"])
+    assert tables_bit_identical(t.select(src.column_names), src)
