@@ -50,18 +50,25 @@ class FsstCodec(Codec):
     def supports(self, t: pa.DataType) -> bool:
         return is_stringlike(t)
 
-    def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
-        data, lengths = string_array_parts(arr)
-        n = len(lengths)
-        total = int(data.size)
-        # interleave a sentinel after every string (incl. the last)
-        codes = np.full(total + n, _SENT, dtype=np.int32)
-        if total:
-            idx = np.arange(total, dtype=np.int64) + np.repeat(
-                np.arange(n, dtype=np.int64), lengths
-            )
-            codes[idx] = data
-        min_count = max(8, int(total * self.min_count_frac))
+    TRAIN_BYTES = 64 << 10
+    COMPACT_EVERY = 16
+
+    @staticmethod
+    def _dedup_overlaps(idxs: np.ndarray, lc: int, rc: int) -> np.ndarray:
+        """Keep alternate matches within overlapping runs like 'aaaa'."""
+        if lc != rc or len(idxs) == 0:
+            return idxs
+        new_run = np.empty(len(idxs), dtype=bool)
+        new_run[0] = True
+        np.greater(np.diff(idxs), 1, out=new_run[1:])
+        run_id = np.cumsum(new_run) - 1
+        run_start = idxs[new_run][run_id]
+        return idxs[((idxs - run_start) % 2) == 0]
+
+    def _train(self, codes: np.ndarray, min_count: int) -> list[tuple[int, int]]:
+        """Greedy pair-merge training (the costly np.unique loop) on a
+        bounded sample; returns the merge sequence."""
+        codes = codes.copy()
         merges: list[tuple[int, int]] = []
         while len(merges) < self.max_merges:
             left, right = codes[:-1], codes[1:]
@@ -76,17 +83,71 @@ class FsstCodec(Codec):
                 break
             best = int(uniq[top])
             lc, rc = best >> 16, best & 0xFFFF
-            idxs = vpos[vkeys == best]
-            if lc == rc:
-                new_run = np.empty(len(idxs), dtype=bool)
-                new_run[0] = True
-                np.greater(np.diff(idxs), 1, out=new_run[1:])
-                run_id = np.cumsum(new_run) - 1
-                run_start = idxs[new_run][run_id]
-                idxs = idxs[((idxs - run_start) % 2) == 0]
+            idxs = self._dedup_overlaps(vpos[vkeys == best], lc, rc)
             codes[idxs] = 256 + len(merges)
             merges.append((lc, rc))
             codes = np.delete(codes, idxs + 1)
+        return merges
+
+    def _apply(self, codes: np.ndarray, merges: list[tuple[int, int]]) -> np.ndarray:
+        """Apply the trained merge TABLE to the full stream in a few
+        whole-array passes (not one pass per merge): every adjacent pair
+        that exists in the table is collapsed simultaneously via a
+        searchsorted lookup, overlaps resolved by run parity, then the
+        stream compacts once per pass. Order-independence is safe because
+        decode expands codes recursively — any sequence of table-pair
+        collapses is decodable; multi-level symbols form over successive
+        passes (children first). ~log(symbol length) passes instead of
+        len(merges) passes."""
+        # int32 keys: codes < 2^16 so (lc<<16)+rc < 2^31 — half the memory
+        # traffic of int64 on every pass (this machine is bandwidth-bound)
+        tk = np.array(
+            [(lc << 16) + rc for (lc, rc) in merges], dtype=np.int32
+        )
+        tv = np.arange(256, 256 + len(merges), dtype=np.int32)
+        order = np.argsort(tk)
+        tk, tv = tk[order], tv[order]
+        tk_ext = np.append(tk, np.int32(2**31 - 1))  # guard: no clamp needed
+        while len(codes) > 1:
+            keys = codes[:-1] << np.int32(16)
+            keys += codes[1:]
+            pos = np.searchsorted(tk, keys)
+            hit = tk_ext[pos] == keys  # sentinel-adjacent keys are negative: never hit
+            hidx = np.flatnonzero(hit)
+            if len(hidx) == 0:
+                break
+            # greedy non-overlap: within each run of consecutive hit
+            # positions keep alternates (a kept merge at p consumes p+1,
+            # invalidating a hit at p+1)
+            new_run = np.empty(len(hidx), dtype=bool)
+            new_run[0] = True
+            np.greater(np.diff(hidx), 1, out=new_run[1:])
+            run_id = np.cumsum(new_run) - 1
+            run_start = hidx[new_run][run_id]
+            kept = hidx[((hidx - run_start) % 2) == 0]
+            codes[kept] = tv[pos[kept]]
+            keep_mask = np.ones(len(codes), dtype=bool)
+            keep_mask[kept + 1] = False
+            codes = codes[keep_mask]
+        return codes
+
+    def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
+        data, lengths = string_array_parts(arr)
+        n = len(lengths)
+        total = int(data.size)
+        # interleave a sentinel after every string (incl. the last)
+        codes = np.full(total + n, _SENT, dtype=np.int32)
+        if total:
+            idx = np.arange(total, dtype=np.int64) + np.repeat(
+                np.arange(n, dtype=np.int64), lengths
+            )
+            codes[idx] = data
+        # train on a bounded prefix (whole stream when small), apply to all
+        train = codes[: min(len(codes), self.TRAIN_BYTES)]
+        min_count = max(8, int(min(total, self.TRAIN_BYTES) * self.min_count_frac))
+        merges = self._train(train, min_count)
+        if merges:
+            codes = self._apply(codes, merges)
 
         sent_pos = np.flatnonzero(codes == _SENT)
         token_counts = np.diff(np.concatenate([[-1], sent_pos])) - 1

@@ -54,15 +54,28 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def _carrier_bytes(width: int) -> int:
+    """Smallest power-of-two byte width holding `width` bits."""
+    for k in (1, 2, 4, 8):
+        if width <= 8 * k:
+            return k
+    raise ValueError(f"width {width} > 64")
+
+
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack non-negative ints into `width` bits each (LSB-first)."""
+    """Pack non-negative ints into `width` bits each (LSB-first).
+
+    Implemented on C-native np.unpackbits/packbits over the smallest
+    carrier integer — the shift-matrix formulation allocated
+    O(n * width) uint64 temporaries and dominated whole-block encode
+    profiles at token-stream scales."""
     n = len(values)
     if n == 0 or width == 0:
         return b""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    k = _carrier_bytes(width)
+    v = np.ascontiguousarray(values, dtype=np.uint64).astype(f"<u{k}")
+    bits = np.unpackbits(v.view(np.uint8).reshape(n, k), axis=1, bitorder="little")
+    return np.packbits(bits[:, :width].ravel(), bitorder="little").tobytes()
 
 
 def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
@@ -71,11 +84,13 @@ def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
+    k = _carrier_bytes(width)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    bits = np.unpackbits(raw, count=n * width, bitorder="little")
-    bits = bits.reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    bits = np.unpackbits(raw, count=n * width, bitorder="little").reshape(n, width)
+    full = np.zeros((n, 8 * k), dtype=np.uint8)
+    full[:, :width] = bits
+    carriers = np.packbits(full, axis=1, bitorder="little").view(f"<u{k}").reshape(n)
+    return carriers.astype(np.uint64)
 
 
 def pack_bits_z(values: np.ndarray, width: int, level: int = 3) -> bytes:
