@@ -1,0 +1,204 @@
+"""Native FSST match kernels, compiled on demand with the system gcc.
+
+FSST's inner loops (greedy longest-symbol match on encode, token
+expansion on decode) are strictly sequential per byte — the one place
+Python/numpy cannot be vectorized honestly (SURVEY.md §7.3 called FSST
+"the riskiest" codec for exactly this reason). The kernel is ~60 lines
+of dependency-free C99 compiled once into /tmp with the toolchain that
+ships in the image (nothing is installed); every worker process loads
+the cached .so via ctypes. If no compiler is present, callers fall back
+to the pure-numpy pass-based encoder (rayenc/codecs/fsst.py).
+
+Symbols are byte strings of length 1..8 (the FSST paper's bound), at
+most 255 of them; tokens are uint16: 0..255 literal bytes, 256+i for
+symbol i.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* greedy longest-match tokenizer.
+   data/offsets: concatenated strings (offsets has n_strings+1 entries).
+   syms: 255*8 bytes of symbol payloads; sym_lens: length per symbol.
+   out_tokens must hold >= total_bytes entries; out_counts n_strings.
+   returns total token count. */
+long long fsst_encode(const unsigned char *data, const long long *offsets,
+                      long long n_strings, const unsigned char *syms,
+                      const unsigned char *sym_lens, int n_syms,
+                      unsigned short *out_tokens, long long *out_counts) {
+    /* per-first-byte candidate index, longest first */
+    int head[256];
+    int nxt[255];
+    for (int b = 0; b < 256; b++) head[b] = -1;
+    /* insert in increasing length so lists end up longest-first */
+    for (int pass_len = 1; pass_len <= 8; pass_len++) {
+        for (int s = 0; s < n_syms; s++) {
+            if (sym_lens[s] != pass_len) continue;
+            int b = syms[s * 8];
+            nxt[s] = head[b];
+            head[b] = s;
+        }
+    }
+    long long t = 0;
+    for (long long i = 0; i < n_strings; i++) {
+        long long pos = offsets[i], end = offsets[i + 1];
+        long long t0 = t;
+        while (pos < end) {
+            int b = data[pos];
+            long long remain = end - pos;
+            int best = -1;
+            for (int s = head[b]; s != -1; s = nxt[s]) {
+                int L = sym_lens[s];
+                if (L <= remain && memcmp(data + pos, syms + s * 8, L) == 0) {
+                    best = s;
+                    break; /* longest-first order */
+                }
+            }
+            if (best >= 0) {
+                out_tokens[t++] = (unsigned short)(256 + best);
+                pos += sym_lens[best];
+            } else {
+                out_tokens[t++] = (unsigned short)b;
+                pos += 1;
+            }
+        }
+        out_counts[i] = t - t0;
+    }
+    return t;
+}
+
+/* expand tokens back to bytes; out must hold the exact decoded size. */
+long long fsst_decode(const unsigned short *tokens, long long n_tokens,
+                      const unsigned char *syms, const unsigned char *sym_lens,
+                      int n_syms, unsigned char *out) {
+    long long o = 0;
+    for (long long t = 0; t < n_tokens; t++) {
+        unsigned short tok = tokens[t];
+        if (tok < 256) {
+            out[o++] = (unsigned char)tok;
+        } else {
+            int s = tok - 256;
+            int L = sym_lens[s];
+            memcpy(out + o, syms + (long long)s * 8, L);
+            o += L;
+        }
+    }
+    return o;
+}
+"""
+
+_LIB = None
+_TRIED = False
+
+
+def _build_lib() -> str | None:
+    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"rayenc_cfsst_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    src = so_path + ".c"
+    with open(src, "w") as f:
+        f.write(_C_SRC)
+    tmp = so_path + f".tmp{os.getpid()}"
+    try:
+        subprocess.run(
+            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+            check=True,
+            capture_output=True,
+            timeout=60,
+        )
+        os.replace(tmp, so_path)  # atomic: concurrent workers race safely
+        return so_path
+    except Exception:
+        return None
+
+
+def get_lib():
+    """ctypes handle to the kernel, or None when no toolchain exists."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    LL = ctypes.c_longlong
+    U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    U16P = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    LLP = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.fsst_encode.restype = LL
+    lib.fsst_encode.argtypes = [U8P, LLP, LL, U8P, U8P, ctypes.c_int, U16P, LLP]
+    lib.fsst_decode.restype = LL
+    lib.fsst_decode.argtypes = [U16P, LL, U8P, U8P, ctypes.c_int, U8P]
+    _LIB = lib
+    return _LIB
+
+
+def pack_symbols(symbols: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """(255*8 payload matrix, lens) for the kernel."""
+    syms = np.zeros((max(len(symbols), 1), 8), dtype=np.uint8)
+    lens = np.zeros(max(len(symbols), 1), dtype=np.uint8)
+    for i, s in enumerate(symbols):
+        b = np.frombuffer(s, dtype=np.uint8)
+        syms[i, : len(b)] = b
+        lens[i] = len(b)
+    return np.ascontiguousarray(syms.reshape(-1)), lens
+
+
+def native_encode(
+    data: np.ndarray, offsets: np.ndarray, symbols: list[bytes]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Greedy longest-match tokenize; returns (tokens u16, counts i64)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_strings = len(offsets) - 1
+    syms, lens = pack_symbols(symbols)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out_tokens = np.empty(max(int(offsets[-1]), 1), dtype=np.uint16)
+    out_counts = np.empty(max(n_strings, 1), dtype=np.int64)
+    total = lib.fsst_encode(
+        data if data.size else np.zeros(1, np.uint8),
+        offsets,
+        n_strings,
+        syms,
+        lens,
+        len(symbols),
+        out_tokens,
+        out_counts,
+    )
+    return out_tokens[:total].copy(), out_counts[:n_strings]
+
+
+def native_decode(
+    tokens: np.ndarray, symbols: list[bytes], out_size: int
+) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms, lens = pack_symbols(symbols)
+    tokens = np.ascontiguousarray(tokens, dtype=np.uint16)
+    out = np.empty(max(out_size, 1), dtype=np.uint8)
+    n = lib.fsst_decode(
+        tokens if tokens.size else np.zeros(1, np.uint16),
+        len(tokens),
+        syms,
+        lens,
+        len(symbols),
+        out,
+    )
+    assert n == out_size, (n, out_size)
+    return out[:out_size]

@@ -1,21 +1,26 @@
-"""FSST-style symbol-table string compression (simplified, vectorized).
+"""FSST-style symbol-table string compression.
 
 After "FSST: Fast Random Access String Compression" (VLDB 2020, see
-PAPERS.md): replace frequent byte sequences with 1-token codes from a
-small per-block symbol table, so decompression is a table lookup and the
-table ships in the block header (per-block tables keep encode actors
-stateless/restart-safe, SURVEY.md §2.3 T1).
+PAPERS.md): replace frequent byte sequences (symbols of 1..8 bytes, at
+most 255 of them — the paper's bounds) with one-token codes; the symbol
+table ships in the block header, so encode actors stay stateless /
+restart-safe (SURVEY.md §2.3 T1).
 
-This implementation builds the table by iterative greedy pair merging
-(BPE-shaped) entirely in numpy — symbols are formed bottom-up from byte
-pairs, so "apply the merge list in order" is both the trainer and the
-encoder. String boundaries are protected by a sentinel code that never
-participates in merges (the analog of the reference keeping record
-boundaries intact across read_records calls,
-/root/reference/src/vec_pq_reader.rs:157-241). A Python per-byte loop
-would be fatal here (SURVEY.md §7.3); every pass below is whole-array
-numpy. The selector only picks fsst when its measured size beats the
-zstd backstop, so the extra encode cost is opt-in per column per block.
+Structure:
+- TRAIN (numpy): greedy pair-merging over a bounded sample builds the
+  symbol table bottom-up; merges whose combined symbol would exceed
+  8 bytes are excluded (keeps the native matcher's memcmp bounded).
+- ENCODE: greedy longest-match tokenization via the native C kernel
+  (rayenc/codecs/_cfsst.py, compiled on demand with the system gcc) —
+  the per-byte loop that cannot be vectorized honestly in numpy
+  (SURVEY.md §7.3). Fallback when no toolchain exists: simultaneous
+  table-lookup passes over the code stream (whole-array numpy,
+  sentinel-protected string boundaries — the analog of the reference
+  keeping record boundaries intact across read_records calls,
+  /root/reference/src/vec_pq_reader.rs:157-241).
+- DECODE: token -> symbol expansion (native kernel, numpy gather
+  fallback). Bit-identical round-trip either way; native and fallback
+  may tokenize differently, which decode does not care about.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from . import _cfsst
 from .base import Codec, is_stringlike
 from .util import (
     bit_width,
@@ -38,20 +44,25 @@ from .util import (
 
 _SENT = np.int32(-1)
 _PAIR_BASE = np.int64(1 << 16)
+_MAX_SYM_LEN = 8
+_MAX_SYMBOLS = 255
 
 
 class FsstCodec(Codec):
     name = "fsst"
 
-    def __init__(self, max_merges: int = 240, min_count_frac: float = 1 / 1024):
-        self.max_merges = max_merges
+    TRAIN_BYTES = 64 << 10
+
+    def __init__(self, max_merges: int = _MAX_SYMBOLS, min_count_frac: float = 1 / 1024):
+        self.max_merges = min(max_merges, _MAX_SYMBOLS)
         self.min_count_frac = min_count_frac
 
     def supports(self, t: pa.DataType) -> bool:
         return is_stringlike(t)
 
-    TRAIN_BYTES = 64 << 10
-    COMPACT_EVERY = 16
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
 
     @staticmethod
     def _dedup_overlaps(idxs: np.ndarray, lc: int, rc: int) -> np.ndarray:
@@ -65,11 +76,18 @@ class FsstCodec(Codec):
         run_start = idxs[new_run][run_id]
         return idxs[((idxs - run_start) % 2) == 0]
 
-    def _train(self, codes: np.ndarray, min_count: int) -> list[tuple[int, int]]:
-        """Greedy pair-merge training (the costly np.unique loop) on a
-        bounded sample; returns the merge sequence."""
+    def _train(
+        self, codes: np.ndarray, min_count: int
+    ) -> tuple[list[tuple[int, int]], list[bytes]]:
+        """Greedy pair-merge training on a bounded sample. Returns the
+        merge sequence (for the numpy fallback) and the symbol byte
+        strings (for the native matcher + block table); merges that
+        would exceed the 8-byte symbol bound are banned."""
         codes = codes.copy()
         merges: list[tuple[int, int]] = []
+        symbols: list[bytes] = []
+        sym_of: dict[int, bytes] = {}
+        banned: set[int] = set()
         while len(merges) < self.max_merges:
             left, right = codes[:-1], codes[1:]
             valid = (left != _SENT) & (right != _SENT)
@@ -78,47 +96,55 @@ class FsstCodec(Codec):
                 break
             vkeys = left[vpos].astype(np.int64) * _PAIR_BASE + right[vpos]
             uniq, counts = np.unique(vkeys, return_counts=True)
-            top = int(counts.argmax())
-            if counts[top] < min_count:
+            order = np.argsort(counts)[::-1]
+            chosen = None
+            for oi in order[:16]:  # few tries: banned pairs are rare
+                key = int(uniq[oi])
+                if counts[oi] < min_count:
+                    break
+                if key in banned:
+                    continue
+                lc, rc = key >> 16, key & 0xFFFF
+                sl = sym_of.get(lc, bytes([lc]) if lc < 256 else b"")
+                sr = sym_of.get(rc, bytes([rc]) if rc < 256 else b"")
+                if len(sl) + len(sr) > _MAX_SYM_LEN:
+                    banned.add(key)
+                    continue
+                chosen = (key, lc, rc, sl + sr)
                 break
-            best = int(uniq[top])
-            lc, rc = best >> 16, best & 0xFFFF
-            idxs = self._dedup_overlaps(vpos[vkeys == best], lc, rc)
-            codes[idxs] = 256 + len(merges)
+            if chosen is None:
+                break
+            key, lc, rc, sym = chosen
+            idxs = self._dedup_overlaps(vpos[vkeys == key], lc, rc)
+            new_code = 256 + len(merges)
+            codes[idxs] = new_code
             merges.append((lc, rc))
+            symbols.append(sym)
+            sym_of[new_code] = sym
             codes = np.delete(codes, idxs + 1)
-        return merges
+        return merges, symbols
 
-    def _apply(self, codes: np.ndarray, merges: list[tuple[int, int]]) -> np.ndarray:
-        """Apply the trained merge TABLE to the full stream in a few
-        whole-array passes (not one pass per merge): every adjacent pair
-        that exists in the table is collapsed simultaneously via a
-        searchsorted lookup, overlaps resolved by run parity, then the
-        stream compacts once per pass. Order-independence is safe because
-        decode expands codes recursively — any sequence of table-pair
-        collapses is decodable; multi-level symbols form over successive
-        passes (children first). ~log(symbol length) passes instead of
-        len(merges) passes."""
-        # int32 keys: codes < 2^16 so (lc<<16)+rc < 2^31 — half the memory
-        # traffic of int64 on every pass (this machine is bandwidth-bound)
-        tk = np.array(
-            [(lc << 16) + rc for (lc, rc) in merges], dtype=np.int32
-        )
+    # ------------------------------------------------------------------
+    # numpy fallback tokenizer (no C toolchain)
+    # ------------------------------------------------------------------
+
+    def _apply_passes(self, codes: np.ndarray, merges: list[tuple[int, int]]) -> np.ndarray:
+        """Collapse every table pair present in the stream, whole-array
+        per pass, overlaps resolved by run parity; ~log(symbol length)
+        passes. Sentinel-adjacent keys are negative and never match."""
+        tk = np.array([(lc << 16) + rc for (lc, rc) in merges], dtype=np.int32)
         tv = np.arange(256, 256 + len(merges), dtype=np.int32)
         order = np.argsort(tk)
         tk, tv = tk[order], tv[order]
-        tk_ext = np.append(tk, np.int32(2**31 - 1))  # guard: no clamp needed
+        tk_ext = np.append(tk, np.int32(2**31 - 1))
         while len(codes) > 1:
             keys = codes[:-1] << np.int32(16)
             keys += codes[1:]
             pos = np.searchsorted(tk, keys)
-            hit = tk_ext[pos] == keys  # sentinel-adjacent keys are negative: never hit
+            hit = tk_ext[pos] == keys
             hidx = np.flatnonzero(hit)
             if len(hidx) == 0:
                 break
-            # greedy non-overlap: within each run of consecutive hit
-            # positions keep alternates (a kept merge at p consumes p+1,
-            # invalidating a hit at p+1)
             new_run = np.empty(len(hidx), dtype=bool)
             new_run[0] = True
             np.greater(np.diff(hidx), 1, out=new_run[1:])
@@ -131,56 +157,101 @@ class FsstCodec(Codec):
             codes = codes[keep_mask]
         return codes
 
-    def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
-        data, lengths = string_array_parts(arr)
+    def _fallback_tokens(
+        self, data: np.ndarray, lengths: np.ndarray, merges: list[tuple[int, int]]
+    ) -> tuple[np.ndarray, np.ndarray]:
         n = len(lengths)
         total = int(data.size)
-        # interleave a sentinel after every string (incl. the last)
         codes = np.full(total + n, _SENT, dtype=np.int32)
         if total:
             idx = np.arange(total, dtype=np.int64) + np.repeat(
                 np.arange(n, dtype=np.int64), lengths
             )
             codes[idx] = data
-        # train on a bounded prefix (whole stream when small), apply to all
-        train = codes[: min(len(codes), self.TRAIN_BYTES)]
-        min_count = max(8, int(min(total, self.TRAIN_BYTES) * self.min_count_frac))
-        merges = self._train(train, min_count)
         if merges:
-            codes = self._apply(codes, merges)
-
+            codes = self._apply_passes(codes, merges)
         sent_pos = np.flatnonzero(codes == _SENT)
         token_counts = np.diff(np.concatenate([[-1], sent_pos])) - 1
-        seq = codes[codes != _SENT].astype(np.uint64)
-        w = bit_width(255 + len(merges))
-        tmeta, tbuf = encode_lengths(token_counts.astype(np.int64), level)
-        table = np.asarray(merges, dtype=np.uint16).tobytes() if merges else b""
+        tokens = codes[codes != _SENT].astype(np.uint16)
+        return tokens, token_counts.astype(np.int64)
+
+    # ------------------------------------------------------------------
+    # codec interface
+    # ------------------------------------------------------------------
+
+    def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
+        data, lengths = string_array_parts(arr)
+        n = len(lengths)
+        total = int(data.size)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+
+        # train on rows stride-sampled across the WHOLE column (a prefix
+        # sample is biased: edge rows or one giant blob at the front can
+        # dominate the pair statistics), capped at TRAIN_BYTES, with any
+        # single row contributing at most TRAIN_BYTES/8
+        row_cap = self.TRAIN_BYTES // 8
+        pieces: list[np.ndarray] = []
+        t_lengths_list: list[int] = []
+        budget = min(total, self.TRAIN_BYTES)
+        if n and budget:
+            stride = max(1, n // 512)
+            for i in range(0, n, stride):
+                if budget <= 0:
+                    break
+                take = min(int(lengths[i]), row_cap, budget)
+                if take <= 0:
+                    continue
+                s = int(offsets[i])
+                pieces.append(data[s : s + take])
+                t_lengths_list.append(take)
+                budget -= take
+        t_lengths = np.asarray(t_lengths_list, dtype=np.int64)
+        t_total = int(t_lengths.sum()) if len(t_lengths) else 0
+        t_end = len(t_lengths)
+        t_codes = np.full(t_total + t_end, _SENT, dtype=np.int32)
+        if t_total:
+            idx = np.arange(t_total, dtype=np.int64) + np.repeat(
+                np.arange(t_end, dtype=np.int64), t_lengths
+            )
+            t_codes[idx] = np.concatenate(pieces)
+        min_count = max(8, int(max(t_total, 1) * self.min_count_frac))
+        merges, symbols = self._train(t_codes, min_count)
+
+        native = _cfsst.native_encode(data, offsets, symbols) if symbols else None
+        if native is not None:
+            tokens, token_counts = native
+        else:
+            tokens, token_counts = self._fallback_tokens(data, lengths, merges)
+
+        w = bit_width(255 + len(symbols))
+        tmeta, tbuf = encode_lengths(token_counts, level)
+        table = bytes(bytearray([len(s) for s in symbols])) + b"".join(symbols)
         params = {
-            "merges": len(merges),
+            "n_sym": len(symbols),
+            "table_len": len(table),
             "w": w,
-            "ntokens": int(len(seq)),
+            "ntokens": int(len(tokens)),
             "tmeta": tmeta,
         }
         sections = {
-            "tokens": pack_bits_z(seq, w, level),
+            "tokens": pack_bits_z(tokens.astype(np.uint64), w, level),
             "token_counts": tbuf,
             "table": zstd_compress(table, level),
         }
         return params, sections
 
-    def _symbols(self, params: dict, sections: dict[str, bytes]) -> tuple[np.ndarray, np.ndarray]:
-        """Rebuild the symbol byte table: (concat bytes, offsets[n_sym+1])."""
-        m = params["merges"]
-        raw = zstd_decompress(sections["table"], m * 4)
-        pairs = np.frombuffer(raw, dtype=np.uint16).reshape(m, 2) if m else np.empty((0, 2), np.uint16)
-        symbols: list[bytes] = [bytes([i]) for i in range(256)]
-        for lc, rc in pairs:
-            symbols.append(symbols[lc] + symbols[rc])
-        sym_data = np.frombuffer(b"".join(symbols), dtype=np.uint8)
-        sym_lens = np.fromiter((len(s) for s in symbols), dtype=np.int64, count=len(symbols))
-        sym_off = np.zeros(len(symbols) + 1, dtype=np.int64)
-        np.cumsum(sym_lens, out=sym_off[1:])
-        return sym_data, sym_off
+    @staticmethod
+    def _symbols(params: dict, sections: dict[str, bytes]) -> list[bytes]:
+        n_sym = params["n_sym"]
+        raw = zstd_decompress(sections["table"], params["table_len"])
+        lens = raw[:n_sym]
+        out = []
+        pos = n_sym
+        for L in lens:
+            out.append(raw[pos : pos + L])
+            pos += L
+        return out
 
     def decode(
         self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
@@ -188,16 +259,30 @@ class FsstCodec(Codec):
         ntok = params["ntokens"]
         seq = unpack_bits_z(sections["tokens"], params["w"], ntok).astype(np.int64)
         token_counts = decode_lengths(params["tmeta"], sections["token_counts"], n)
-        sym_data, sym_off = self._symbols(params, sections)
-        sym_lens = np.diff(sym_off)
+        symbols = self._symbols(params, sections)
+        sym_lens = np.ones(256 + len(symbols), dtype=np.int64)
+        for i, s in enumerate(symbols):
+            sym_lens[256 + i] = len(s)
         out_lens = sym_lens[seq]
         cs = np.zeros(ntok + 1, dtype=np.int64)
         np.cumsum(out_lens, out=cs[1:])
         total_out = int(cs[-1])
-        base = np.repeat(cs[:-1], out_lens)
-        within = np.arange(total_out, dtype=np.int64) - base
-        src = np.repeat(sym_off[:-1][seq], out_lens) + within
-        data = sym_data[src]
+
+        data = _cfsst.native_decode(seq.astype(np.uint16), symbols, total_out)
+        if data is None:
+            # numpy gather fallback: literals 0..255 + symbol payloads
+            payload = bytes(range(256)) + b"".join(symbols)
+            sym_data = np.frombuffer(payload, dtype=np.uint8)
+            sym_off = np.zeros(257 + len(symbols), dtype=np.int64)
+            np.cumsum(
+                np.concatenate([np.ones(256, np.int64), sym_lens[256:]]),
+                out=sym_off[1:],
+            )
+            base = np.repeat(cs[:-1], out_lens)
+            within = np.arange(total_out, dtype=np.int64) - base
+            src = np.repeat(sym_off[:-1][seq], out_lens) + within
+            data = sym_data[src]
+
         tok_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(token_counts, out=tok_off[1:])
         str_lens = cs[tok_off[1:]] - cs[tok_off[:-1]]

@@ -152,6 +152,12 @@ def select_codec(
         ratios[name] = payload / max(trial_sample.nbytes, 1)
     if not trials:
         return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
+    # fsst trades 10-100x encode CPU for size: demand a >=3% size win over
+    # the best alternative before paying it
+    if "fsst" in ratios and len(ratios) > 1:
+        best_other = min(v for k, v in ratios.items() if k != "fsst")
+        if ratios["fsst"] > best_other * 0.97:
+            del ratios["fsst"]
     best_name, best_ratio = min(ratios.items(), key=lambda kv: kv[1])
     # tie-break: a lightweight codec within 2% of the zstd backstop wins —
     # equal size but cheaper decode + random access at scale
