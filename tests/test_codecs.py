@@ -189,3 +189,25 @@ def test_fixed_size_binary_roundtrip():
 def test_list_of_bool_roundtrip():
     arr = pa.array([[True, None], None, []], type=pa.list_(pa.bool_()))
     assert decode_column(encode_column(arr, "plain")).equals(arr)
+
+
+def test_fsst_native_and_fallback_agree(monkeypatch):
+    """The native C tokenizer and the numpy pass-based fallback may pick
+    different tokenizations, but BOTH must round-trip bit-identically."""
+    from rayenc.codecs import _cfsst
+
+    arr = pa.array(
+        ["the quick brown fox", "the quick brown dog", "", None, "aaaa" * 50, "πρό"] * 40,
+        type=pa.string(),
+    )
+    native_blob = encode_column(arr, "fsst")
+    assert decode_column(native_blob).equals(arr)
+
+    monkeypatch.setattr(_cfsst, "get_lib", lambda: None)
+    fallback_blob = encode_column(arr, "fsst")
+    assert decode_column(fallback_blob).equals(arr)
+    # and the native decoder path isn't needed to read fallback blocks
+    # (decode falls back too under the same monkeypatch) — also check the
+    # native decode reads fallback blocks after the patch is lifted
+    monkeypatch.undo()
+    assert decode_column(fallback_blob).equals(arr)
