@@ -376,6 +376,31 @@ def q_code_token_stats(sf_dir: str) -> pa.Table:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_pattern_scan(sf_dir: str) -> pa.Table:
+    """PII/secret-style pattern scan (the training-data hygiene op):
+    count docs per lang containing long digit runs, vectorized Arrow
+    regex, zero shuffle. The pattern is RE2-compatible on both sides."""
+    from ..stages.agg import grouped_agg_lowcard
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(b["text"], r"[0-9]{4,}")
+        return pa.table({"lang": b["lang"]}).filter(hit)
+
+    hits = ds.map_batches(scan, batch_format="pyarrow")
+    out = grouped_agg_lowcard(hits, ["lang"], {"n_docs_with_long_numbers": (None, "count")})
+    out = out.sort_values("lang")
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_docs_with_long_numbers": pa.array(
+                out["n_docs_with_long_numbers"].astype("int64")
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -611,6 +636,7 @@ QUERIES = {
     "code_token_stats": q_code_token_stats,
     "stratified_sample": q_stratified_sample,
     "topk_docs_per_lang": q_topk_docs_per_lang,
+    "pattern_scan": q_pattern_scan,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
     "doc_fingerprints": q_doc_fingerprints,
@@ -701,6 +727,10 @@ ORACLES = {
     "stratified_sample": (
         "SELECT doc_id, lang FROM documents "
         "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
+    ),
+    "pattern_scan": (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_with_long_numbers "
+        "FROM documents WHERE regexp_matches(text, '[0-9]{4,}') GROUP BY lang"
     ),
     "topk_docs_per_lang": (
         "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM ("
