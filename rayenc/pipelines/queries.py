@@ -378,25 +378,32 @@ def q_code_token_stats(sf_dir: str) -> pa.Table:
 
 def q_pattern_scan(sf_dir: str) -> pa.Table:
     """PII/secret-style pattern scan (the training-data hygiene op):
-    count docs per lang containing long digit runs, vectorized Arrow
-    regex, zero shuffle. The pattern is RE2-compatible on both sides."""
+    count docs per lang matching a target pattern, vectorized Arrow
+    regex, zero shuffle. The pattern is RE2-compatible on both sides
+    (the synthetic docs contain no digit runs, so the fixture pattern is
+    a vocabulary word; swap in email/key regexes for real corpora)."""
     from ..stages.agg import grouped_agg_lowcard
 
     ds = _docs(sf_dir, ["lang", "text"])
 
     def scan(b: pa.Table) -> pa.Table:
-        hit = pc.match_substring_regex(b["text"], r"[0-9]{4,}")
+        hit = pc.match_substring_regex(b["text"], r"tab[a-z]+")
         return pa.table({"lang": b["lang"]}).filter(hit)
 
     hits = ds.map_batches(scan, batch_format="pyarrow")
-    out = grouped_agg_lowcard(hits, ["lang"], {"n_docs_with_long_numbers": (None, "count")})
+    out = grouped_agg_lowcard(hits, ["lang"], {"n_matching_docs": (None, "count")})
+    if out.empty:
+        return pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "n_matching_docs": pa.array([], type=pa.int64()),
+            }
+        )
     out = out.sort_values("lang")
     return pa.table(
         {
             "lang": pa.array(out["lang"], type=pa.string()),
-            "n_docs_with_long_numbers": pa.array(
-                out["n_docs_with_long_numbers"].astype("int64")
-            ),
+            "n_matching_docs": pa.array(out["n_matching_docs"].astype("int64")),
         }
     )
 
@@ -729,8 +736,8 @@ ORACLES = {
         "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
     ),
     "pattern_scan": (
-        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_with_long_numbers "
-        "FROM documents WHERE regexp_matches(text, '[0-9]{4,}') GROUP BY lang"
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_matching_docs "
+        "FROM documents WHERE regexp_matches(text, 'tab[a-z]+') GROUP BY lang"
     ),
     "topk_docs_per_lang": (
         "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM ("
