@@ -376,6 +376,78 @@ def q_code_token_stats(sf_dir: str) -> pa.Table:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_order_lineitem_join(sf_dir: str) -> pa.Table:
+    """Both-sides-large join: Ray's hash-partitioned Dataset.join
+    (orders x lineitem on orderkey — neither side is broadcastable at
+    scale), then zero-shuffle low-card aggregation per priority."""
+    from ..stages.agg import grouped_agg_lowcard
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    joined = orders.join(
+        li,
+        join_type="inner",
+        num_partitions=32,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    out = grouped_agg_lowcard(
+        joined,
+        ["o_orderpriority"],
+        {"n_items": (None, "count"), "revenue": ("l_extendedprice", "sum")},
+    ).sort_values("o_orderpriority")
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], type=pa.string()),
+            "n_items": pa.array(out["n_items"].astype("int64")),
+            "revenue": pa.array(
+                out["revenue"].astype("float64").round(2), type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_user_sessions(sf_dir: str) -> pa.Table:
+    """Sessionization (30-min inactivity gap) — the streaming-shaped op
+    expressed as groupby(key).map_groups over ts-sorted groups (ordering
+    assumption: per-user, in-group sort; ties share a session so tie
+    order is irrelevant)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = g["ts"].diff().isna() | (
+            g["ts"].diff() > pd.Timedelta(minutes=30)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype("int64")),
+            "n_sessions": pa.array(out["n_sessions"].astype("int64")),
+            "n_events": pa.array(out["n_events"].astype("int64")),
+        }
+    )
+
+
 def q_pattern_scan(sf_dir: str) -> pa.Table:
     """PII/secret-style pattern scan (the training-data hygiene op):
     count docs per lang matching a target pattern, vectorized Arrow
@@ -644,6 +716,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "pattern_scan": q_pattern_scan,
+    "order_lineitem_join": q_order_lineitem_join,
+    "user_sessions": q_user_sessions,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
     "doc_fingerprints": q_doc_fingerprints,
@@ -738,6 +812,20 @@ ORACLES = {
     "pattern_scan": (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_matching_docs "
         "FROM documents WHERE regexp_matches(text, 'tab[a-z]+') GROUP BY lang"
+    ),
+    "order_lineitem_join": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS revenue "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
+    "user_sessions": (
+        "WITH lagd AS (SELECT user_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), "
+        "flags AS (SELECT user_id, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS ns FROM lagd) "
+        "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM flags GROUP BY user_id"
     ),
     "topk_docs_per_lang": (
         "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM ("
