@@ -388,10 +388,15 @@ def q_order_lineitem_join(sf_dir: str) -> pa.Table:
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
     )
+    import ray as _ray
+
+    # partition count scales with the cluster; a fixed 32 on a small test
+    # session would wait forever for aggregator resources
+    n_parts = max(2, min(32, int(_ray.cluster_resources().get("CPU", 8)) - 2))
     joined = orders.join(
         li,
         join_type="inner",
-        num_partitions=32,
+        num_partitions=n_parts,
         on=("o_orderkey",),
         right_on=("l_orderkey",),
     )

@@ -56,3 +56,26 @@ def test_touch_counter_paths_agree(ray_session):
         vec = _touch_column(col)
         row = sum(_touch_value(v) for v in col.to_pylist())
         assert vec == row, (name, vec, row)
+
+
+def test_new_query_surface_sf0001(ray_session):
+    """Regression safety for the late-round query additions."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name, min_rows in [
+        ("order_lineitem_join", 3),
+        ("user_sessions", 10),
+        ("pattern_scan", 1),
+        ("stratified_sample", 1),
+        ("topk_docs_per_lang", 5),
+        ("code_token_stats", 100),
+        ("events_windowed", 10),
+        ("events_props_stats", 3),
+        ("orders_by_region", 3),
+        ("histogram_ingest", 3),
+    ]:
+        res = qs[name](sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        assert len(df) >= min_rows, (name, len(df))
