@@ -37,10 +37,16 @@ def verify_blocks(blocks: "ray.data.Dataset", hash_column: str = "content") -> d
         ok = []
         rows = []
         for i in range(batch.num_rows):
-            blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
-            arr = dec.decode_block_row([hash_column], [blob], "", 0)[hash_column]
-            ok.append(chain_hash(arr) == batch["content_sha256"][i].as_py())
-            rows.append(len(arr))
+            try:
+                blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
+                arr = dec.decode_block_row([hash_column], [blob], "", 0)[hash_column]
+                ok.append(chain_hash(arr) == batch["content_sha256"][i].as_py())
+                rows.append(len(arr))
+            except Exception:
+                # a corrupted blob is a VERIFICATION FAILURE, not a job
+                # crash: report the block and keep checking the rest
+                ok.append(False)
+                rows.append(0)
         return pa.table(
             {
                 "block_id": batch["block_id"],

@@ -119,3 +119,24 @@ def test_decode_ordered_reconstructs_source_order(ray_session, tmp_path, corpus_
     # ORDER-SENSITIVE equality via per-row hash chains
     assert chain_hash(t["content"]) == chain_hash(src["content"])
     assert tables_bit_identical(t.select(src.column_names), src)
+
+
+def test_verify_reports_corrupt_block_without_crashing(ray_session):
+    """A flipped byte in one block's payload must surface as bad_blocks,
+    not abort the whole verification job."""
+    import ray.data as rd
+
+    table = edge_case_table()
+    blocks = encode_dataset(
+        rd.from_arrow(table), block_rows=64, concurrency=1
+    ).materialize()
+    t = pa.concat_tables(blocks.iter_batches(batch_size=None, batch_format="pyarrow"))
+    blob = bytearray(t["col_content"][0].as_py())
+    blob[len(blob) // 2] ^= 0xFF  # corrupt mid-payload
+    t = t.set_column(
+        t.column_names.index("col_content"),
+        "col_content",
+        pa.array([bytes(blob)], type=pa.binary()),
+    )
+    v = verify_blocks(rd.from_arrow(t))
+    assert not v["ok"] and v["bad_blocks"] == 1
