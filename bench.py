@@ -118,9 +118,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         concurrency=(pool, pool),
     ).materialize()
 
-    # ---- headline: encode (best of 2 steady-state runs) ----
+    # ---- headline: encode (best of 3 steady-state runs — this VM's
+    # memory-state variance swings single runs ~3x, see BASELINE.md) ----
     encode_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         ds = rd.read_parquet(corpus_path)
         blocks = encode_dataset(
