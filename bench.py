@@ -12,9 +12,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline encode sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...extra metrics}
 
---scaling: run the headline twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input; report both throughputs + efficiency
-(the sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+--scaling: run the headline in fresh processes at num_cpus=4 and
+num_cpus=16 (N and 4N with headroom for Ray system processes) on the same
+9.4 GB input; report both throughputs + efficiency (the sandbox stand-in
+for two cluster sizes; see BASELINE.md).
 """
 
 from __future__ import annotations

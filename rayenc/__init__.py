@@ -17,8 +17,9 @@ driver, bench.py and the test fixture own the Ray session.
 from .blocks import decode_column, encode_column
 from .selector import encode_column_auto, select_codec
 from .encode import BlockEncoder, encode_dataset, lineage_table
-from .decode import BlockDecoder, decode_dataset
+from .decode import BlockDecoder, decode_dataset, decode_ordered
 from .jobs import plan_partitions, run_encode_job
+from .partition import locality_encode, salted_partition
 from .manifest import Manifest
 from .verify import reference_parquet_bytes, tables_bit_identical, verify_blocks
 
@@ -32,6 +33,9 @@ __all__ = [
     "lineage_table",
     "BlockDecoder",
     "decode_dataset",
+    "decode_ordered",
+    "salted_partition",
+    "locality_encode",
     "plan_partitions",
     "run_encode_job",
     "Manifest",
