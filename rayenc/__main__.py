@@ -100,12 +100,12 @@ def cmd_decode(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
 
-    from rayenc.decode import decode_dataset
+    from rayenc.decode import decode_dataset, decode_ordered
 
     blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
-    out = decode_dataset(blocks)
+    out = decode_ordered(blocks) if args.ordered else decode_dataset(blocks)
     out.write_parquet(args.out)
-    print(json.dumps({"decoded_to": args.out, "rows": out.count()}))
+    print(json.dumps({"decoded_to": args.out, "rows": out.count(), "ordered": bool(args.ordered)}))
     return 0
 
 
@@ -244,6 +244,11 @@ def main() -> int:
     d = sub.add_parser("decode", help="decode a block table back to parquet")
     d.add_argument("blocks", help="encode job output root")
     d.add_argument("out")
+    d.add_argument(
+        "--ordered",
+        action="store_true",
+        help="reconstruct global source order (one extra sort shuffle)",
+    )
     d.set_defaults(fn=cmd_decode)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")

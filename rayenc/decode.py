@@ -121,10 +121,16 @@ def decode_ordered(
     concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Decode with GLOBAL source order reconstructed: every row carries
-    (_partition_id, _block_seq, _row_in_block) — a total order over the
+    (_partition_seq, _block_seq, _row_in_block) — a total order over the
     original rows (SURVEY.md §2.5 ordering note) — and the result is
     sorted by it (one shuffle; use plain decode_dataset when order is
-    irrelevant). Provenance columns are dropped from the output."""
+    irrelevant). Provenance columns are dropped from the output.
+
+    Requires blocks whose (partition_seq, block_seq) are meaningful —
+    i.e. output of the resumable job (rayenc.jobs), which assigns plan
+    ordinals. Blocks from the pure-streaming encode_dataset all carry
+    seq 0 (Ray's batch placement is not globally ordered), so their
+    total order is within-block only."""
     dec = decode_dataset(
         blocks, columns=columns, with_provenance=True, concurrency=concurrency
     )
