@@ -453,6 +453,53 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
     )
 
 
+def q_orders_semi_join(sf_dir: str) -> pa.Table:
+    """Broadcast semi-join: keep orders whose customer has acctbal >
+    5000 — the key SET ships once via ray.put; the fact table never
+    shuffles (Bloom-filter-shaped membership at scale)."""
+    import pyarrow.parquet as pq_mod
+
+    import ray as _ray
+
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    keys = set(
+        cust.filter(pc.greater(cust["c_acctbal"], 5000.0))["c_custkey"].to_pylist()
+    )
+    ref = _ray.put(keys)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def semi(b: pa.Table) -> pa.Table:
+        ks = _ray.get(ref)
+        mask = pa.array([k in ks for k in b["o_custkey"].to_pylist()], type=pa.bool_())
+        return b.filter(mask)
+
+    out = ds.map_batches(semi, batch_format="pyarrow")
+    return out
+
+
+def q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HLL distinct estimate over events.user_id; rows-only check (the
+    estimate is approximate by construction), but stability is asserted
+    against the exact count within +-5%."""
+    from ..stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    assert abs(est - exact) / max(exact, 1) < 0.05, (est, exact)
+    return pa.table(
+        {
+            "estimate": pa.array([round(est)], type=pa.int64()),
+            "exact": pa.array([exact], type=pa.int64()),
+        }
+    )
+
+
 def q_pattern_scan(sf_dir: str) -> pa.Table:
     """PII/secret-style pattern scan (the training-data hygiene op):
     count docs per lang matching a target pattern, vectorized Arrow
@@ -722,6 +769,8 @@ QUERIES = {
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "pattern_scan": q_pattern_scan,
     "order_lineitem_join": q_order_lineitem_join,
+    "orders_semi_join": q_orders_semi_join,
+    "approx_distinct_users": q_approx_distinct_users,
     "user_sessions": q_user_sessions,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
@@ -817,6 +866,10 @@ ORACLES = {
     "pattern_scan": (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_matching_docs "
         "FROM documents WHERE regexp_matches(text, 'tab[a-z]+') GROUP BY lang"
+    ),
+    "orders_semi_join": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)"
     ),
     "order_lineitem_join": (
         "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "

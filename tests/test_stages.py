@@ -179,3 +179,13 @@ def test_grouped_agg_lowcard(ray_session):
     assert (a["n"], a["s"], a["mn"], a["mx"]) == (3, 8, 1, 4)
     b = out[out["k"] == "b"].iloc[0]
     assert (b["n"], b["s"], b["mn"], b["mx"]) == (2, 7, 2, 5)
+
+
+def test_hll_approx_distinct(ray_session):
+    import ray.data as rd
+
+    from rayenc.stages.sketch import approx_distinct
+
+    t = pa.table({"k": pa.array([f"v{i % 1000}" for i in range(20000)])})
+    est = approx_distinct(rd.from_arrow(t).repartition(4), "k")
+    assert abs(est - 1000) / 1000 < 0.06, est
