@@ -500,6 +500,34 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+def q_top_tokens(sf_dir: str) -> pa.Table:
+    """Distributed word count, top-20: per-batch partial token counts
+    (one row per distinct token per batch — vocabulary-bounded, never
+    row-scale), merged driver-side, deterministic tie-break. At web
+    scale with unbounded vocabularies, swap the exact merge for a
+    Misra-Gries / SpaceSaving heavy-hitters sketch (mergeable like the
+    HLL in stages/sketch.py)."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            b["text"].dropna().str.findall(r"\S+").explode().value_counts()
+        )
+        return pd.DataFrame({"token": counts.index, "c": counts.values})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby("token", sort=False)["c"].sum().reset_index()
+    merged = merged.sort_values(["c", "token"], ascending=[False, True]).head(20)
+    return pa.table(
+        {
+            "token": pa.array(merged["token"], type=pa.string()),
+            "n_occurrences": pa.array(merged["c"].astype("int64")),
+        }
+    )
+
+
 def q_pattern_scan(sf_dir: str) -> pa.Table:
     """PII/secret-style pattern scan (the training-data hygiene op):
     count docs per lang matching a target pattern, vectorized Arrow
@@ -771,6 +799,7 @@ QUERIES = {
     "order_lineitem_join": q_order_lineitem_join,
     "orders_semi_join": q_orders_semi_join,
     "approx_distinct_users": q_approx_distinct_users,
+    "top_tokens": q_top_tokens,
     "user_sessions": q_user_sessions,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
@@ -870,6 +899,11 @@ ORACLES = {
     "orders_semi_join": (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)"
+    ),
+    "top_tokens": (
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM "
+        "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
+        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"
     ),
     "order_lineitem_join": (
         "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
