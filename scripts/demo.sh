@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# End-to-end CLI demo: everything a user of the reference runs today,
+# on the Ray engine. Scratch under /tmp; safe to re-run (resume kicks in).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+D=/tmp/rayenc_demo
+rm -rf "$D"; mkdir -p "$D"
+
+echo "== 1. deterministic corpus =="
+python -m rayenc gen "$D/corpus.parquet" --rows 5000
+
+echo "== 2. optional locality layout (salted repo shuffle) =="
+python -m rayenc layout "$D/corpus.parquet" "$D/layout" --target-rows 1000
+
+echo "== 3. resumable encode job =="
+python -m rayenc encode "$D/layout" "$D/job" --block-rows 1000
+
+echo "== 4. rerun is a no-op (manifest) =="
+python -m rayenc encode "$D/layout" "$D/job" --block-rows 1000
+
+echo "== 5. manifest summary (codec lineage) =="
+python -m rayenc manifest "$D/job"
+
+echo "== 6. sha256 verification =="
+python -m rayenc verify "$D/job"
+
+echo "== 7. ordered decode back to parquet =="
+python -m rayenc decode "$D/job" "$D/decoded" --ordered
+
+echo "== 8. read benchmark (row-by-row vs columnar, touch counter) =="
+python -m rayenc bench-read "$D/corpus.parquet" --iterations 1
+
+echo "== 9. histogram ingestion (js2pq parity) =="
+python - <<'PY'
+from rayenc.histograms import gen_histograms, write_histogram_json
+for i in range(2):
+    write_histogram_json(f"/tmp/rayenc_demo/m{i}.json.gz", gen_histograms(n_series=10, seed=i, metric=f"metric_{i}"))
+PY
+python -m rayenc js2pq "$D"/m0.json.gz "$D"/m1.json.gz "$D/histograms.parquet"
+echo "DEMO OK"
