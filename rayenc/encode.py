@@ -168,6 +168,7 @@ def encode_dataset(
     hash_column: str | None = HASH_COLUMN,
     concurrency: int | tuple[int, int] | None = None,
     forced_codecs: dict[str, str] | None = None,
+    retrial_blocks: int = 16,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -188,6 +189,7 @@ def encode_dataset(
             "level": level,
             "hash_column": hash_column,
             "forced_codecs": forced_codecs,
+            "retrial_blocks": retrial_blocks,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

@@ -676,8 +676,11 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
 
 
 def q_codec_selection_documents(sf_dir: str) -> pa.Table:
+    # retrial_blocks=0: trial every block so lineage is a pure function of
+    # block content (the actor choice cache depends on batch->actor
+    # assignment, which Ray does not order deterministically)
     ds = _docs(sf_dir)
-    blocks = encode_dataset(ds, block_rows=2000, hash_column="text")
+    blocks = encode_dataset(ds, block_rows=2000, hash_column="text", retrial_blocks=0)
     lt = lineage_table(blocks).to_pandas()
     agg = (
         lt.groupby(["column", "codec"])
@@ -697,7 +700,7 @@ def q_codec_selection_documents(sf_dir: str) -> pa.Table:
 
 def q_compression_documents(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir)
-    blocks = encode_dataset(ds, block_rows=2000, hash_column="text")
+    blocks = encode_dataset(ds, block_rows=2000, hash_column="text", retrial_blocks=0)
     rows = blocks.select_columns(["n_rows", "source_bytes", "encoded_bytes"]).take_all()
     src = sum(r["source_bytes"] for r in rows)
     enc = sum(r["encoded_bytes"] for r in rows)
