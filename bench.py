@@ -184,6 +184,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "near_dup_pairs_minhash",
         "knn_brute",
         "embedding_near_dup",
+        "order_lineitem_join",
+        "user_sessions",
+        "events_windowed",
+        "top_tokens",
     ]
     for name in names:
         t0 = time.perf_counter()

@@ -308,11 +308,30 @@ def dedup_minhash(
     id_col: str = "doc_id",
     **kw,
 ) -> "ray.data.Dataset":
-    """Greedy near-dup removal: drop any doc that has a candidate pair
-    with a smaller-id doc (min-id representative survives). Pair list is
-    broadcast (near-dup sets are tiny relative to the corpus)."""
+    """Near-dup removal with TRANSITIVE closure: candidate pairs form a
+    graph; each connected component keeps its min-id representative
+    (A~B, B~C drops both B and C even if A~C never surfaced). The pair
+    set is collected (near-dup graphs are tiny relative to the corpus;
+    at 10^12 scale switch to iterative min-label propagation via groupby
+    rounds — see ROADMAP.md) and the loser set is broadcast."""
     pairs = minhash_candidate_pairs(ds, text_col, id_col, **kw)
-    losers = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min-id becomes the root
+
+    for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
+        union(r["doc_a"], r["doc_b"])
+    losers = {x for x in parent if find(x) != x}
     losers_ref = ray.put(losers)
 
     def drop(batch: pa.Table) -> pa.Table:

@@ -189,3 +189,28 @@ def test_hll_approx_distinct(ray_session):
     t = pa.table({"k": pa.array([f"v{i % 1000}" for i in range(20000)])})
     est = approx_distinct(rd.from_arrow(t).repartition(4), "k")
     assert abs(est - 1000) / 1000 < 0.06, est
+
+
+def test_dedup_minhash_transitive(ray_session):
+    """A~B and B~C must drop BOTH B and C (connected component keeps
+    only the min id), even when A~C never surfaces as a pair."""
+    import ray.data as rd
+
+    from rayenc.stages.dedup import dedup_minhash
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 50], type=pa.int64()),
+            "text": pa.array(
+                [
+                    base,
+                    base.replace("quick", "swift"),
+                    base.replace("quick", "swift").replace("lazy", "idle"),
+                    "completely different words entirely unrelated to anything else here now",
+                ]
+            ),
+        }
+    )
+    kept = dedup_minhash(rd.from_arrow(t), threshold=0.5).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 50]
