@@ -78,6 +78,42 @@ long long fsst_encode(const unsigned char *data, const long long *offsets,
     return t;
 }
 
+/* LSB-first bit packing of uint16 tokens, identical layout to the numpy
+   pack_bits format (width <= 16). out must hold (n*width+7)/8 bytes. */
+void fsst_pack(const unsigned short *tokens, long long n, int width,
+               unsigned char *out) {
+    unsigned int acc = 0;
+    int bits = 0;
+    long long o = 0;
+    for (long long i = 0; i < n; i++) {
+        acc |= ((unsigned int)tokens[i]) << bits;
+        bits += width;
+        while (bits >= 8) {
+            out[o++] = (unsigned char)(acc & 0xff);
+            acc >>= 8;
+            bits -= 8;
+        }
+    }
+    if (bits > 0) out[o++] = (unsigned char)(acc & 0xff);
+}
+
+void fsst_unpack(const unsigned char *in, long long n, int width,
+                 unsigned short *out) {
+    unsigned int acc = 0;
+    int bits = 0;
+    long long ipos = 0;
+    unsigned int mask = (1u << width) - 1u;
+    for (long long i = 0; i < n; i++) {
+        while (bits < width) {
+            acc |= ((unsigned int)in[ipos++]) << bits;
+            bits += 8;
+        }
+        out[i] = (unsigned short)(acc & mask);
+        acc >>= width;
+        bits -= width;
+    }
+}
+
 /* expand tokens back to bytes; out must hold the exact decoded size. */
 long long fsst_decode(const unsigned short *tokens, long long n_tokens,
                       const unsigned char *syms, const unsigned char *sym_lens,
@@ -142,6 +178,10 @@ def get_lib():
     lib.fsst_encode.argtypes = [U8P, LLP, LL, U8P, U8P, ctypes.c_int, U16P, LLP]
     lib.fsst_decode.restype = LL
     lib.fsst_decode.argtypes = [U16P, LL, U8P, U8P, ctypes.c_int, U8P]
+    lib.fsst_pack.restype = None
+    lib.fsst_pack.argtypes = [U16P, LL, ctypes.c_int, U8P]
+    lib.fsst_unpack.restype = None
+    lib.fsst_unpack.argtypes = [U8P, LL, ctypes.c_int, U16P]
     _LIB = lib
     return _LIB
 
@@ -181,6 +221,30 @@ def native_encode(
         out_counts,
     )
     return out_tokens[:total].copy(), out_counts[:n_strings]
+
+
+def native_pack(tokens: np.ndarray, width: int) -> bytes | None:
+    """LSB-first bit packing (identical layout to codecs.util.pack_bits)."""
+    lib = get_lib()
+    if lib is None or width > 16:
+        return None
+    tokens = np.ascontiguousarray(tokens, dtype=np.uint16)
+    n = len(tokens)
+    out = np.zeros((n * width + 7) // 8, dtype=np.uint8)
+    if n:
+        lib.fsst_pack(tokens, n, width, out)
+    return out.tobytes()
+
+
+def native_unpack(buf: bytes, width: int, n: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None or width > 16:
+        return None
+    out = np.empty(max(n, 1), dtype=np.uint16)
+    if n:
+        raw = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+        lib.fsst_unpack(raw, n, width, out)
+    return out[:n]
 
 
 def native_decode(

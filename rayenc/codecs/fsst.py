@@ -234,8 +234,13 @@ class FsstCodec(Codec):
             "ntokens": int(len(tokens)),
             "tmeta": tmeta,
         }
+        packed = _cfsst.native_pack(tokens, w)
+        if packed is None:
+            from .util import pack_bits
+
+            packed = pack_bits(tokens.astype(np.uint64), w)
         sections = {
-            "tokens": pack_bits_z(tokens.astype(np.uint64), w, level),
+            "tokens": zstd_compress(packed, level),
             "token_counts": tbuf,
             "table": zstd_compress(table, level),
         }
@@ -257,7 +262,15 @@ class FsstCodec(Codec):
         self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
     ) -> pa.Array:
         ntok = params["ntokens"]
-        seq = unpack_bits_z(sections["tokens"], params["w"], ntok).astype(np.int64)
+        w = params["w"]
+        raw = zstd_decompress(sections["tokens"], (ntok * w + 7) // 8)
+        seq16 = _cfsst.native_unpack(raw, w, ntok)
+        if seq16 is not None:
+            seq = seq16.astype(np.int64)
+        else:
+            from .util import unpack_bits
+
+            seq = unpack_bits(raw, w, ntok).astype(np.int64)
         token_counts = decode_lengths(params["tmeta"], sections["token_counts"], n)
         symbols = self._symbols(params, sections)
         sym_lens = np.ones(256 + len(symbols), dtype=np.int64)
