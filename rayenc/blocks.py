@@ -227,6 +227,10 @@ def _decode_list(header: dict, validity: np.ndarray | None, sections: dict) -> p
 def _scatter_child(child: pa.Array, validity: np.ndarray, n: int, size: int) -> pa.Array:
     """Place the packed valid-row values into an n*size child (null rows
     get zero/empty filler that sits under the list-level null bitmap)."""
+    if len(child) == 0:
+        # all rows null: pc.take on an empty child would raise; the whole
+        # dense child is filler sitting under the list-level null bitmap
+        return pa.nulls(n * size, child.type)
     positions = np.flatnonzero(np.repeat(validity, size))
     take_idx = np.full(n * size, -1, dtype=np.int64)
     take_idx[positions] = np.arange(len(child))

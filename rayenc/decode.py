@@ -79,6 +79,11 @@ class BlockDecoder:
             tables.append(
                 self.decode_block_row(names, blobs, ids[i], seqs[i], pids[i])
             )
+        if not tables:
+            # zero block rows in this batch (or no col_* survived the
+            # projection): return an empty table rather than letting
+            # concat_tables([]) raise
+            return pa.table({})
         return pa.concat_tables(tables)
 
 

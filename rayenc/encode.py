@@ -133,7 +133,9 @@ class BlockEncoder:
             )
             lineage[name] = choice_info
             out[f"col_{name}"] = pa.array([blob], type=pa.binary())
-            h.update(blob[:64])  # header prefix feeds the block id
+            # full-blob digest: a 64-byte prefix is mostly the fixed JSON
+            # header and collides across distinct blocks of the same shape
+            h.update(hashlib.sha256(blob).digest())
         h.update(n.to_bytes(8, "little"))
         content_hash = ""
         if self.hash_column and self.hash_column in cols:

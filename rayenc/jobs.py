@@ -71,9 +71,11 @@ def plan_partitions(
             acc += md.row_group(rg).total_byte_size
             last = rg == n_rg - 1
             if acc >= max_partition_bytes or last:
-                pid = hashlib.sha256(
-                    f"{os.path.basename(path)}:{start}-{rg}".encode()
-                ).hexdigest()[:16]
+                # full path in the id: two inputs named part-00000.parquet
+                # in different directories must NOT collide (a collision
+                # silently overwrites one partition's blocks and marks the
+                # other committed on resume)
+                pid = hashlib.sha256(f"{path}:{start}-{rg}".encode()).hexdigest()[:16]
                 parts.append(
                     {
                         "partition_id": pid,
