@@ -19,8 +19,6 @@ Two passes:
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -67,10 +65,15 @@ def build_salt_map(
     return out
 
 
-def _stable_hash(values: list[str]) -> np.ndarray:
-    return np.fromiter(
-        (zlib.crc32(v.encode()) for v in values), dtype=np.uint64, count=len(values)
-    )
+def _stable_hash(values: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
+    """Vectorized uint64 per value (batched xxhash; the round-1 per-value
+    crc32 loop sat on the salted giant-repo path). Salt assignment only
+    needs run-internal stability — layout, not identity."""
+    from .stages.hashing import hash_array_64
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values, type=pa.string())
+    return hash_array_64(values, seed=3)
 
 
 def salted_partition(
@@ -106,7 +109,7 @@ def salted_partition(
                 mask = pc.equal(keys_arr, giant).to_numpy(zero_copy_only=False)
                 if mask.any():
                     if h is None:
-                        h = _stable_hash(batch[salt_col].to_pylist())
+                        h = _stable_hash(batch[salt_col])
                     salts[mask] = h[mask] % np.uint64(n_salts)
         if salts.any():
             salt_str = pa.array(

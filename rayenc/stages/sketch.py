@@ -12,33 +12,31 @@ numpy-vectorized per batch; partial registers merge by elementwise max.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
+from .hashing import hash_array_64
 
-def _hash64(values: list) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        key = repr(v).encode() if not isinstance(v, (str, bytes)) else (
-            v.encode() if isinstance(v, str) else v
-        )
-        out[i] = int.from_bytes(
-            hashlib.blake2b(key, digest_size=8).digest(), "little"
-        )
-    return out
+
+def _hash64(values: pa.Array | pa.ChunkedArray | list) -> np.ndarray:
+    """Vectorized uint64 per value (stages.hashing xxhash kernel — the
+    round-1 per-value blake2b Python loop was the HLL hot spot)."""
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values)
+    return hash_array_64(values, seed=7)
 
 
 def hll_partial(values: pa.Array | list, b: int = 12) -> np.ndarray:
     """Registers (2^b uint8) for one batch of values."""
     m = 1 << b
     regs = np.zeros(m, dtype=np.uint8)
-    vals = values.to_pylist() if isinstance(values, (pa.Array, pa.ChunkedArray)) else list(values)
-    vals = [v for v in vals if v is not None]
-    if not vals:
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values)
+    vals = values.drop_null()
+    if len(vals) == 0:
         return regs
     h = _hash64(vals)
     idx = (h >> np.uint64(64 - b)).astype(np.int64)
