@@ -95,7 +95,26 @@ def encode_column(
         arr = arr.combine_chunks()
     if _is_list(arr.type):
         return _encode_list(arr, codec_name, level)
+    if pa.types.is_struct(arr.type):
+        return _encode_struct(arr, codec_name, level)
+    if pa.types.is_map(arr.type):
+        return _encode_map(arr, codec_name, level)
+    if codec_name == "auto":
+        # leaf reached through a composite's "auto": run the selector here
+        from .selector import select_codec
+
+        codec_name = select_codec(arr, level=level).codec
     filled, validity, null_count = prepare_array(arr)
+    if pa.types.is_decimal(arr.type):
+        # zero-copy view of the 16/32-byte decimal words as
+        # fixed_size_binary: codecs see bytes, the header keeps the
+        # decimal type string for bit-identical reconstruction (the
+        # reference's schema converter stops at primitives+struct,
+        # /root/reference/src/schema.rs:87-108; decimals are our ask)
+        w = arr.type.byte_width
+        filled = pa.Array.from_buffers(
+            pa.binary(w), len(filled), [None, filled.buffers()[1]]
+        )
     codec = get_codec(codec_name)
     params, sections = codec.encode(filled, level)
     vbuf = (
@@ -139,8 +158,22 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
         pos += length
     if header["codec"] == "list":
         return _decode_list(header, validity, sections)
+    if header["codec"] == "struct":
+        return _decode_struct(header, validity, sections)
     typ = type_from_str(header["type"])
     codec = get_codec(header["codec"])
+    if pa.types.is_decimal(typ):
+        fsb = codec.decode(header["params"], sections, n, pa.binary(typ.byte_width))
+        if fsb.offset != 0:
+            fsb = pa.concat_arrays([fsb])
+        vbuf = (
+            pa.py_buffer(
+                np.packbits(validity.astype(np.uint8), bitorder="little").tobytes()
+            )
+            if validity is not None
+            else None
+        )
+        return pa.Array.from_buffers(typ, n, [vbuf, fsb.buffers()[1]])
     decoded = codec.decode(header["params"], sections, n, typ)
     if validity is not None:
         decoded = restore_nulls(decoded, validity)
@@ -215,12 +248,111 @@ def _decode_list(header: dict, validity: np.ndarray | None, sections: dict) -> p
             full = _scatter_child(child, validity, n, size)
         return pa.Array.from_buffers(typ, n, [vbuf], children=[full])
     large = header["type"] == "large_list"
-    typ = pa.large_list(field) if large else pa.list_(field)
     off_dtype = np.int64 if large else np.int32
     offsets = np.zeros(n + 1, dtype=off_dtype)
     np.cumsum(lengths, out=offsets[1:])
+    if header["type"] == "map":
+        mt = params["map_type"]
+        kt, it = type_from_str(mt["key"]), type_from_str(mt["item"])
+        typ = pa.map_(kt, it, keys_sorted=mt["keys_sorted"])
+        # the generic struct decode yields nullable fields; the map type
+        # demands its exact entries type (key non-null) — rebuild the
+        # child around the same buffers so scalar access doesn't trip
+        # Arrow's type check
+        entries_t = pa.struct([pa.field("key", kt, nullable=False), pa.field("value", it)])
+        if child.type != entries_t:
+            child = pa.Array.from_buffers(
+                entries_t, len(child), [None], children=[child.field(0), child.field(1)]
+            )
+    else:
+        typ = pa.large_list(field) if large else pa.list_(field)
     return pa.Array.from_buffers(
         typ, n, [vbuf, pa.py_buffer(offsets.tobytes())], children=[child]
+    )
+
+
+def _encode_struct(arr: pa.Array, child_codec: str, level: int = 3) -> bytes:
+    """Struct columns: one recursively encoded child block per field +
+    the struct-level validity bitmap (the reference's struct conversion,
+    /root/reference/src/schema.rs:100-107, generalized to arbitrary
+    nesting). `child_codec` applies to every field, falling back to
+    plain per field; "auto" runs the selector per field (children are
+    self-describing blobs, so heterogeneous choices are free)."""
+    t = arr.type
+    n = len(arr)
+    null_count = arr.null_count
+    validity = (
+        pc.is_valid(arr).to_numpy(zero_copy_only=False) if null_count else None
+    )
+    names = [t.field(i).name for i in range(t.num_fields)]
+    blobs: list[bytes] = []
+    for i in range(t.num_fields):
+        child = arr.field(i)
+        if child_codec == "auto":
+            from .selector import encode_column_auto
+
+            blob, _ = encode_column_auto(child, level)
+        else:
+            try:
+                blob = encode_column(child, child_codec, level)
+            except Exception:
+                blob = encode_column(child, "plain", level)
+        blobs.append(blob)
+    header = {
+        "codec": "struct",
+        "n": n,
+        "type": "struct",
+        "null_count": int(null_count),
+        "params": {"fields": names},
+        "sections": {f"f{i}": len(b) for i, b in enumerate(blobs)},
+    }
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    vbuf = (
+        np.packbits(validity.astype(np.uint8), bitorder="little").tobytes()
+        if null_count
+        else b""
+    )
+    return b"".join([_MAGIC, len(hjson).to_bytes(4, "little"), hjson, vbuf, *blobs])
+
+
+def _decode_struct(header: dict, validity: np.ndarray | None, sections: dict) -> pa.Array:
+    names = header["params"]["fields"]
+    children = [decode_column(sections[f"f{i}"]) for i in range(len(names))]
+    mask = pa.array(~validity) if validity is not None else None
+    return pa.StructArray.from_arrays(children, names, mask=mask)
+
+
+def _encode_map(arr: pa.Array, child_codec: str, level: int = 3) -> bytes:
+    """Map columns ride the list machinery: cast to list<struct<key,value>>
+    (zero-copy layout change), encode as a list block whose header says
+    "map"; decode rebuilds the list then reinterprets its buffers as a
+    MapArray (same physical layout)."""
+    t = arr.type
+    lt = pa.list_(
+        pa.field(
+            "entries",
+            pa.struct(
+                [
+                    pa.field("key", t.key_type, nullable=False),
+                    pa.field("value", t.item_type),
+                ]
+            ),
+        )
+    )
+    blob = _encode_list(arr.cast(lt), child_codec, level)
+    # rewrite the header kind to "map" + remember the exact map type
+    blob_v = memoryview(blob)
+    hlen = int.from_bytes(blob_v[4:8], "little")
+    header = json.loads(bytes(blob_v[8 : 8 + hlen]))
+    header["type"] = "map"
+    header["params"]["map_type"] = {
+        "key": type_to_str(t.key_type),
+        "item": type_to_str(t.item_type),
+        "keys_sorted": bool(t.keys_sorted),
+    }
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    return b"".join(
+        [_MAGIC, len(hjson).to_bytes(4, "little"), hjson, bytes(blob_v[8 + hlen :])]
     )
 
 

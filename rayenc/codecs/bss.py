@@ -20,9 +20,17 @@ class ByteStreamSplitCodec(Codec):
     name = "bss"
 
     def supports(self, t: pa.DataType) -> bool:
-        return is_floatlike(t) or is_intlike(t)
+        return is_floatlike(t) or is_intlike(t) or pa.types.is_fixed_size_binary(t)
 
     def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
+        if pa.types.is_fixed_size_binary(arr.type):
+            # decimal words arrive as fsb: split their byte planes too —
+            # high-order bytes are mostly sign-extension and compress away
+            k = arr.type.byte_width
+            raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            raw = raw[arr.offset * k : (arr.offset + len(arr)) * k]
+            planes = np.ascontiguousarray(raw.reshape(-1, k).T)
+            return {"itemsize": k}, {"planes": zstd_compress(planes, level)}
         if is_intlike(arr.type):
             v = int_view(arr)
         else:
@@ -38,6 +46,10 @@ class ByteStreamSplitCodec(Codec):
         raw = zstd_decompress(sections["planes"], n * k)
         planes = np.frombuffer(raw, dtype=np.uint8).reshape(k, n)
         interleaved = np.ascontiguousarray(planes.T).reshape(-1)
+        if pa.types.is_fixed_size_binary(typ):
+            return pa.Array.from_buffers(
+                typ, n, [None, pa.py_buffer(interleaved.tobytes())]
+            )
         if is_intlike(typ):
             dt = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}[k]
             return int_array_from(interleaved.view(dt), typ)

@@ -159,6 +159,10 @@ def type_from_str(s: str) -> pa.DataType:
             tz = tz.strip().removeprefix("tz=")
             return pa.timestamp(unit.strip(), tz=tz)
         return pa.timestamp(inner.strip())
+    if s.startswith("decimal128(") or s.startswith("decimal256("):
+        ctor = pa.decimal128 if s.startswith("decimal128") else pa.decimal256
+        prec, scale = s[s.index("(") + 1 : -1].split(",")
+        return ctor(int(prec), int(scale))
     raise ValueError(f"unsupported arrow type string: {s!r}")
 
 

@@ -59,6 +59,83 @@ def q_roundtrip_documents_projected(sf_dir: str):
     return decode_dataset(blocks, columns=["doc_id", "lang"])
 
 
+def q_roundtrip_structs(sf_dir: str):
+    """Struct-column round-trip with a hash-match oracle: pack each
+    document's (lang, source, n_chars) into ONE struct column, push it
+    through encode->decode (struct container + per-field auto codecs),
+    then flatten back so the oracle is a plain column SELECT."""
+    from ..decode import decode_dataset
+    from ..encode import encode_dataset
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        meta = pa.StructArray.from_arrays(
+            [
+                b["lang"].combine_chunks() if isinstance(b["lang"], pa.ChunkedArray) else b["lang"],
+                b["source"].combine_chunks() if isinstance(b["source"], pa.ChunkedArray) else b["source"],
+                b["n_chars"].combine_chunks() if isinstance(b["n_chars"], pa.ChunkedArray) else b["n_chars"],
+            ],
+            ["lang", "source", "n_chars"],
+        )
+        return pa.table({"doc_id": b["doc_id"], "meta": meta})
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    blocks = encode_dataset(packed, block_rows=2000, hash_column=None)
+    decoded = decode_dataset(blocks)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        meta = b["meta"]
+        meta = meta.combine_chunks() if isinstance(meta, pa.ChunkedArray) else meta
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": meta.field("lang"),
+                "source": meta.field("source"),
+                "n_chars": meta.field("n_chars"),
+            }
+        )
+
+    return decoded.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_roundtrip_decimal(sf_dir: str):
+    """Decimal round-trip: l_extendedprice cast to DECIMAL(12,2), encoded
+    through the fsb/bss decimal path, decoded, returned as a STRING so
+    the value-hash compare is representation-stable across engines."""
+    from ..decode import decode_dataset
+    from ..encode import encode_dataset
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def cast_dec(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "price_dec": b["l_extendedprice"].cast(pa.decimal128(12, 2)),
+            }
+        )
+
+    blocks = encode_dataset(
+        ds.map_batches(cast_dec, batch_format="pyarrow"), block_rows=4000, hash_column=None
+    )
+    decoded = decode_dataset(blocks)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "price_str": b["price_dec"].cast(pa.string()),
+            }
+        )
+
+    return decoded.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_roundtrip_embeddings(sf_dir: str):
     """Nested-list round-trip: embedding is list<float> (the reference's
     List payload model, /root/reference/src/schema.rs:13-34)."""
@@ -881,6 +958,8 @@ QUERIES = {
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "roundtrip_documents_projected": q_roundtrip_documents_projected,
+    "roundtrip_structs": q_roundtrip_structs,
+    "roundtrip_decimal": q_roundtrip_decimal,
     "selector_stats_by_lang": q_selector_stats_by_lang,
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
@@ -925,6 +1004,12 @@ ORACLES = {
     ),
     "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
     "roundtrip_documents_projected": "SELECT doc_id, lang FROM documents",
+    "roundtrip_structs": "SELECT doc_id, lang, source, n_chars FROM documents",
+    "roundtrip_decimal": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str "
+        "FROM lineitem"
+    ),
     "selector_stats_by_lang": (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "

@@ -118,6 +118,8 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
             cands.append("dict")
         if rr < 0.6:
             cands.append("rle")
+    elif pa.types.is_decimal(t):
+        cands.append("bss")  # byte planes: sign-extension bytes vanish
     # bool / fixed_size_binary fall through with ["plain"] only
     return cands
 
@@ -185,12 +187,31 @@ def encode_column_auto(
     (e.g. bitpack chosen on a non-negative sample but the tail has a
     negative value)."""
     t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        # composites: selection happens per child field inside the block
+        # encoder (children are self-describing blobs)
+        blob = encode_column(arr, "auto", level)
+        return blob, Choice(
+            "auto", {"n_sample": len(arr)}, {}, "composite: per-field auto selection"
+        )
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
         child = pc.list_flatten(
             arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         )
-        choice = select_codec(child, sample_rows, level)
-        choice.reason = f"child-values selection: {choice.reason}"
+        ct = child.type
+        if (
+            pa.types.is_struct(ct)
+            or pa.types.is_map(ct)
+            or pa.types.is_list(ct)
+            or pa.types.is_large_list(ct)
+            or pa.types.is_fixed_size_list(ct)
+        ):
+            choice = Choice(
+                "auto", {"n_sample": len(child)}, {}, "nested child: per-field auto"
+            )
+        else:
+            choice = select_codec(child, sample_rows, level)
+            choice.reason = f"child-values selection: {choice.reason}"
     else:
         choice = select_codec(arr, sample_rows, level)
     try:
