@@ -136,8 +136,8 @@ def encode_column(
     return b"".join(parts)
 
 
-def decode_column(blob: bytes | memoryview) -> pa.Array:
-    """Decode a block blob back to the original arrow array (bit-identical)."""
+def _parse_block(blob: bytes | memoryview) -> tuple[dict, np.ndarray | None, dict]:
+    """Split a blob into (header, validity bool array or None, sections)."""
     blob = memoryview(blob)
     if bytes(blob[:4]) != _MAGIC:
         raise ValueError("not a RYB1 block")
@@ -145,9 +145,8 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
     header = json.loads(bytes(blob[8 : 8 + hlen]))
     n = header["n"]
     pos = 8 + hlen
-    null_count = header["null_count"]
     validity = None
-    if null_count:
+    if header["null_count"]:
         vlen = (n + 7) // 8
         vbits = np.frombuffer(blob[pos : pos + vlen], dtype=np.uint8)
         validity = np.unpackbits(vbits, count=n, bitorder="little").astype(bool)
@@ -156,6 +155,13 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
     for name, length in header["sections"].items():
         sections[name] = bytes(blob[pos : pos + length])
         pos += length
+    return header, validity, sections
+
+
+def decode_column(blob: bytes | memoryview) -> pa.Array:
+    """Decode a block blob back to the original arrow array (bit-identical)."""
+    header, validity, sections = _parse_block(blob)
+    n = header["n"]
     if header["codec"] == "list":
         return _decode_list(header, validity, sections)
     if header["codec"] == "struct":
@@ -178,6 +184,118 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
     if validity is not None:
         decoded = restore_nulls(decoded, validity)
     return decoded
+
+
+def decode_rows(blob: bytes | memoryview, indices) -> pa.Array:
+    """Random-access decode: only the requested row positions, in the
+    given order (FSST's headline property, VLDB 2020 §1; the reference's
+    selective typed reads, /root/reference/src/bin/parqbench/main.rs:276-333).
+
+    Codecs with cheap partial paths (dict, fsst) expand only the selected
+    rows' payloads; others fall back to full decode + take. Nested
+    blocks recurse with remapped child indices."""
+    indices = np.asarray(indices, dtype=np.int64)
+    header, validity, sections = _parse_block(blob)
+    n = header["n"]
+    if np.any((indices < 0) | (indices >= n)):
+        raise IndexError(f"row index out of range for block of {n} rows")
+    codec_name = header["codec"]
+    sub_validity = validity[indices] if validity is not None else None
+    if codec_name == "struct":
+        names = header["params"]["fields"]
+        children = [decode_rows(sections[f"f{i}"], indices) for i in range(len(names))]
+        mask = pa.array(~sub_validity) if sub_validity is not None else None
+        return pa.StructArray.from_arrays(children, names, mask=mask)
+    if codec_name == "list":
+        return _decode_list_rows(header, validity, sections, indices)
+    typ = type_from_str(header["type"])
+    codec = get_codec(codec_name)
+    if pa.types.is_decimal(typ):
+        fsb = codec.decode_rows(
+            header["params"], sections, n, pa.binary(typ.byte_width), indices
+        )
+        if fsb.offset != 0:
+            fsb = pa.concat_arrays([fsb])
+        vbuf = (
+            pa.py_buffer(
+                np.packbits(sub_validity.astype(np.uint8), bitorder="little").tobytes()
+            )
+            if sub_validity is not None
+            else None
+        )
+        return pa.Array.from_buffers(typ, len(indices), [vbuf, fsb.buffers()[1]])
+    decoded = codec.decode_rows(header["params"], sections, n, typ, indices)
+    if sub_validity is not None:
+        decoded = restore_nulls(decoded, sub_validity)
+    return decoded
+
+
+def _decode_list_rows(
+    header: dict, validity: np.ndarray | None, sections: dict, indices: np.ndarray
+) -> pa.Array:
+    """Selected rows of a list/fixed_size_list/map block: decode the
+    (cheap, int) lengths fully, map row indices to child value ranges,
+    recurse into the child blob with the expanded positions."""
+    from .codecs.util import decode_lengths
+
+    n = header["n"]
+    params = header["params"]
+    kind = header["type"]
+    k = len(indices)
+    if kind == "fixed_size_list":
+        size = params["list_size"]
+        if validity is None:
+            lengths = np.full(n, size, dtype=np.int64)
+        else:
+            lengths = np.where(validity, size, 0).astype(np.int64)
+    else:
+        lengths = decode_lengths(params["lmeta"], sections["lengths"], n)
+    child_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=child_off[1:])
+    sel_lens = lengths[indices]
+    total = int(sel_lens.sum())
+    if total:
+        base = np.repeat(child_off[indices], sel_lens)
+        out_start = np.zeros(k, dtype=np.int64)
+        np.cumsum(sel_lens[:-1], out=out_start[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, sel_lens)
+        child_idx = base + within
+        child = decode_rows(sections["child"], child_idx)
+    else:
+        child = decode_rows(sections["child"], np.empty(0, dtype=np.int64)).slice(0, 0)
+    sub_validity = validity[indices] if validity is not None else None
+    vbuf = (
+        pa.py_buffer(
+            np.packbits(sub_validity.astype(np.uint8), bitorder="little").tobytes()
+        )
+        if sub_validity is not None
+        else None
+    )
+    field = pa.field(params["child_field"], child.type)
+    if kind == "fixed_size_list":
+        size = params["list_size"]
+        typ = pa.list_(field, size)
+        if sub_validity is None:
+            dense = child
+        else:
+            dense = _scatter_child(child, sub_validity, k, size)
+        return pa.Array.from_buffers(typ, k, [vbuf], children=[dense])
+    offsets = np.zeros(k + 1, dtype=np.int64 if kind == "large_list" else np.int32)
+    np.cumsum(sel_lens, out=offsets[1:])
+    if kind == "map":
+        mt = params["map_type"]
+        kt, it = type_from_str(mt["key"]), type_from_str(mt["item"])
+        typ = pa.map_(kt, it, keys_sorted=mt["keys_sorted"])
+        entries_t = pa.struct([pa.field("key", kt, nullable=False), pa.field("value", it)])
+        if child.type != entries_t:
+            child = pa.Array.from_buffers(
+                entries_t, len(child), [None], children=[child.field(0), child.field(1)]
+            )
+    else:
+        typ = pa.large_list(field) if kind == "large_list" else pa.list_(field)
+    return pa.Array.from_buffers(
+        typ, k, [vbuf, pa.py_buffer(offsets.tobytes())], children=[child]
+    )
 
 
 def _encode_list(arr: pa.Array, child_codec: str, level: int = 3) -> bytes:

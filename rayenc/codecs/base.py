@@ -74,3 +74,17 @@ class Codec(ABC):
     def decode(
         self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
     ) -> pa.Array: ...
+
+    def decode_rows(
+        self,
+        params: dict,
+        sections: dict[str, bytes],
+        n: int,
+        typ: pa.DataType,
+        indices: np.ndarray,
+    ) -> pa.Array:
+        """Random-access decode of selected positions, in the given
+        order. Default: full decode + take; codecs with cheap partial
+        paths (dict, fsst) override to expand only the selected rows."""
+        full = self.decode(params, sections, n, typ)
+        return full.take(pa.array(np.asarray(indices, dtype=np.int64)))

@@ -85,3 +85,15 @@ class DictionaryCodec(Codec):
         values = decode_dict_values(params, sections, card, typ)
         idx = unpack_bits_z(sections["indices"], params["w"], n).astype(np.int64)
         return pc.take(values, pa.array(idx, type=pa.int64()))
+
+    def decode_rows(
+        self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType, indices
+    ) -> pa.Array:
+        """Partial path: unpack the (cheap, int) code stream, take only
+        the selected codes, gather from the small value dictionary — the
+        full value column is never materialized."""
+        card = params["card"]
+        values = decode_dict_values(params, sections, card, typ)
+        idx = unpack_bits_z(sections["indices"], params["w"], n).astype(np.int64)
+        sel = idx[np.asarray(indices, dtype=np.int64)]
+        return pc.take(values, pa.array(sel, type=pa.int64()))

@@ -258,9 +258,12 @@ class FsstCodec(Codec):
             pos += L
         return out
 
-    def decode(
-        self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
-    ) -> pa.Array:
+    def _token_stream(
+        self, params: dict, sections: dict[str, bytes], n: int
+    ) -> tuple[np.ndarray, np.ndarray, list[bytes], np.ndarray]:
+        """(token seq, per-row token counts, symbols, per-code byte lens) —
+        the cheap integer skeleton of the block, shared by full and
+        random-access decode."""
         ntok = params["ntokens"]
         w = params["w"]
         raw = zstd_decompress(sections["tokens"], (ntok * w + 7) // 8)
@@ -276,11 +279,15 @@ class FsstCodec(Codec):
         sym_lens = np.ones(256 + len(symbols), dtype=np.int64)
         for i, s in enumerate(symbols):
             sym_lens[256 + i] = len(s)
+        return seq, token_counts, symbols, sym_lens
+
+    @staticmethod
+    def _expand(seq: np.ndarray, symbols: list[bytes], sym_lens: np.ndarray):
+        """Token sequence -> (byte stream, token-boundary cumsum)."""
         out_lens = sym_lens[seq]
-        cs = np.zeros(ntok + 1, dtype=np.int64)
+        cs = np.zeros(len(seq) + 1, dtype=np.int64)
         np.cumsum(out_lens, out=cs[1:])
         total_out = int(cs[-1])
-
         data = _cfsst.native_decode(seq.astype(np.uint16), symbols, total_out)
         if data is None:
             # numpy gather fallback: literals 0..255 + symbol payloads
@@ -295,8 +302,41 @@ class FsstCodec(Codec):
             within = np.arange(total_out, dtype=np.int64) - base
             src = np.repeat(sym_off[:-1][seq], out_lens) + within
             data = sym_data[src]
+        return data, cs
 
+    def decode(
+        self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
+    ) -> pa.Array:
+        seq, token_counts, symbols, sym_lens = self._token_stream(params, sections, n)
+        data, cs = self._expand(seq, symbols, sym_lens)
         tok_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(token_counts, out=tok_off[1:])
         str_lens = cs[tok_off[1:]] - cs[tok_off[:-1]]
+        return strings_from_parts(data, str_lens, typ)
+
+    def decode_rows(
+        self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType, indices
+    ) -> pa.Array:
+        """FSST's headline property (VLDB 2020 §1): decode only the
+        selected rows — the token skeleton is unpacked (cheap ints), but
+        byte expansion runs over just the chosen rows' token ranges."""
+        indices = np.asarray(indices, dtype=np.int64)
+        seq, token_counts, symbols, sym_lens = self._token_stream(params, sections, n)
+        tok_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(token_counts, out=tok_off[1:])
+        counts_sel = token_counts[indices]
+        total_tok = int(counts_sel.sum())
+        if total_tok:
+            out_start = np.zeros(len(indices), dtype=np.int64)
+            np.cumsum(counts_sel[:-1], out=out_start[1:])
+            within = np.arange(total_tok, dtype=np.int64) - np.repeat(
+                out_start, counts_sel
+            )
+            sel_seq = seq[np.repeat(tok_off[indices], counts_sel) + within]
+        else:
+            sel_seq = np.empty(0, dtype=np.int64)
+        data, cs = self._expand(sel_seq, symbols, sym_lens)
+        sel_off = np.zeros(len(indices) + 1, dtype=np.int64)
+        np.cumsum(counts_sel, out=sel_off[1:])
+        str_lens = cs[sel_off[1:]] - cs[sel_off[:-1]]
         return strings_from_parts(data, str_lens, typ)

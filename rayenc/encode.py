@@ -35,6 +35,74 @@ from .selector import encode_column_auto
 
 DEFAULT_BLOCK_ROWS = 8192
 HASH_COLUMN = "content"
+_ZONE_STR_CAP = 64  # truncate long string bounds in the zone map
+
+
+def _zone_jsonable(v):
+    """Scalar -> json-able zone bound (timestamps/dates as epoch ints)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8", "surrogateescape")[:_ZONE_STR_CAP]
+        except Exception:
+            return None
+    # pa scalar leftovers (timestamp/date/decimal): integer view or skip
+    try:
+        return int(v.value)  # datetime.datetime via pa cast path not hit
+    except Exception:
+        return None
+
+
+def _bound_max_str(s: str) -> str | None:
+    """A valid UPPER bound for a truncated string max: take the prefix and
+    increment its last code point (a bare prefix would under-bound). None
+    if no increment is possible (all chars at the cap)."""
+    if len(s) <= _ZONE_STR_CAP:
+        return s
+    p = s[:_ZONE_STR_CAP]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
+
+
+def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
+    """min/max/null_count for one column chunk, or None when the type has
+    no meaningful ordering (nested, binary blobs). The reference exposes
+    stats granularity none/chunk/page as a CLI axis
+    (/root/reference/src/bin/js2pq/main.rs:18-26,85-89); blocks are our
+    'page'."""
+    t = arr.type
+    if not (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_boolean(t)
+    ):
+        return None
+    import pyarrow.compute as pc
+
+    nc = arr.null_count
+    if len(arr) - nc == 0:
+        return {"min": None, "max": None, "null_count": int(nc)}
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        view = arr.cast(pa.int64())
+        mm = pc.min_max(view)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    else:
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if isinstance(lo, str):
+        lo = lo[:_ZONE_STR_CAP]  # prefix is a valid lower bound
+        hi = _bound_max_str(hi)
+    return {"min": _zone_jsonable(lo), "max": _zone_jsonable(hi), "null_count": int(nc)}
 
 
 def default_pool_size() -> int:
@@ -68,12 +136,16 @@ class BlockEncoder:
         hash_column: str | None = HASH_COLUMN,
         forced_codecs: dict[str, str] | None = None,
         retrial_blocks: int = 16,
+        stats: str = "block",
     ):
         self.columns = columns
         self.level = level
         self.sample_rows = sample_rows
         self.hash_column = hash_column
         self.forced_codecs = forced_codecs or {}
+        if stats not in ("none", "block"):
+            raise ValueError(f"stats must be 'none' or 'block', got {stats!r}")
+        self.stats = stats
         self.blocks_done = 0
         self.rows_done = 0
         # per-column codec choice cache: trial selection runs on the first
@@ -97,11 +169,16 @@ class BlockEncoder:
         n = batch.num_rows
         out: dict[str, Any] = {}
         lineage: dict[str, Any] = {}
+        zones: dict[str, dict] = {}
         src_bytes = 0
         enc_bytes = 0
         h = hashlib.sha256()
         for name in cols:
             arr = batch[name]
+            if self.stats == "block":
+                z = column_zone(arr)
+                if z is not None:
+                    zones[name] = z
             t0 = time.perf_counter()
             forced = self.forced_codecs.get(name)
             cached = self._cached.get(name)
@@ -154,6 +231,7 @@ class BlockEncoder:
             "encoded_bytes": pa.array([enc_bytes], type=pa.int64()),
             "content_sha256": pa.array([content_hash]),
             "lineage": pa.array([json.dumps(lineage, separators=(",", ":"))]),
+            "zonemap": pa.array([json.dumps(zones, separators=(",", ":"))]),
         }
         meta.update(out)
         return pa.table(meta)
@@ -171,6 +249,7 @@ def encode_dataset(
     concurrency: int | tuple[int, int] | None = None,
     forced_codecs: dict[str, str] | None = None,
     retrial_blocks: int = 16,
+    stats: str = "block",
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -192,6 +271,7 @@ def encode_dataset(
             "hash_column": hash_column,
             "forced_codecs": forced_codecs,
             "retrial_blocks": retrial_blocks,
+            "stats": stats,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

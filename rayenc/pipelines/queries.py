@@ -136,6 +136,23 @@ def q_roundtrip_decimal(sf_dir: str):
     return decoded.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_zonemap_filtered_decode(sf_dir: str):
+    """Predicate-pushdown decode: per-block min/max zone maps prune
+    blocks before any blob ships (asserted: strictly fewer blocks
+    decoded), then the exact row filter runs after decode. Oracle is the
+    equivalent WHERE clause."""
+    from ..decode import count_decoded_blocks, decode_dataset
+    from ..encode import encode_dataset
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    # small blocks so even the 500-row sf0.001 table spans several zones
+    blocks = encode_dataset(ds, block_rows=100, hash_column=None).materialize()
+    pred = [("doc_id", "<", 100)]
+    counts = count_decoded_blocks(blocks, pred)
+    assert counts["decoded_blocks"] < counts["total_blocks"], counts
+    return decode_dataset(blocks, filter=pred)
+
+
 def q_roundtrip_embeddings(sf_dir: str):
     """Nested-list round-trip: embedding is list<float> (the reference's
     List payload model, /root/reference/src/schema.rs:13-34)."""
@@ -960,6 +977,7 @@ QUERIES = {
     "roundtrip_documents_projected": q_roundtrip_documents_projected,
     "roundtrip_structs": q_roundtrip_structs,
     "roundtrip_decimal": q_roundtrip_decimal,
+    "zonemap_filtered_decode": q_zonemap_filtered_decode,
     "selector_stats_by_lang": q_selector_stats_by_lang,
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
@@ -1005,6 +1023,9 @@ ORACLES = {
     "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
     "roundtrip_documents_projected": "SELECT doc_id, lang FROM documents",
     "roundtrip_structs": "SELECT doc_id, lang, source, n_chars FROM documents",
+    "zonemap_filtered_decode": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100"
+    ),
     "roundtrip_decimal": (
         "SELECT l_orderkey, l_linenumber, "
         "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str "

@@ -1,0 +1,113 @@
+"""Zone maps + predicate-pushdown decode (reference stats-granularity
+axis, /root/reference/src/bin/js2pq/main.rs:18-26, at block level)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from rayenc.decode import zone_may_match
+from rayenc.encode import BlockEncoder, _bound_max_str, column_zone
+
+
+def test_column_zone_ints_and_nulls():
+    z = column_zone(pa.array([5, 1, None, 9], type=pa.int64()))
+    assert z == {"min": 1, "max": 9, "null_count": 1}
+
+
+def test_column_zone_all_null():
+    z = column_zone(pa.array([None, None], type=pa.int64()))
+    assert z["min"] is None and z["max"] is None and z["null_count"] == 2
+
+
+def test_column_zone_strings_truncated():
+    long = "x" * 200
+    z = column_zone(pa.array(["abc", long]))
+    assert z["min"] == "abc"
+    # truncated max must still upper-bound the true max
+    assert z["max"] is not None and z["max"] >= long[:64]
+    assert len(z["max"]) <= 64
+
+
+def test_bound_max_str_increments():
+    s = "a" * 100
+    b = _bound_max_str(s)
+    assert b is not None and b > s
+
+
+def test_column_zone_timestamp_as_int():
+    arr = pa.array([1_000_000, 2_000_000], type=pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    z = column_zone(arr)
+    assert z == {"min": 1_000_000, "max": 2_000_000, "null_count": 0}
+
+
+def test_column_zone_nested_is_none():
+    assert column_zone(pa.array([[1, 2]], type=pa.list_(pa.int64()))) is None
+
+
+@pytest.mark.parametrize(
+    "zone,pred,expected",
+    [
+        ({"x": {"min": 10, "max": 20, "null_count": 0}}, ("x", "<", 5), False),
+        ({"x": {"min": 10, "max": 20, "null_count": 0}}, ("x", "<", 15), True),
+        ({"x": {"min": 10, "max": 20, "null_count": 0}}, ("x", ">", 20), False),
+        ({"x": {"min": 10, "max": 20, "null_count": 0}}, ("x", ">=", 20), True),
+        ({"x": {"min": 10, "max": 20, "null_count": 0}}, ("x", "==", 25), False),
+        ({"x": {"min": 10, "max": 20, "null_count": 0}}, ("x", "==", 15), True),
+        ({"x": {"min": None, "max": None, "null_count": 4}}, ("x", "==", 1), False),
+        ({}, ("x", "==", 1), True),  # no stats -> never prune
+    ],
+)
+def test_zone_may_match(zone, pred, expected):
+    assert zone_may_match(zone, [pred]) is expected
+
+
+def test_block_encoder_emits_zonemap():
+    enc = BlockEncoder(hash_column=None)
+    t = pa.table(
+        {
+            "a": pa.array([3, 1, 2], type=pa.int64()),
+            "s": pa.array(["b", "a", "c"]),
+        }
+    )
+    row = enc.encode_table(t)
+    zm = json.loads(row["zonemap"][0].as_py())
+    assert zm["a"] == {"min": 1, "max": 3, "null_count": 0}
+    assert zm["s"] == {"min": "a", "max": "c", "null_count": 0}
+
+
+def test_stats_none_emits_empty_zonemap():
+    enc = BlockEncoder(hash_column=None, stats="none")
+    t = pa.table({"a": pa.array([1], type=pa.int64())})
+    row = enc.encode_table(t)
+    assert json.loads(row["zonemap"][0].as_py()) == {}
+
+
+def test_filtered_decode_roundtrip(ray_session):
+    import ray.data as rd
+
+    from rayenc.decode import count_decoded_blocks, decode_dataset
+    from rayenc.encode import encode_dataset
+
+    t = pa.table(
+        {
+            "k": pa.array(range(1000), type=pa.int64()),
+            "v": pa.array([f"val{i}" for i in range(1000)]),
+        }
+    )
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=100, hash_column=None, concurrency=2
+    ).materialize()
+    pred = [("k", ">=", 900)]
+    counts = count_decoded_blocks(blocks, pred)
+    assert counts["decoded_blocks"] < counts["total_blocks"]
+    out = pa.concat_tables(
+        decode_dataset(blocks, filter=pred, concurrency=2).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ).sort_by("k")
+    assert out.equals(t.filter(pa.compute.greater_equal(t["k"], 900)))
