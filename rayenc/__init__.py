@@ -14,11 +14,12 @@ IMPORTANT: this package never calls ray.init()/ray.shutdown() — the
 driver, bench.py and the test fixture own the Ray session.
 """
 
-from .blocks import decode_column, encode_column
+from .blocks import decode_column, decode_rows, encode_column
 from .selector import encode_column_auto, select_codec
 from .encode import BlockEncoder, encode_dataset, lineage_table
-from .decode import BlockDecoder, decode_dataset, decode_ordered
-from .jobs import plan_partitions, run_encode_job
+from .decode import (BlockDecoder, attach_global_row_numbers, count_decoded_blocks,
+                     decode_dataset, decode_ordered, prune_blocks)
+from .jobs import encode_dataset_ordered, plan_partitions, run_encode_job
 from .partition import locality_encode, salted_partition
 from .manifest import Manifest
 from .verify import reference_parquet_bytes, tables_bit_identical, verify_blocks
@@ -34,6 +35,11 @@ __all__ = [
     "BlockDecoder",
     "decode_dataset",
     "decode_ordered",
+    "attach_global_row_numbers",
+    "count_decoded_blocks",
+    "prune_blocks",
+    "encode_dataset_ordered",
+    "decode_rows",
     "salted_partition",
     "locality_encode",
     "plan_partitions",

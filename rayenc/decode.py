@@ -230,6 +230,54 @@ def count_decoded_blocks(
     return {"total_blocks": total, "decoded_blocks": kept}
 
 
+def attach_global_row_numbers(
+    blocks: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    rn_col: str = "rn",
+    base: int = 1,
+) -> "ray.data.Dataset":
+    """Decode with a GLOBAL source row number attached — without any
+    shuffle or sort: a control-plane pass over the block metadata
+    ((partition_seq, block_seq, n_rows) — a few bytes per block) builds
+    the exclusive-cumsum offset map, broadcast once; each decoded row's
+    rn = offset[its block] + row_in_block. Requires ordered blocks
+    (rayenc.jobs.encode_dataset_ordered or the resumable job)."""
+    import numpy as np
+
+    import ray as _ray
+
+    meta = blocks.select_columns(["partition_seq", "block_seq", "n_rows"]).take_all()
+    meta.sort(key=lambda r: (r["partition_seq"], r["block_seq"]))
+    offsets: dict = {}
+    acc = 0
+    for r in meta:
+        offsets[(r["partition_seq"], r["block_seq"])] = acc
+        acc += r["n_rows"]
+    ref = _ray.put(offsets)
+    dec = decode_dataset(
+        blocks, columns=columns, with_provenance=True, concurrency=concurrency
+    )
+    drop = ["_block_id", "_partition_id", "_partition_seq", "_block_seq", "_row_in_block"]
+
+    def stamp(b: pa.Table) -> pa.Table:
+        off = _ray.get(ref)
+        pseq = b["_partition_seq"].to_numpy(zero_copy_only=False)
+        bseq = b["_block_seq"].to_numpy(zero_copy_only=False)
+        rib = b["_row_in_block"].to_numpy(zero_copy_only=False)
+        rn = np.empty(len(rib), dtype=np.int64)
+        # a decode batch holds a handful of blocks: loop over those, fill
+        # each block's contiguous span vectorized
+        key = pseq.astype(np.int64) * (1 << 32) + bseq.astype(np.int64)
+        for kv in np.unique(key):
+            m = key == kv
+            rn[m] = off[(int(kv >> 32), int(kv & 0xFFFFFFFF))] + rib[m] + base
+        b = b.drop_columns([c for c in drop if c in b.column_names])
+        return b.append_column(rn_col, pa.array(rn, type=pa.int64()))
+
+    return dec.map_batches(stamp, batch_format="pyarrow")
+
+
 def decode_ordered(
     blocks: "ray.data.Dataset",
     columns: list[str] | None = None,

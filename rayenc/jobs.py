@@ -228,6 +228,86 @@ class PartitionEncoder:
         }
 
 
+class OrderedStreamEncoder:
+    """Actor-pool stage for the ORDERED streaming path: partition
+    descriptor rows in -> encoded block rows out (no sink, no manifest —
+    pure streaming). Because each block carries its plan ordinal
+    (partition_seq, block_seq), the output has a reconstructible total
+    order even though Ray schedules partitions arbitrarily — closing the
+    round-1 hole where encode_dataset blocks all carried seq 0
+    (the reference preserves order implicitly on its single-threaded
+    path, /root/reference/src/vec_pq_reader.rs:828-831)."""
+
+    def __init__(
+        self,
+        columns: list[str] | None,
+        level: int,
+        block_rows: int,
+        max_block_bytes: int,
+        hash_column: str | None,
+    ):
+        self.core = BlockEncoder(columns=columns, level=level, hash_column=hash_column)
+        self.columns = columns
+        self.block_rows = block_rows
+        self.max_block_bytes = max_block_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for part in batch.to_pylist():
+            pf = pq.ParquetFile(part["path"])
+            seq = 0
+            for rg in range(part["rg_start"], part["rg_end"] + 1):
+                rg_table = pf.read_row_group(rg, columns=self.columns)
+                for block in PartitionEncoder._iter_blocks(self, rg_table):
+                    out.append(
+                        self.core.encode_table(
+                            block,
+                            block_seq=seq,
+                            partition_id=part["partition_id"],
+                            partition_seq=int(part["partition_seq"]),
+                        )
+                    )
+                    seq += 1
+        return pa.concat_tables(out)
+
+
+def encode_dataset_ordered(
+    input_paths: list[str] | str,
+    columns: list[str] | None = None,
+    level: int = 3,
+    block_rows: int = 8192,
+    max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+    hash_column: str | None = "content",
+    concurrency: int | tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Streaming encode with TOTAL ORDER: plan partitions from parquet
+    metadata (deterministic ordinals), fan the descriptor table out over
+    an actor pool that reads + encodes its own row-groups. Use
+    decode_ordered / attach_global_row_numbers on the result."""
+    if concurrency is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        concurrency = (1, max(2, ncpu - 2))
+    parts = plan_partitions(input_paths, max_partition_bytes)
+    ds = ray.data.from_items(parts)
+    return ds.map_batches(
+        OrderedStreamEncoder,
+        fn_constructor_kwargs={
+            "columns": columns,
+            "level": level,
+            "block_rows": block_rows,
+            "max_block_bytes": max_block_bytes,
+            "hash_column": hash_column,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
+    )
+
+
 def run_encode_job(
     input_paths: list[str] | str,
     out_root: str,

@@ -153,6 +153,26 @@ def q_zonemap_filtered_decode(sf_dir: str):
     return decode_dataset(blocks, filter=pred)
 
 
+def q_ordered_roundtrip(sf_dir: str):
+    """Streaming-path TOTAL ORDER: ordered encode (plan-ordinal blocks)
+    -> decode with global row numbers attached via a broadcast offset
+    map (no sort, no shuffle). documents.parquet is doc_id-sorted, so
+    the oracle's row_number() OVER (ORDER BY doc_id) must equal our
+    reconstructed source position — the (rn, doc_id) PAIRING is the
+    order evidence (the driver's compare is row-order-insensitive)."""
+    from ..decode import attach_global_row_numbers
+    from ..jobs import encode_dataset_ordered
+
+    blocks = encode_dataset_ordered(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang"],
+        block_rows=128,
+        hash_column=None,
+        concurrency=(1, 2),
+    )
+    return attach_global_row_numbers(blocks.materialize(), columns=["doc_id", "lang"])
+
+
 def q_roundtrip_embeddings(sf_dir: str):
     """Nested-list round-trip: embedding is list<float> (the reference's
     List payload model, /root/reference/src/schema.rs:13-34)."""
@@ -978,6 +998,7 @@ QUERIES = {
     "roundtrip_structs": q_roundtrip_structs,
     "roundtrip_decimal": q_roundtrip_decimal,
     "zonemap_filtered_decode": q_zonemap_filtered_decode,
+    "ordered_roundtrip": q_ordered_roundtrip,
     "selector_stats_by_lang": q_selector_stats_by_lang,
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
@@ -1025,6 +1046,10 @@ ORACLES = {
     "roundtrip_structs": "SELECT doc_id, lang, source, n_chars FROM documents",
     "zonemap_filtered_decode": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100"
+    ),
+    "ordered_roundtrip": (
+        "SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn, "
+        "doc_id, lang FROM documents"
     ),
     "roundtrip_decimal": (
         "SELECT l_orderkey, l_linenumber, "

@@ -304,6 +304,113 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_components_labels(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_buckets: int = 64,
+    max_rounds: int = 50,
+) -> "ray.data.Dataset":
+    """Distributed connected components by iterative MIN-LABEL
+    propagation: every node starts labeled with its own id; each round
+    is ONE bucketed groupby shuffle in which labels flow across edges
+    and each node keeps the min seen; convergence when the global label
+    sum stops decreasing (monotone). Rounds ~ component diameter —
+    near-dup clusters are shallow, so a handful. The driver only ever
+    sees per-round scalar sums, never the edge set (ROADMAP 6)."""
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        src = pa.concat_arrays(
+            [b[a_col].combine_chunks() if isinstance(b[a_col], pa.ChunkedArray) else b[a_col],
+             b[b_col].combine_chunks() if isinstance(b[b_col], pa.ChunkedArray) else b[b_col]]
+        )
+        dst = pa.concat_arrays(
+            [b[b_col].combine_chunks() if isinstance(b[b_col], pa.ChunkedArray) else b[b_col],
+             b[a_col].combine_chunks() if isinstance(b[a_col], pa.ChunkedArray) else b[a_col]]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    und = pairs.select_columns([a_col, b_col]).map_batches(
+        both_dirs, batch_format="pyarrow"
+    ).materialize()
+
+    import pandas as pd
+
+    # one combined table, groupby-bucketed by node each round (no joins):
+    #   state/message rows: (node, dst=-1, label)
+    #   edge rows:          (node=src, dst, label=-1), re-emitted verbatim
+    # bucket co-locates a node's state with the edges leaving it, so each
+    # round is ONE bucketed shuffle.
+    def init_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(b["src"])
+        src = b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray) else b["src"]
+        dst = b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray) else b["dst"]
+        node = pa.concat_arrays([u, src])
+        dcol = pa.concat_arrays([pa.array(np.full(len(u), -1, np.int64)), dst])
+        lcol = pa.concat_arrays([u, pa.array(np.full(len(src), -1, np.int64))])
+        return pa.table({"node": node, "dst": dcol, "label": lcol})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_b", pa.array((v % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
+        )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["dst"] == -1]
+        ed = g[g["dst"] != -1]
+        cur = st.groupby("node", sort=False)["label"].min()
+        out_state = pd.DataFrame(
+            {"node": cur.index.to_numpy(), "dst": np.int64(-1), "label": cur.to_numpy()}
+        )
+        msgs = pd.DataFrame(
+            {
+                "node": ed["dst"].to_numpy(),
+                "dst": np.int64(-1),
+                "label": cur.reindex(ed["node"]).to_numpy(),
+            }
+        )
+        edges_out = ed.drop(columns=["_b"])
+        return pd.concat(
+            [out_state, msgs, edges_out], ignore_index=True
+        ).astype({"node": "int64", "dst": "int64", "label": "int64"})
+
+    rows = und.map_batches(init_rows, batch_format="pyarrow")
+    prev_sum = None
+    for _ in range(max_rounds):
+        rows = (
+            rows.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(propagate, batch_format="pandas")
+            .materialize()
+        )
+        state = rows.map_batches(
+            lambda b: b.filter(pc.equal(b["dst"], -1)).select(["label"]),
+            batch_format="pyarrow",
+        )
+        s = state.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    # state rows carry per-round message duplicates: one final bucketed
+    # min-dedup yields exactly one (node, label) row per node
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g.groupby("node", sort=False)["label"].min()
+        return pd.DataFrame(
+            {"node": cur.index.to_numpy(), "label": cur.to_numpy()}
+        ).astype({"node": "int64", "label": "int64"})
+
+    return (
+        rows.map_batches(
+            lambda b: b.filter(pc.equal(b["dst"], -1)).select(["node", "label"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final_min, batch_format="pandas")
+    )
+
+
 def dedup_minhash(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -312,28 +419,18 @@ def dedup_minhash(
 ) -> "ray.data.Dataset":
     """Near-dup removal with TRANSITIVE closure: candidate pairs form a
     graph; each connected component keeps its min-id representative
-    (A~B, B~C drops both B and C even if A~C never surfaced). The pair
-    set is collected (near-dup graphs are tiny relative to the corpus;
-    at 10^12 scale switch to iterative min-label propagation via groupby
-    rounds — see ROADMAP.md) and the loser set is broadcast."""
+    (A~B, B~C drops both B and C even if A~C never surfaced). Closure
+    runs as distributed min-label propagation (connected_components_labels
+    — the driver never holds the pair set); only the final LOSER id list
+    (bounded by the duplicate fraction) is collected for the broadcast
+    drop filter."""
     pairs = minhash_candidate_pairs(ds, text_col, id_col, **kw)
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo  # min-id becomes the root
-
-    for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
-        union(r["doc_a"], r["doc_b"])
-    losers = {x for x in parent if find(x) != x}
+    labels = connected_components_labels(pairs)
+    loser_rows = labels.map_batches(
+        lambda b: b.filter(pc.not_equal(b["node"], b["label"])).select(["node"]),
+        batch_format="pyarrow",
+    ).take_all()
+    losers = {r["node"] for r in loser_rows}
     losers_ref = ray.put(pa.array(sorted(losers), type=pa.int64()))
 
     def drop(batch: pa.Table) -> pa.Table:

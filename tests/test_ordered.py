@@ -1,0 +1,38 @@
+"""Streaming-path total order (round-1 missing #4 / ROADMAP 4)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_ordered_stream_reconstructs_source_order(ray_session, corpus_parquet):
+    import ray.data  # noqa: F401
+
+    from rayenc.decode import attach_global_row_numbers, decode_ordered
+    from rayenc.jobs import encode_dataset_ordered
+
+    src = pq.read_table(corpus_parquet, columns=["repo", "path", "commit"])
+    blocks = encode_dataset_ordered(
+        corpus_parquet,
+        columns=["repo", "path", "commit"],
+        block_rows=700,  # not aligned to the 500-row row-groups
+        hash_column=None,
+        concurrency=(1, 2),
+    ).materialize()
+
+    # decode_ordered: rows come back in exact source order
+    dec = pa.concat_tables(
+        decode_ordered(blocks, concurrency=(1, 2)).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    assert dec.select(src.column_names).equals(src)
+
+    # attach_global_row_numbers: rn matches the source position, no sort
+    rn_ds = attach_global_row_numbers(blocks, concurrency=(1, 2), base=0)
+    t = pa.concat_tables(
+        rn_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("rn")
+    assert t["rn"].to_pylist() == list(range(src.num_rows))
+    assert t.select(src.column_names).equals(src)

@@ -214,3 +214,21 @@ def test_dedup_minhash_transitive(ray_session):
     )
     kept = dedup_minhash(rd.from_arrow(t), threshold=0.5).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 50]
+
+
+def test_connected_components_labels(ray_session):
+    """Distributed min-label propagation: chain + separate component."""
+    import ray.data as rd
+
+    from rayenc.stages.dedup import connected_components_labels
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([10, 20, 40, 60], type=pa.int64()),
+            "doc_b": pa.array([20, 30, 50, 10], type=pa.int64()),
+        }
+    )
+    labels = connected_components_labels(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    # component {10,20,30,60} -> 10 ; component {40,50} -> 40
+    assert got == {10: 10, 20: 10, 30: 10, 60: 10, 40: 40, 50: 40}
