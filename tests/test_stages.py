@@ -81,7 +81,11 @@ def test_dedup_exact(ray_session, docs_ds):
 def test_minhash_near_dup(ray_session, docs_ds):
     from rayenc.stages.dedup import minhash_candidate_pairs
 
-    pairs = minhash_candidate_pairs(docs_ds, threshold=0.3, n_perm=64).to_pandas()
+    # n_bands=32 (r=2): banding threshold (1/b)^(1/r) ~= 0.18, matched to
+    # the low verify threshold of 0.3 (default 16x4 targets ~0.5)
+    pairs = minhash_candidate_pairs(
+        docs_ds, threshold=0.3, n_perm=64, n_bands=32
+    ).to_pandas()
     got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 2) in got  # exact dup always collides
     assert (1, 3) in got or (2, 3) in got  # near dup found
