@@ -104,6 +104,10 @@ def encode_column(
         from .selector import select_codec
 
         codec_name = select_codec(arr, level=level).codec
+    if "@" in codec_name:
+        # "fsst@9": codec at an explicit zstd level (selector level trials)
+        codec_name, lvl = codec_name.split("@", 1)
+        level = int(lvl)
     filled, validity, null_count = prepare_array(arr)
     if pa.types.is_decimal(arr.type):
         # zero-copy view of the 16/32-byte decimal words as

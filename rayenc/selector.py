@@ -27,6 +27,7 @@ SAMPLE_ROWS = 4096
 SAMPLE_BYTES = 2 << 20       # cap trial sample at 2 MiB of string payload
 FSST_SAMPLE_BYTES = 128 << 10  # fsst trials are costlier; train on less
 FSST_MAX_AVG_LEN = 1024      # fsst targets short/medium strings
+RUNOFF_PAYLOAD_BYTES = 12 << 20  # past ~1.5 zstd windows, sample trials lie
 
 
 @dataclass
@@ -103,6 +104,11 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
             cands.append("rle")
         if dr >= 0.05 and stats.get("avg_len", 1e9) <= FSST_MAX_AVG_LEN:
             cands.append("fsst")
+            cands.append("fsst@9")
+        if dr >= 0.05 and stats.get("avg_len", 0.0) >= 64:
+            # bulk text: a deeper zstd level is a live candidate (the
+            # reference pins level 3; we trial the trade on real bytes)
+            cands.append("plain@9")
     elif is_intlike(t):
         cands.append("foref")
         if stats.get("min", -1) >= 0:
@@ -139,7 +145,7 @@ def select_codec(
     ratios: dict[str, float] = {}  # payload bytes per source byte (comparable across samples)
     for name in cands:
         trial_sample = sample
-        if name == "fsst" and sample.nbytes > FSST_SAMPLE_BYTES:
+        if name.startswith("fsst") and sample.nbytes > FSST_SAMPLE_BYTES:
             trial_sample = _sample(arr, sample_rows, FSST_SAMPLE_BYTES)
         try:
             blob = encode_column(trial_sample, name, level)
@@ -154,12 +160,21 @@ def select_codec(
         ratios[name] = payload / max(trial_sample.nbytes, 1)
     if not trials:
         return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
+    # a deeper zstd level costs 2-4x encode CPU: demand a >=3% size win
+    # over the same codec at the default level before paying it
+    for base in ("fsst", "plain"):
+        hi = f"{base}@9"
+        if hi in ratios and base in ratios and ratios[hi] > ratios[base] * 0.97:
+            del ratios[hi]
     # fsst trades 10-100x encode CPU for size: demand a >=3% size win over
-    # the best alternative before paying it
-    if "fsst" in ratios and len(ratios) > 1:
-        best_other = min(v for k, v in ratios.items() if k != "fsst")
-        if ratios["fsst"] > best_other * 0.97:
-            del ratios["fsst"]
+    # the best alternative before paying it (variants judged as a family)
+    fsst_keys = [k for k in ratios if k.startswith("fsst")]
+    if fsst_keys and len(ratios) > len(fsst_keys):
+        best_fsst = min(ratios[k] for k in fsst_keys)
+        best_other = min(v for k, v in ratios.items() if not k.startswith("fsst"))
+        if best_fsst > best_other * 0.97:
+            for k in fsst_keys:
+                del ratios[k]
     best_name, best_ratio = min(ratios.items(), key=lambda kv: kv[1])
     # tie-break: a lightweight codec within 2% of the zstd backstop wins —
     # equal size but cheaper decode + random access at scale
@@ -214,6 +229,37 @@ def encode_column_auto(
             choice.reason = f"child-values selection: {choice.reason}"
     else:
         choice = select_codec(arr, sample_rows, level)
+    if (
+        is_stringlike(t)
+        and arr.nbytes >= RUNOFF_PAYLOAD_BYTES
+        and choice.codec in ("plain", "plain@9", "fsst", "fsst@9")
+    ):
+        # sample trials INVERT beyond the zstd window (~8 MiB): fsst's
+        # ~4x-denser token stream stretches the window to ~4x the source
+        # text, so on multi-window blocks fsst@9 beats plain@9 even when
+        # every window-sized sample says otherwise (measured: full-column
+        # fsst@9 0.110 vs plain@9 0.141 on samples that all favor plain).
+        # Resolve by a measured FULL-payload runoff between the two
+        # family finalists; the block-level codec cache amortizes the
+        # loser's encode across retrial_blocks blocks.
+        rival = "fsst@9" if choice.codec.startswith("plain") else "plain@9"
+        blob_a = encode_column(arr, choice.codec, level)
+        try:
+            blob_b = encode_column(arr, rival, level)
+        except Exception:
+            blob_b = None
+        if blob_b is not None and len(blob_b) < len(blob_a):
+            trials = dict(choice.trials)
+            trials[f"runoff:{rival}"] = len(blob_b)
+            trials[f"runoff:{choice.codec}"] = len(blob_a)
+            return blob_b, Choice(
+                rival,
+                choice.stats,
+                trials,
+                f"full-payload runoff beat {choice.codec} ({len(blob_b)} < {len(blob_a)})",
+            )
+        choice.trials[f"runoff:{choice.codec}"] = len(blob_a)
+        return blob_a, choice
     try:
         blob = encode_column(arr, choice.codec, level)
     except Exception:

@@ -79,7 +79,8 @@ def test_lineage_table(ray_session, encoded):
     lt = lineage_table(encoded).to_pandas()
     assert set(lt["column"]) == {"repo", "path", "commit", "lang", "content"}
     assert (lt["enc_bytes"] > 0).all()
-    assert lt["codec"].isin(["plain", "dict", "rle", "fsst", "foref", "bitpack", "bss"]).all()
+    base = lt["codec"].str.split("@").str[0]
+    assert base.isin(["plain", "dict", "rle", "fsst", "foref", "bitpack", "bss"]).all()
 
 
 def test_edge_table_through_pipeline(ray_session):
