@@ -230,6 +230,78 @@ def count_decoded_blocks(
     return {"total_blocks": total, "decoded_blocks": kept}
 
 
+def take_rows(
+    blocks: "ray.data.Dataset",
+    indices,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Random access over the whole BLOCK TABLE: fetch the given global
+    source row positions (ordered-block layout: jobs/encode_dataset_ordered)
+    and return them in the requested order.
+
+    Control-plane offset map -> touched blocks only are decoded, and
+    inside each block only the selected rows (blocks.decode_rows partial
+    paths). Result is driver-sized by construction (random access means
+    few rows)."""
+    import numpy as np
+
+    import ray as _ray
+
+    idx = np.asarray(indices, dtype=np.int64)
+    meta = blocks.select_columns(["partition_seq", "block_seq", "n_rows"]).take_all()
+    meta.sort(key=lambda r: (r["partition_seq"], r["block_seq"]))
+    starts = np.zeros(len(meta) + 1, dtype=np.int64)
+    np.cumsum([r["n_rows"] for r in meta], out=starts[1:])
+    if len(idx) and (idx.min() < 0 or idx.max() >= starts[-1]):
+        raise IndexError(f"row index out of range 0..{starts[-1] - 1}")
+    blk = np.searchsorted(starts, idx, side="right") - 1
+    wanted: dict[tuple, list] = {}
+    for pos, (b, g) in enumerate(zip(blk, idx)):
+        key = (meta[b]["partition_seq"], meta[b]["block_seq"])
+        wanted.setdefault(key, []).append((int(g - starts[b]), pos))
+    ref = _ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        from .blocks import decode_rows as _dr
+
+        w = _ray.get(ref)
+        names = [c[4:] for c in batch.column_names if c.startswith("col_")]
+        if columns:
+            names = [c for c in names if c in columns]
+        out = []
+        pseqs = batch["partition_seq"].to_pylist()
+        bseqs = batch["block_seq"].to_pylist()
+        for i in range(batch.num_rows):
+            sel = w.get((pseqs[i], bseqs[i]))
+            if not sel:
+                continue
+            locals_, poss = zip(*sel)
+            li = np.asarray(locals_, dtype=np.int64)
+            cols = {
+                name: _dr(
+                    memoryview(batch[f"col_{name}"][i].as_buffer()), li
+                )
+                for name in names
+            }
+            cols["_pos"] = pa.array(poss, type=pa.int64())
+            out.append(pa.table(cols))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out)
+
+    parts = [
+        t
+        for t in blocks.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        raise ValueError("no rows selected")
+    res = pa.concat_tables(parts).sort_by("_pos")
+    return res.drop_columns(["_pos"])
+
+
 def attach_global_row_numbers(
     blocks: "ray.data.Dataset",
     columns: list[str] | None = None,

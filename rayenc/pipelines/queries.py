@@ -686,6 +686,19 @@ def q_top_tokens(sf_dir: str) -> pa.Table:
     )
 
 
+def q_top_tokens_sketch(sf_dir: str) -> pa.Table:
+    """Misra-Gries heavy hitters (mergeable summary, bounded memory at
+    every stage — the sketch the exact top_tokens swaps to at unbounded
+    vocabularies). On this corpus the capacity holds the whole
+    vocabulary, so the result is EXACT (asserted) and oracle-checkable;
+    at web scale the same code degrades to guaranteed-error estimates."""
+    from ..stages.sketch import approx_top_tokens
+
+    t, exact = approx_top_tokens(_docs(sf_dir, ["text"]), topn=20)
+    assert exact, "MG capacity evicted on test corpus; oracle claim void"
+    return t
+
+
 def q_pattern_scan(sf_dir: str) -> pa.Table:
     """PII/secret-style pattern scan (the training-data hygiene op):
     count docs per lang matching a target pattern, vectorized Arrow
@@ -880,6 +893,15 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return res.select(["query_id", "rank", "vec_id"])
 
 
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF coarse-quantizer ANN (k-means centroids broadcast, per-query
+    probe sets) — recall-tunable scale path; rows-only (approximate by
+    construction; recall asserted vs brute in tests/test_stages.py)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ann.knn_ivf(ds, _query_vectors(sf_dir), k=10)
+    return res.select(["query_id", "rank", "vec_id"])
+
+
 # ---------------------------------------------------------------------------
 # engine metrics / lineage (non-SQL)
 # ---------------------------------------------------------------------------
@@ -1017,6 +1039,7 @@ QUERIES = {
     "orders_semi_join": q_orders_semi_join,
     "approx_distinct_users": q_approx_distinct_users,
     "top_tokens": q_top_tokens,
+    "top_tokens_sketch": q_top_tokens_sketch,
     "user_sessions": q_user_sessions,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
@@ -1029,6 +1052,7 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "knn_brute": q_knn_brute,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "codec_selection_documents": q_codec_selection_documents,
     "compression_documents": q_compression_documents,
     "multimodal_features": q_multimodal_features,
@@ -1132,6 +1156,11 @@ ORACLES = {
         "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)"
     ),
     "top_tokens": (
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM "
+        "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
+        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"
+    ),
+    "top_tokens_sketch": (
         "SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM "
         "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
         "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"

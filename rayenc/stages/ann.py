@@ -92,6 +92,105 @@ def knn_brute(
     )
 
 
+def kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Deterministic mini k-means (numpy, fixed seed/iters) on a bounded
+    sample — the IVF coarse quantizer's training step."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    n = len(sample)
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    train_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> pa.Table:
+    """IVF approximate top-k: a k-means coarse quantizer (trained on a
+    bounded head sample, centroids broadcast once) assigns every corpus
+    vector to its nearest centroid inside map_batches; each query scores
+    only vectors whose centroid is among its n_probe nearest — the
+    recall-tunable alternative to the hyperplane LSH probes (raise
+    n_probe/n_centroids for recall/speed). No shuffle of the corpus."""
+    train = pa.concat_tables(
+        ds.limit(train_rows)
+        .select_columns([vec_col])
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    cent = kmeans_centroids(
+        _batch_matrix(train, vec_col), n_centroids, seed=seed
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qc = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    probe_mask = np.zeros((len(qn), len(cent)), dtype=bool)
+    np.put_along_axis(probe_mask, qc, True, axis=1)
+    state = ray.put((qn, cent, probe_mask))
+
+    class IvfTopK:
+        def __init__(self):
+            self.q, self.cent, self.probe_mask = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bm = _normalize(_batch_matrix(batch, vec_col))
+            cid = np.argmax(bm @ self.cent.T, axis=1)
+            allowed = self.probe_mask[:, cid]  # (n_q, n_batch)
+            scores = self.q @ bm.T
+            scores = np.where(allowed, scores, -np.inf)
+            out_q, out_v, out_s = [], [], []
+            kk = min(k, scores.shape[1])
+            for qi in range(scores.shape[0]):
+                order = np.lexsort((ids, -scores[qi]))[:kk]
+                order = order[np.isfinite(scores[qi][order])]
+                out_q.extend([qi] * len(order))
+                out_v.extend(ids[order].tolist())
+                out_s.extend(scores[qi][order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    cands = ds.map_batches(IvfTopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    for qi, g in cands.groupby("query_id"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows()):
+            out["query_id"].append(int(qi))
+            out["rank"].append(rank)
+            out["vec_id"].append(int(row["vec_id"]))
+            out["cos"].append(float(row["cos"]))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "cos": pa.array(out["cos"], type=pa.float64()),
+        }
+    )
+
+
 def lsh_plan(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float32)

@@ -64,6 +64,81 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def mg_partial(tokens, counts, k: int) -> dict:
+    """Misra-Gries summary of one batch's (token, count) pairs: keep at
+    most k counters; evicting decrements every counter by the evicted
+    weight (standard MG; undercounts by <= n/k)."""
+    if len(tokens) <= k:
+        return dict(zip(tokens, (int(c) for c in counts)))
+    # keep top-k by count, charge the rest as a uniform decrement floor
+    order = sorted(range(len(tokens)), key=lambda i: -counts[i])
+    keep = order[:k]
+    floor = int(counts[order[k]])
+    out = {}
+    for i in keep:
+        c = int(counts[i]) - floor
+        if c > 0:
+            out[tokens[i]] = c
+    return out
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """Merge two MG summaries (mergeable per Agarwal et al., 'Mergeable
+    Summaries', PODS 2012): sum counters, then decrement by the (k+1)-th
+    largest and drop non-positives."""
+    out = dict(a)
+    for t, c in b.items():
+        out[t] = out.get(t, 0) + c
+    if len(out) <= k:
+        return out
+    vals = sorted(out.values(), reverse=True)
+    floor = vals[k]
+    return {t: c - floor for t, c in out.items() if c - floor > 0}
+
+
+def approx_top_tokens(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 8192,
+    topn: int = 20,
+) -> tuple:
+    """Heavy hitters over whitespace tokens with BOUNDED memory
+    everywhere: one <=k-entry Misra-Gries summary per batch (vectorized
+    value_counts), merged associatively on the driver (constant driver
+    memory — never the vocabulary). Returns (table, exact) where exact
+    is True iff no eviction happened anywhere — then counts equal the
+    true counts and the result is oracle-comparable; at web-scale
+    vocabularies it degrades gracefully to guaranteed-error estimates."""
+    import json as _json
+
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[text_col].dropna().str.findall(r"\S+").explode().value_counts()
+        evicted = len(vc) > k
+        sk = mg_partial(vc.index.to_list(), vc.to_numpy(), k)
+        return pd.DataFrame(
+            {"sketch": [_json.dumps(sk)], "evicted": [bool(evicted)]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    merged: dict = {}
+    evicted = any(p["evicted"] for p in parts)
+    for p in parts:
+        sk = _json.loads(p["sketch"])
+        if len(merged.keys() | sk.keys()) > k:
+            evicted = True
+        merged = mg_merge(merged, sk, k)
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    t = pa.table(
+        {
+            "token": pa.array([t for t, _ in top], type=pa.string()),
+            "n_occurrences": pa.array([c for _, c in top], type=pa.int64()),
+        }
+    )
+    return t, not evicted
+
+
 def approx_distinct(ds: "ray.data.Dataset", col: str, b: int = 12) -> float:
     """Distributed distinct estimate: one 4 KiB register set per batch,
     merged by max on the driver — no shuffle, constant driver memory."""

@@ -36,3 +36,33 @@ def test_ordered_stream_reconstructs_source_order(ray_session, corpus_parquet):
     ).sort_by("rn")
     assert t["rn"].to_pylist() == list(range(src.num_rows))
     assert t.select(src.column_names).equals(src)
+
+
+def test_take_rows_random_access(ray_session, corpus_parquet):
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from rayenc.decode import take_rows
+    from rayenc.jobs import encode_dataset_ordered
+
+    src = pq.read_table(corpus_parquet, columns=["repo", "path", "content"])
+    blocks = encode_dataset_ordered(
+        corpus_parquet,
+        columns=["repo", "path", "content"],
+        block_rows=700,
+        hash_column=None,
+        concurrency=(1, 2),
+    ).materialize()
+    idx = np.array([2999, 0, 1500, 1500, 777])
+    got = take_rows(blocks, idx)
+    want = src.take(pa.array(idx))
+    assert got.select(src.column_names).equals(want)
+
+    got2 = take_rows(blocks, [42], columns=["path"])
+    assert got2.column_names == ["path"]
+    assert got2["path"][0].as_py() == src["path"][42].as_py()
+
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        take_rows(blocks, [3000])

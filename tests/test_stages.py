@@ -236,3 +236,53 @@ def test_connected_components_labels(ray_session):
     got = dict(zip(labels["node"], labels["label"]))
     # component {10,20,30,60} -> 10 ; component {40,50} -> 40
     assert got == {10: 10, 20: 10, 30: 10, 60: 10, 40: 40, 50: 40}
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF with n_probe = n_centroids/2 must recover a solid fraction of
+    the exact top-10; full probing must equal brute exactly."""
+    import ray.data as rd
+
+    from rayenc.stages.ann import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((800, 32)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(800), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), 32
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    q = mat[:3]
+    brute = knn_brute(ds, q, k=10).to_pandas()
+    ivf = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=8).to_pandas()
+    recalls = []
+    for qi in range(3):
+        b = set(brute[brute.query_id == qi]["vec_id"])
+        a = set(ivf[ivf.query_id == qi]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # probing every centroid degenerates to exact brute
+    full = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=16).to_pandas()
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+def test_misra_gries_sketch(ray_session):
+    import ray.data as rd
+
+    from rayenc.stages.sketch import approx_top_tokens, mg_merge, mg_partial
+
+    # partial with eviction undercounts by <= n/k but keeps heavy hitters
+    sk = mg_partial(["a", "b", "c", "d"], [100, 50, 2, 1], k=2)
+    assert "a" in sk and sk["a"] <= 100
+    m = mg_merge({"a": 10, "b": 5}, {"a": 3, "c": 4}, k=8)
+    assert m == {"a": 13, "b": 5, "c": 4}
+    # exact path on a small-vocab dataset matches true counts
+    t = pa.table({"text": pa.array(["x y x"] * 50 + ["y z"] * 20)})
+    out, exact = approx_top_tokens(rd.from_arrow(t), topn=3)
+    assert exact
+    d = dict(zip(out["token"].to_pylist(), out["n_occurrences"].to_pylist()))
+    assert d == {"x": 100, "y": 70, "z": 20}
