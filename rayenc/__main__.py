@@ -96,16 +96,60 @@ def cmd_layout(args: argparse.Namespace) -> int:
     return 0
 
 
+def _parse_filters(specs: list[str] | None):
+    """--filter col:op:value (value parsed as int/float when it looks
+    numeric, else string)."""
+    if not specs:
+        return None
+    out = []
+    for s in specs:
+        col, op, raw = s.split(":", 2)
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        out.append((col, op, val))
+    return out
+
+
 def cmd_decode(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
 
-    from rayenc.decode import decode_dataset, decode_ordered
+    from rayenc.decode import decode_dataset, decode_ordered, count_decoded_blocks
 
     blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
-    out = decode_ordered(blocks) if args.ordered else decode_dataset(blocks)
+    filters = _parse_filters(args.filter)
+    columns = args.columns.split(",") if args.columns else None
+    stats = count_decoded_blocks(blocks, filters) if filters else None
+    if args.ordered:
+        out = decode_ordered(blocks, columns=columns)
+    else:
+        out = decode_dataset(blocks, columns=columns, filter=filters)
     out.write_parquet(args.out)
-    print(json.dumps({"decoded_to": args.out, "rows": out.count(), "ordered": bool(args.ordered)}))
+    msg = {"decoded_to": args.out, "rows": out.count(), "ordered": bool(args.ordered)}
+    if stats:
+        msg["zone_pruning"] = stats
+    print(json.dumps(msg))
+    return 0
+
+
+def cmd_take_rows(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from rayenc.decode import take_rows
+
+    blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
+    idx = [int(x) for x in args.indices.split(",")]
+    t = take_rows(
+        blocks, idx, columns=args.columns.split(",") if args.columns else None
+    )
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
     return 0
 
 
@@ -249,7 +293,22 @@ def main() -> int:
         action="store_true",
         help="reconstruct global source order (one extra sort shuffle)",
     )
+    d.add_argument(
+        "--filter",
+        action="append",
+        metavar="COL:OP:VALUE",
+        help="zone-map-pruned predicate (repeatable conjunction), e.g. doc_id:<:100",
+    )
+    d.add_argument("--columns", default=None, help="comma-separated projection")
     d.set_defaults(fn=cmd_decode)
+
+    tr = sub.add_parser(
+        "take-rows", help="random-access decode of specific global row positions"
+    )
+    tr.add_argument("blocks", help="encode job output root (ordered blocks)")
+    tr.add_argument("indices", help="comma-separated global row positions")
+    tr.add_argument("--columns", default=None)
+    tr.set_defaults(fn=cmd_take_rows)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")
     v.add_argument("blocks", help="encode job output root")
