@@ -183,8 +183,15 @@ class BlockEncoder:
             forced = self.forced_codecs.get(name)
             cached = self._cached.get(name)
             if forced:
-                blob = encode_column(arr, forced, self.level)
-                choice_info = {"codec": forced, "reason": "forced"}
+                try:
+                    blob = encode_column(arr, forced, self.level)
+                    choice_info = {"codec": forced, "reason": "forced"}
+                except Exception:
+                    blob = encode_column(arr, "plain", self.level)
+                    choice_info = {
+                        "codec": "plain",
+                        "reason": f"forced {forced} failed; zstd backstop",
+                    }
             elif cached is not None and self._since_trial.get(name, 0) < self.retrial_blocks:
                 try:
                     blob = encode_column(arr, cached, self.level)
@@ -250,6 +257,7 @@ def encode_dataset(
     forced_codecs: dict[str, str] | None = None,
     retrial_blocks: int = 16,
     stats: str = "block",
+    preselect: bool = False,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -258,9 +266,26 @@ def encode_dataset(
     slowdown); min=1 keeps chained actor stages (encode -> decode in one
     lazy pipeline) from deadlocking over fixed reservations. Benchmarks
     that run one stage at a time pass an explicit fixed (n, n) pool to
-    skip the autoscaler ramp."""
+    skip the autoscaler ramp.
+
+    preselect=True runs the codec selector ONCE on the driver over the
+    first block-sized sample and ships the choices as forced codecs —
+    every actor then encodes directly (no per-actor first-block trials,
+    no runoff double-encodes). Right for homogeneous corpora where
+    per-partition drift is small; leave False when column distributions
+    shift across the input (the per-actor trial cache re-adapts every
+    `retrial_blocks`). A forced codec that fails on a later block falls
+    back to plain per block."""
     if columns:
         ds = ds.select_columns(columns)
+    if preselect and not forced_codecs:
+        from .selector import encode_column_auto
+
+        sample = ds.limit(block_rows).take_batch(block_rows, batch_format="pyarrow")
+        forced_codecs = {}
+        for name in sample.column_names:
+            _, choice = encode_column_auto(sample[name], level)
+            forced_codecs[name] = choice.codec
     if concurrency is None:
         concurrency = (1, default_pool_size())
     return ds.map_batches(

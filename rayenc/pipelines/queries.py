@@ -432,7 +432,20 @@ def q_doc_token_stats(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    return text.quality_dataset(_docs(sf_dir, ["doc_id", "text"]))
+    """Quality features with an exact SQL oracle: ratios are floored to
+    6 decimals on BOTH sides (floor(x*1e6)/1e6 — unambiguous across
+    engines, unlike round's half-tie conventions)."""
+    out = text.quality_dataset(_docs(sf_dir, ["doc_id", "text"]))
+
+    def floor6(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": b["doc_id"], "n_chars_calc": b["n_chars_calc"]}
+        for c in ("alpha_ratio", "digit_ratio", "space_ratio", "mean_token_len", "quality"):
+            cols[c] = pc.divide(
+                pc.floor(pc.multiply(b[c], 1e6)), 1e6
+            )
+        return pa.table(cols)
+
+    return out.map_batches(floor6, batch_format="pyarrow")
 
 
 def q_lang_id_documents(sf_dir: str):
@@ -1199,6 +1212,26 @@ ORACLES = {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    "quality_scores": (
+        "WITH q AS (SELECT doc_id, "
+        "CAST(length(text) AS DOUBLE) AS n, "
+        "GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS d, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS na, "
+        "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS nd, "
+        "CAST(len(regexp_extract_all(text, '\\s')) AS DOUBLE) AS ns, "
+        "GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS nt "
+        "FROM documents), "
+        "r AS (SELECT doc_id, n, na/d AS ar, nd/d AS dr, ns/d AS sr, "
+        "(n - ns)/nt AS mtl, "
+        "LEAST(GREATEST(na/d - (nd/d)*0.5 - abs(ns/d - 0.15), 0.0), 1.0) AS comp "
+        "FROM q) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars_calc, "
+        "floor(ar*1e6)/1e6 AS alpha_ratio, "
+        "floor(dr*1e6)/1e6 AS digit_ratio, "
+        "floor(sr*1e6)/1e6 AS space_ratio, "
+        "floor(mtl*1e6)/1e6 AS mean_token_len, "
+        "floor(comp*1e6)/1e6 AS quality FROM r"
     ),
     # rows-only (non-SQL-expressible or heuristic/approximate):
     # quality_scores, lang_id_documents, doc_fingerprints,

@@ -141,3 +141,24 @@ def test_verify_reports_corrupt_block_without_crashing(ray_session):
     )
     v = verify_blocks(rd.from_arrow(t))
     assert not v["ok"] and v["bad_blocks"] == 1
+
+
+def test_preselect_encode_roundtrip(ray_session, corpus_parquet):
+    """preselect=True (driver-side one-shot selection, forced codecs in
+    every actor) must round-trip identically to the adaptive path."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(corpus_parquet)
+    blocks = encode_dataset(
+        ds, block_rows=512, concurrency=2, preselect=True
+    ).materialize()
+    assert verify_blocks(blocks)["ok"]
+    source = pq.read_table(corpus_parquet)
+    dec = decode_dataset(blocks, concurrency=2)
+    out = pa.concat_tables(
+        dec.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).select(source.column_names)
+    assert tables_bit_identical(_sorted(out), _sorted(source))
+    # every block's lineage says forced (no per-actor trials ran)
+    lt = lineage_table(blocks).to_pandas()
+    assert (lt["reason"].str.startswith("forced")).all()
