@@ -153,6 +153,33 @@ def q_zonemap_filtered_decode(sf_dir: str):
     return decode_dataset(blocks, filter=pred)
 
 
+def q_zonemap_events_time_filter(sf_dir: str):
+    """Timestamp zone-map pruning: events is ts-ordered on disk, so a
+    late-window predicate (epoch-µs int vs the stored int zone bounds)
+    must skip most blocks (asserted) before any blob ships."""
+    from ..decode import count_decoded_blocks, decode_dataset
+    from ..encode import encode_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    blocks = encode_dataset(ds, block_rows=200, hash_column=None).materialize()
+    cutoff = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z in epoch µs
+    pred = [("ts", ">=", cutoff)]
+    counts = count_decoded_blocks(blocks, pred)
+    assert counts["decoded_blocks"] < counts["total_blocks"], counts
+    dec = decode_dataset(blocks, filter=pred)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+
+    return dec.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_ordered_roundtrip(sf_dir: str):
     """Streaming-path TOTAL ORDER: ordered encode (plan-ordinal blocks)
     -> decode with global row numbers attached via a broadcast offset
@@ -1034,6 +1061,7 @@ QUERIES = {
     "roundtrip_decimal": q_roundtrip_decimal,
     "zonemap_filtered_decode": q_zonemap_filtered_decode,
     "ordered_roundtrip": q_ordered_roundtrip,
+    "zonemap_events_time_filter": q_zonemap_events_time_filter,
     "selector_stats_by_lang": q_selector_stats_by_lang,
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
@@ -1087,6 +1115,10 @@ ORACLES = {
     "ordered_roundtrip": (
         "SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn, "
         "doc_id, lang FROM documents"
+    ),
+    "zonemap_events_time_filter": (
+        "SELECT epoch_us(ts) AS ts_us, event_type, value FROM events "
+        "WHERE epoch_us(ts) >= 1706400000000000"
     ),
     "roundtrip_decimal": (
         "SELECT l_orderkey, l_linenumber, "

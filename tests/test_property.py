@@ -80,3 +80,73 @@ def test_auto_selection_roundtrip_property(values):
     arr = pa.array(values, type=pa.string())
     blob, _ = encode_column_auto(arr)
     assert decode_column(blob).equals(arr)
+
+
+STRUCT_T = pa.struct([("a", pa.int64()), ("b", pa.string())])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.fixed_dictionaries({"a": INTS, "b": TEXT}),
+        ),
+        max_size=30,
+    )
+)
+def test_struct_roundtrip_property(values):
+    arr = pa.array(values, type=STRUCT_T)
+    for codec in ("plain", "auto"):
+        out = decode_column(encode_column(arr, codec))
+        assert out.equals(arr), codec
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.tuples(st.text(max_size=8), INTS), max_size=5, unique_by=lambda kv: kv[0]),
+        ),
+        max_size=20,
+    )
+)
+def test_map_roundtrip_property(values):
+    t = pa.map_(pa.string(), pa.int64())
+    arr = pa.array(values, type=t)
+    out = decode_column(encode_column(arr, "plain"))
+    assert out.to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.decimals(min_value=-(10**9), max_value=10**9, places=2)),
+        max_size=40,
+    )
+)
+def test_decimal_roundtrip_property(values):
+    arr = pa.array(values, type=pa.decimal128(12, 2))
+    for codec in ("plain", "bss", "auto"):
+        out = decode_column(encode_column(arr, codec))
+        assert out.equals(arr), codec
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(TEXT, min_size=1, max_size=40),
+    st.data(),
+)
+def test_decode_rows_property(values, data):
+    from rayenc.blocks import decode_rows
+
+    arr = pa.array(values, type=pa.string())
+    idx = data.draw(
+        st.lists(st.integers(min_value=0, max_value=len(arr) - 1), max_size=20)
+    )
+    for codec in codecs_for_type(arr.type):
+        blob = encode_column(arr, codec.name)
+        got = decode_rows(blob, np.array(idx, dtype=np.int64))
+        want = decode_column(blob).take(pa.array(idx, type=pa.int64()))
+        assert got.equals(want), codec.name
