@@ -90,24 +90,28 @@ def prune_blocks(
     return blocks.map_batches(keep, batch_format="pyarrow")
 
 
+def filter_table(batch: pa.Table, predicates: list[Predicate]) -> pa.Table:
+    """Exact (col, op, value) conjunction filter on one Arrow table
+    (timestamps/dates compare on their epoch-int view, like zone maps)."""
+    mask = None
+    for col, op, val in predicates:
+        arr = batch[col]
+        if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+            arr = arr.cast(pa.int64())
+        m = _OPS[op](arr, val)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    if mask is None:
+        return batch
+    return batch.filter(pc.fill_null(mask, False))
+
+
 def apply_row_filter(
     ds: "ray.data.Dataset", predicates: list[Predicate]
 ) -> "ray.data.Dataset":
     """Exact row-level filter matching the prune predicates."""
-
-    def flt(batch: pa.Table) -> pa.Table:
-        mask = None
-        for col, op, val in predicates:
-            arr = batch[col]
-            if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
-                arr = arr.cast(pa.int64())
-            m = _OPS[op](arr, val)
-            mask = m if mask is None else pc.and_kleene(mask, m)
-        if mask is None:
-            return batch
-        return batch.filter(pc.fill_null(mask, False))
-
-    return ds.map_batches(flt, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: filter_table(b, predicates), batch_format="pyarrow"
+    )
 
 
 class BlockDecoder:

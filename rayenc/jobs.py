@@ -50,24 +50,81 @@ def _width_or(t, default: int) -> int:
         return default
 
 
+def _rg_zone(md_rg, col_idx: dict[str, int], columns: list[str]) -> dict:
+    """Parquet row-group statistics -> the zone-map dict shape that
+    rayenc.decode.zone_may_match consumes (timestamps as epoch µs)."""
+    import datetime
+
+    zone: dict = {}
+    for col in columns:
+        i = col_idx.get(col)
+        if i is None:
+            continue
+        st = md_rg.column(i).statistics
+        if st is None or not st.has_min_max:
+            continue
+        lo, hi = st.min, st.max
+        if isinstance(lo, datetime.datetime):
+            lo = int(lo.timestamp() * 1_000_000)
+            hi = int(hi.timestamp() * 1_000_000)
+        if isinstance(lo, bytes):
+            continue  # undecoded physical bytes: don't prune
+        zone[col] = {"min": lo, "max": hi, "null_count": int(st.null_count or 0)}
+    return zone
+
+
 def plan_partitions(
     input_paths: list[str] | str,
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+    filter: list | None = None,
 ) -> list[dict]:
     """Metadata-only scan: split every input file into row-group ranges
-    of ~max_partition_bytes uncompressed, each a deterministic partition."""
+    of ~max_partition_bytes uncompressed, each a deterministic partition.
+
+    `filter` ((col, op, value) conjunctions, the decode-side predicate
+    shape) prunes whole ROW-GROUPS whose parquet statistics prove empty
+    — the prune-at-the-read rule applied to the job planner, mirroring
+    the reference's stats-granularity axis at its chunk level. Partition
+    ids stay a pure function of (path, rg range), so a filtered plan's
+    partitions match the unfiltered plan's ids for the ranges kept."""
+    from .decode import zone_may_match
+
     if isinstance(input_paths, str):
         p = Path(input_paths)
         paths = sorted(str(q) for q in p.glob("*.parquet")) if p.is_dir() else [str(p)]
     else:
         paths = [str(p) for p in input_paths]
+    fcols = [c for c, _, _ in filter] if filter else []
     parts: list[dict] = []
     for path in paths:
-        md = pq.ParquetFile(path).metadata
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         n_rg = md.num_row_groups
         start = 0
         acc = 0
         for rg in range(n_rg):
+            if filter and not zone_may_match(
+                _rg_zone(md.row_group(rg), col_idx, fcols), filter
+            ):
+                # flush the open range, then skip this row-group entirely
+                if acc > 0:
+                    pid = hashlib.sha256(
+                        f"{path}:{start}-{rg - 1}".encode()
+                    ).hexdigest()[:16]
+                    parts.append(
+                        {
+                            "partition_id": pid,
+                            "partition_seq": len(parts),
+                            "path": path,
+                            "rg_start": start,
+                            "rg_end": rg - 1,
+                            "est_bytes": acc,
+                        }
+                    )
+                start = rg + 1
+                acc = 0
+                continue
             acc += md.row_group(rg).total_byte_size
             last = rg == n_rg - 1
             if acc >= max_partition_bytes or last:
@@ -103,6 +160,7 @@ class PartitionEncoder:
         block_rows: int,
         max_block_bytes: int,
         hash_column: str | None,
+        row_filter: list | None = None,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -112,6 +170,7 @@ class PartitionEncoder:
         self.columns = columns
         self.block_rows = block_rows
         self.max_block_bytes = max_block_bytes
+        self.row_filter = row_filter
 
     def _iter_blocks(self, table: pa.Table):
         """Split a row-group table into encode blocks bounded by rows AND
@@ -167,6 +226,10 @@ class PartitionEncoder:
         seq = 0
         for rg in range(part["rg_start"], part["rg_end"] + 1):
             rg_table = pf.read_row_group(rg, columns=self.columns)
+            if self.row_filter:
+                from .decode import filter_table
+
+                rg_table = filter_table(rg_table, self.row_filter)
             for block in self._iter_blocks(rg_table):
                 out_tables.append(
                     self.core.encode_table(
@@ -178,6 +241,35 @@ class PartitionEncoder:
                 )
                 rows += block.num_rows
                 seq += 1
+        if not out_tables:
+            # row filter left nothing in this partition: commit an empty
+            # entry so resume still recognizes it as done
+            entry = {
+                "partition_id": pid,
+                "input": {
+                    "path": part["path"],
+                    "rg_start": part["rg_start"],
+                    "rg_end": part["rg_end"],
+                },
+                "rows": 0,
+                "blocks": 0,
+                "source_bytes": 0,
+                "encoded_bytes": 0,
+                "block_hashes": [],
+                "columns": {},
+                "wall_s": round(time.perf_counter() - t0, 3),
+                "output": None,
+            }
+            self.manifest.commit(entry)
+            return {
+                "partition_id": pid,
+                "rows": 0,
+                "blocks": 0,
+                "source_bytes": 0,
+                "encoded_bytes": 0,
+                "wall_s": entry["wall_s"],
+                "skipped": False,
+            }
         blocks_table = pa.concat_tables(out_tables)
         out_file = self.blocks_dir / f"{pid}.parquet"
         tmp = out_file.with_suffix(".tmp")
@@ -318,12 +410,18 @@ def run_encode_job(
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
     hash_column: str | None = "content",
     concurrency: int | tuple[int, int] | None = None,
+    filter: list | None = None,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
     Rerun-safe: partitions already in the manifest are skipped before any
     data is read (kill-and-rerun covered by tests/test_resume.py).
-    """
+
+    `filter` ((col, op, value) conjunctions) encodes only matching rows:
+    row-groups proven empty by parquet statistics are skipped at PLAN
+    time (never read), and the exact row filter runs on each row-group
+    table before blocking. Filtered and unfiltered runs use distinct
+    out_roots — partition ids encode only (path, rg range)."""
     if concurrency is None:
         # unlike the streaming path, the partition actor reads its own
         # input (no separate read stage to starve): use nearly all CPUs
@@ -333,7 +431,7 @@ def run_encode_job(
             ncpu = 8
         concurrency = (1, max(2, ncpu - 2))
     manifest = Manifest(out_root)
-    parts = plan_partitions(input_paths, max_partition_bytes)
+    parts = plan_partitions(input_paths, max_partition_bytes, filter=filter)
     committed = manifest.committed_ids()
     pending = [p for p in parts if p["partition_id"] not in committed]
     summary = {
@@ -355,6 +453,7 @@ def run_encode_job(
                 "block_rows": block_rows,
                 "max_block_bytes": max_block_bytes,
                 "hash_column": hash_column,
+                "row_filter": filter,
             },
             batch_format="pyarrow",
             batch_size=1,

@@ -135,3 +135,40 @@ def test_write_read_blocks_roundtrip(ray_session, corpus_parquet, tmp_path):
     back = read_blocks(out)
     v = verify_blocks(back)
     assert v["ok"] and v["rows"] == pq.ParquetFile(corpus_parquet).metadata.num_rows
+
+
+def test_filtered_job_prunes_row_groups(ray_session, corpus_parquet, tmp_path):
+    """run_encode_job(filter=...): row-groups proven empty by parquet
+    stats are never planned; the exact row filter holds on the rest."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+    from rayenc.jobs import plan_partitions, run_encode_job
+
+    src = pq.read_table(corpus_parquet)
+    # corpus is written in repo order; pick a repo value cutoff so some
+    # row-groups are fully out of range (stats prune) and some are mixed
+    cut = sorted(set(src["repo"].to_pylist()))[-1]
+    full_plan = plan_partitions(corpus_parquet, max_partition_bytes=1 << 20)
+    pred = [("repo", "==", cut)]
+    pruned_plan = plan_partitions(
+        corpus_parquet, max_partition_bytes=1 << 20, filter=pred
+    )
+    total_rgs = sum(p["rg_end"] - p["rg_start"] + 1 for p in full_plan)
+    kept_rgs = sum(p["rg_end"] - p["rg_start"] + 1 for p in pruned_plan)
+    assert kept_rgs < total_rgs
+
+    out = str(tmp_path / "fjob")
+    s = run_encode_job(
+        corpus_parquet, out, block_rows=700, max_partition_bytes=1 << 20,
+        concurrency=2, filter=pred, hash_column="content",
+    )
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{corpus_parquet}') WHERE repo = '{cut}'"
+    ).fetchone()[0]
+    assert s["rows"] == want
+    blocks = rd.read_parquet(f"{out}/blocks")
+    dec = decode_dataset(blocks, concurrency=2).to_pandas()
+    assert len(dec) == want and (dec["repo"] == cut).all()
