@@ -267,13 +267,13 @@ class FsstCodec(Codec):
         ntok = params["ntokens"]
         w = params["w"]
         raw = zstd_decompress(sections["tokens"], (ntok * w + 7) // 8)
-        seq16 = _cfsst.native_unpack(raw, w, ntok)
-        if seq16 is not None:
-            seq = seq16.astype(np.int64)
-        else:
+        seq = _cfsst.native_unpack(raw, w, ntok)
+        if seq is None:
             from .util import unpack_bits
 
-            seq = unpack_bits(raw, w, ntok).astype(np.int64)
+            seq = unpack_bits(raw, w, ntok).astype(np.uint16)
+        # tokens stay uint16 end-to-end: the int64 widening allocated two
+        # extra multi-MB temporaries per block on the decode hot path
         token_counts = decode_lengths(params["tmeta"], sections["token_counts"], n)
         symbols = self._symbols(params, sections)
         sym_lens = np.ones(256 + len(symbols), dtype=np.int64)
@@ -288,7 +288,7 @@ class FsstCodec(Codec):
         cs = np.zeros(len(seq) + 1, dtype=np.int64)
         np.cumsum(out_lens, out=cs[1:])
         total_out = int(cs[-1])
-        data = _cfsst.native_decode(seq.astype(np.uint16), symbols, total_out)
+        data = _cfsst.native_decode(np.ascontiguousarray(seq, dtype=np.uint16), symbols, total_out)
         if data is None:
             # numpy gather fallback: literals 0..255 + symbol payloads
             payload = bytes(range(256)) + b"".join(symbols)
@@ -334,7 +334,7 @@ class FsstCodec(Codec):
             )
             sel_seq = seq[np.repeat(tok_off[indices], counts_sel) + within]
         else:
-            sel_seq = np.empty(0, dtype=np.int64)
+            sel_seq = np.empty(0, dtype=np.uint16)
         data, cs = self._expand(sel_seq, symbols, sym_lens)
         sel_off = np.zeros(len(indices) + 1, dtype=np.int64)
         np.cumsum(counts_sel, out=sel_off[1:])
