@@ -4,10 +4,14 @@
   with ray.put, each map_batches task does one numpy matmul against its
   batch and emits batch-local top-k candidates; a final tiny reduce picks
   global top-k. No shuffle of the corpus, no driver-side scan.
-- ``knn_lsh``: the scale path — random-hyperplane sign buckets (seeded,
-  deterministic); queries probe their own bucket plus 1-bit-flip
-  neighbors, so each query touches a small fraction of the corpus.
-  Approximate by construction; recall grows with n_planes/probes.
+- ``knn_lsh``: random-hyperplane sign buckets (seeded, deterministic);
+  queries probe their own bucket plus 1-bit-flip neighbors, so each
+  query touches a small fraction of the corpus. Approximate by
+  construction; recall grows with n_planes/probes.
+- ``knn_ivf``: k-means coarse quantizer (deterministic, trained on a
+  bounded sample, centroids broadcast); per-query n_probe nearest
+  centroids bound the scored set. Full probing degenerates to exact
+  brute — the recall-tunable scale path.
 """
 
 from __future__ import annotations

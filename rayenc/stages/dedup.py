@@ -9,9 +9,13 @@ Shuffle discipline (the north rule's partitioning/skew mandate):
   shuffle, only 8-byte keys + compact signatures do;
 - SimHash = 64-bit signature per doc, banded into 4x16-bit chunks
   (pigeonhole: hamming<=3 pairs share >=1 chunk), groupby chunk buckets;
-- embedding near-dup = brute cosine against a broadcast (ray.put)
-  normalized matrix — no shuffle at all; LSH-bucketed variant in ann.py
-  is the scale path.
+- embedding near-dup = EXACT chunked block-pair cross product (one
+  object-store entry per chunk, tasks fetch pairwise — never a
+  full-matrix broadcast) for oracle-checkable thresholds, plus the
+  multi-table sign-LSH banded variant (no all-pairs) as the 100-TB
+  path;
+- transitive closure = distributed min-label propagation (one bucketed
+  groupby per round) — the driver never holds the pair set.
 """
 
 from __future__ import annotations
