@@ -1048,6 +1048,25 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     )
 
 
+def q_multimodal_frames(sf_dir: str) -> pa.Table:
+    """Video frame-sampling plumbing (explode shape; deterministic fake
+    frames — real ffmpeg slot documented in stages/multimodal.py)."""
+    t = multimodal.synthesize_media_table(128)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        multimodal.FakeFrameSampler, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 2),
+    )
+    df = out.to_pandas().sort_values(["media_id", "frame_idx"])
+    return pa.table(
+        {
+            "media_id": pa.array(df["media_id"].astype("int64")),
+            "frame_idx": pa.array(df["frame_idx"].astype("int64")),
+            "ts_s": pa.array(df["ts_s"].astype("float64")),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1097,6 +1116,7 @@ QUERIES = {
     "codec_selection_documents": q_codec_selection_documents,
     "compression_documents": q_compression_documents,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "histogram_ingest": q_histogram_ingest,
 }
 

@@ -36,12 +36,16 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table (binary payloads with metadata)."""
+    """Deterministic fake media table (binary payloads with metadata).
+
+    duration_s is drawn AFTER the original columns so payloads/types are
+    byte-identical to the round-1 fixture (rows-only checks stay stable)."""
     rng = np.random.default_rng(seed)
     payloads = [rng.bytes(int(s)) for s in rng.integers(64, 4096, size=n)]
     w = rng.integers(8, 64, size=n).astype(np.int32)
     h = rng.integers(8, 64, size=n).astype(np.int32)
     types = rng.choice(["image/png", "image/jpeg", "audio/wav"], size=n)
+    duration = rng.uniform(1.0, 30.0, size=n).astype(np.float32)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), type=pa.int64()),
@@ -49,6 +53,7 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
             "payload": pa.array(payloads, type=pa.binary()),
             "width": pa.array(w, type=pa.int32()),
             "height": pa.array(h, type=pa.int32()),
+            "duration_s": pa.array(duration, type=pa.float32()),
         }
     )
 
@@ -118,6 +123,61 @@ class FakeResizer:
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(small.astype(np.float32).reshape(-1), type=pa.float32()),
                     self.out_dim,
+                ),
+            }
+        )
+
+
+class FakeFrameSampler:
+    """Video frame sampling: ONE media row -> n_frames frame rows — the
+    explode (flat-map) shape a real ffmpeg frame sampler has. Frames are
+    sampled at evenly spaced timestamps over duration_s; each frame's
+    feature vector derives deterministically from (payload, frame_idx).
+    Swap the per-frame hash for an actual seek+decode when ffmpeg
+    exists; the Ray-side plumbing (schema, expansion factor, batch
+    sizing) is real and tested."""
+
+    def __init__(self, n_frames: int = 4, feature_dim: int = 16):
+        self.n_frames = n_frames
+        self.feature_dim = feature_dim
+
+    def _frame_features(self, payload: bytes, idx: int) -> np.ndarray:
+        d = hashlib.shake_256(payload + idx.to_bytes(4, "little")).digest(
+            8 * self.feature_dim
+        )
+        raw = np.frombuffer(d, dtype=np.uint64)[: self.feature_dim]
+        return (raw >> np.uint64(11)).astype(np.float32) / np.float32(2**53)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        fidx: list[int] = []
+        ts: list[float] = []
+        feats: list[np.ndarray] = []
+        durations = (
+            batch["duration_s"].to_pylist()
+            if "duration_s" in batch.column_names
+            else [float(self.n_frames)] * batch.num_rows
+        )
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist(), durations
+        ):
+            for i in range(self.n_frames):
+                ids.append(mid)
+                fidx.append(i)
+                ts.append(round((i + 0.5) * float(dur or 0.0) / self.n_frames, 4))
+                feats.append(self._frame_features(payload, i))
+        mat = (
+            np.vstack(feats)
+            if feats
+            else np.empty((0, self.feature_dim), np.float32)
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "ts_s": pa.array(ts, type=pa.float64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), type=pa.float32()), self.feature_dim
                 ),
             }
         )

@@ -286,3 +286,31 @@ def test_misra_gries_sketch(ray_session):
     assert exact
     d = dict(zip(out["token"].to_pylist(), out["n_occurrences"].to_pylist()))
     assert d == {"x": 100, "y": 70, "z": 20}
+
+
+def test_frame_sampler_plumbing(ray_session):
+    import ray.data as rd
+
+    from rayenc.stages.multimodal import FakeFrameSampler, synthesize_media_table
+
+    t = synthesize_media_table(16)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(FakeFrameSampler, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    assert len(out) == 16 * 4  # explode factor
+    assert out["frame_idx"].tolist()[:4] == [0, 1, 2, 3]
+    # timestamps increase within a video and stay within duration
+    g0 = out[out.media_id == 0]
+    assert g0["ts_s"].is_monotonic_increasing
+    assert g0["ts_s"].max() <= float(t["duration_s"][0].as_py())
+    # deterministic
+    out2 = (
+        rd.from_arrow(t)
+        .map_batches(FakeFrameSampler, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    assert [list(x) for x in out["features"]] == [list(x) for x in out2["features"]]
