@@ -318,6 +318,31 @@ def read_blocks(path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(path)
 
 
+def compact_blocks(
+    blocks: "ray.data.Dataset",
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    level: int = 3,
+    hash_column: str | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Re-block an encoded block table: decode -> re-encode at the target
+    block size, streaming end to end (decode and encode actor pools
+    pipeline through the object store; nothing materializes). The
+    maintenance op for long-running ingestion, where many small commits
+    leave under-sized blocks that waste header overhead and zstd window
+    reach — compaction at 8k+ rows/block recovers both."""
+    from .decode import decode_dataset
+
+    decoded = decode_dataset(blocks, concurrency=concurrency)
+    return encode_dataset(
+        decoded,
+        block_rows=block_rows,
+        level=level,
+        hash_column=hash_column,
+        concurrency=concurrency,
+    )
+
+
 def lineage_table(blocks_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-(block, column) codec-choice lineage rows from a block Dataset."""
 

@@ -1048,6 +1048,46 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     )
 
 
+def q_jsonl_source(sf_dir: str) -> pa.Table:
+    """JSONL source path: documents is materialized once as line-JSON
+    (deterministic derivation), re-ingested via ray.data.read_json, and
+    aggregated — the oracle runs the same aggregate on the parquet view,
+    so the whole derive->write->read_json->aggregate loop must be
+    lossless."""
+    import hashlib as _hl
+    import json as _json
+    import os as _os
+
+    from ..stages.agg import grouped_agg_lowcard
+
+    key = _hl.sha256(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/rayenc_jsonl_{key}"
+    path = _os.path.join(d, "docs.jsonl")
+    if not _os.path.exists(path):
+        _os.makedirs(d, exist_ok=True)
+        t = pa.concat_tables(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for row in t.to_pylist():
+                f.write(_json.dumps(row, separators=(",", ":")) + "\n")
+        _os.replace(tmp, path)
+    ds = rd.read_json(path)
+    out = grouped_agg_lowcard(
+        ds, ["lang"], {"n_docs": (None, "count"), "total_chars": ("n_chars", "sum")}
+    ).sort_values("lang")
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64")),
+            "total_chars": pa.array(out["total_chars"].astype("int64")),
+        }
+    )
+
+
 def q_multimodal_frames(sf_dir: str) -> pa.Table:
     """Video frame-sampling plumbing (explode shape; deterministic fake
     frames — real ffmpeg slot documented in stages/multimodal.py)."""
@@ -1118,6 +1158,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "histogram_ingest": q_histogram_ingest,
+    "jsonl_source": q_jsonl_source,
 }
 
 ORACLES = {
@@ -1264,6 +1305,11 @@ ORACLES = {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    "jsonl_source": (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY lang"
     ),
     "quality_scores": (
         "WITH q AS (SELECT doc_id, "

@@ -162,3 +162,25 @@ def test_preselect_encode_roundtrip(ray_session, corpus_parquet):
     # every block's lineage says forced (no per-actor trials ran)
     lt = lineage_table(blocks).to_pandas()
     assert (lt["reason"].str.startswith("forced")).all()
+
+
+def test_compact_blocks_reduces_size_and_roundtrips(ray_session, corpus_parquet):
+    """Tiny blocks -> compaction at a real block size shrinks total bytes
+    and stays bit-identical."""
+    import ray.data as rd
+
+    from rayenc.encode import compact_blocks
+
+    ds = rd.read_parquet(corpus_parquet)
+    small = encode_dataset(ds, block_rows=64, concurrency=2, hash_column=None).materialize()
+    big = compact_blocks(small, block_rows=3000, concurrency=2).materialize()
+
+    def total(b):
+        return sum(r["encoded_bytes"] for r in b.select_columns(["encoded_bytes"]).take_all())
+
+    assert total(big) < total(small)
+    source = pq.read_table(corpus_parquet)
+    out = pa.concat_tables(
+        decode_dataset(big, concurrency=2).iter_batches(batch_size=None, batch_format="pyarrow")
+    ).select(source.column_names)
+    assert tables_bit_identical(_sorted(out), _sorted(source))
