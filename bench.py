@@ -188,6 +188,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "user_sessions",
         "events_windowed",
         "top_tokens",
+        "embedding_near_dup_lsh",
+        "top_tokens_sketch",
+        "zonemap_filtered_decode",
+        "roundtrip_structs",
+        "simhash_pairs",
     ]
     for name in names:
         t0 = time.perf_counter()
