@@ -27,6 +27,12 @@ python -m rayenc verify "$D/job"
 echo "== 7. ordered decode back to parquet =="
 python -m rayenc decode "$D/job" "$D/decoded" --ordered
 
+echo "== 7b. zone-map filtered decode (predicate pushdown) =="
+python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python" --columns repo,path,lang
+
+echo "== 7c. random access: take specific global rows =="
+python -m rayenc take-rows "$D/job" 0,4999,2500 --columns repo,path
+
 echo "== 8. read benchmark (row-by-row vs columnar, touch counter) =="
 python -m rayenc bench-read "$D/corpus.parquet" --iterations 1
 
