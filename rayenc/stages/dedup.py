@@ -119,6 +119,9 @@ class MinHasher:
         # (vocabulary is tiny relative to token count)
         self._word_hash: dict[str, int] = {}
 
+    _CACHE_CAP = 2_000_000  # web-scale vocabularies are unbounded; an
+    # uncapped per-actor cache would be a slow memory leak
+
     def _hash_words(self, words: list[str]) -> np.ndarray:
         cache = self._word_hash
         out = np.empty(len(words), dtype=np.uint64)
@@ -128,7 +131,8 @@ class MinHasher:
                 h = int.from_bytes(
                     hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
                 )
-                cache[w] = h
+                if len(cache) < self._CACHE_CAP:
+                    cache[w] = h
             out[i] = h
         return out
 
@@ -573,6 +577,8 @@ class SimHasher:
         self.token_re = re.compile(r"\S+")
         self._word_hash: dict[str, int] = {}
 
+    _CACHE_CAP = 2_000_000  # bounded like MinHasher's
+
     def _hash_words(self, words: list[str]) -> np.ndarray:
         cache = self._word_hash
         out = np.empty(len(words), dtype=np.uint64)
@@ -582,7 +588,8 @@ class SimHasher:
                 h = int.from_bytes(
                     hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
                 )
-                cache[w] = h
+                if len(cache) < self._CACHE_CAP:
+                    cache[w] = h
             out[i] = h
         return out
 
@@ -890,7 +897,13 @@ def embedding_near_dup_pairs(
     two chunks (zero-copy from the store, node-cached across tasks) and
     doing one numpy matmul. All-pairs compute is inherently O(n^2): this
     is the oracle-checkable exact path for any threshold; for web-scale
-    corpora at high thresholds use embedding_near_dup_pairs_lsh."""
+    corpora at high thresholds use embedding_near_dup_pairs_lsh.
+
+    The chunking pass streams the vectors through the driver once
+    (bounded memory, read-bandwidth); that is never the binding
+    constraint here — at any corpus size where exact all-pairs is
+    feasible at all, the K^2 matmul fan-out dominates, and beyond that
+    size the LSH variant is the only honest choice anyway."""
     chunks: list = []
     for batch in ds.select_columns([id_col, vec_col]).iter_batches(
         batch_size=chunk_rows, batch_format="pyarrow"
