@@ -199,7 +199,13 @@ def decode_dataset(
         from .encode import default_pool_size
 
         concurrency = (1, default_pool_size())
-    if columns:
+    decode_cols = columns
+    if columns and filter:
+        # filter columns must decode even when projected out of the
+        # result — widen the decode set, drop the extras after filtering
+        extra = [c for c, _, _ in filter if c not in columns]
+        decode_cols = columns + sorted(set(extra))
+    if decode_cols:
         # block-level projection pushdown: only the requested columns'
         # blobs leave the block table (the prune-at-the-read rule applied
         # to our own format; a reader that ships every blob for a
@@ -209,11 +215,14 @@ def decode_dataset(
             for c in ("partition_id", "partition_seq", "block_seq", "n_rows")
             if c in blocks.schema().names
         ]
-        keep += [f"col_{c}" for c in columns]
+        keep += [f"col_{c}" for c in decode_cols]
         blocks = blocks.select_columns([c for c in keep if c in blocks.schema().names])
     out = blocks.map_batches(
         BlockDecoder,
-        fn_constructor_kwargs={"columns": columns, "with_provenance": with_provenance},
+        fn_constructor_kwargs={
+            "columns": decode_cols,
+            "with_provenance": with_provenance,
+        },
         batch_format="pyarrow",
         batch_size=4,  # a few blocks per call; each expands to thousands of rows
         zero_copy_batch=True,
@@ -221,6 +230,13 @@ def decode_dataset(
     )
     if filter:
         out = apply_row_filter(out, filter)
+        if decode_cols is not columns and columns:
+            prov = ["_block_id", "_partition_id", "_partition_seq", "_block_seq", "_row_in_block"]
+            want = list(columns) + (prov if with_provenance else [])
+            out = out.map_batches(
+                lambda t: t.select([c for c in want if c in t.column_names]),
+                batch_format="pyarrow",
+            )
     return out
 
 
@@ -254,6 +270,13 @@ def take_rows(
     idx = np.asarray(indices, dtype=np.int64)
     meta = blocks.select_columns(["partition_seq", "block_seq", "n_rows"]).take_all()
     meta.sort(key=lambda r: (r["partition_seq"], r["block_seq"]))
+    keys = [(r["partition_seq"], r["block_seq"]) for r in meta]
+    if len(set(keys)) != len(keys):
+        raise ValueError(
+            "blocks lack a total order (duplicate (partition_seq, block_seq) — "
+            "plain encode_dataset output); use encode_dataset_ordered or the "
+            "resumable job for random access"
+        )
     starts = np.zeros(len(meta) + 1, dtype=np.int64)
     np.cumsum([r["n_rows"] for r in meta], out=starts[1:])
     if len(idx) and (idx.min() < 0 or idx.max() >= starts[-1]):
@@ -328,7 +351,13 @@ def attach_global_row_numbers(
     offsets: dict = {}
     acc = 0
     for r in meta:
-        offsets[(r["partition_seq"], r["block_seq"])] = acc
+        key = (r["partition_seq"], r["block_seq"])
+        if key in offsets:
+            raise ValueError(
+                "blocks lack a total order (duplicate (partition_seq, block_seq)); "
+                "use encode_dataset_ordered or the resumable job"
+            )
+        offsets[key] = acc
         acc += r["n_rows"]
     ref = _ray.put(offsets)
     dec = decode_dataset(

@@ -111,3 +111,44 @@ def test_filtered_decode_roundtrip(ray_session):
         )
     ).sort_by("k")
     assert out.equals(t.filter(pa.compute.greater_equal(t["k"], 900)))
+
+
+def test_filtered_decode_with_projection_excluding_filter_col(ray_session):
+    """filter on a column not in the projection: it decodes for the
+    filter then drops from the output."""
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+    from rayenc.encode import encode_dataset
+
+    t = pa.table(
+        {
+            "k": pa.array(range(200), type=pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(200)]),
+        }
+    )
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=50, hash_column=None, concurrency=1
+    ).materialize()
+    out = pa.concat_tables(
+        decode_dataset(
+            blocks, columns=["v"], filter=[("k", ">=", 150)], concurrency=1
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert out.column_names == ["v"]
+    assert sorted(out["v"].to_pylist()) == sorted(f"v{i}" for i in range(150, 200))
+
+
+def test_take_rows_rejects_unordered_blocks(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rayenc.decode import take_rows
+    from rayenc.encode import encode_dataset
+
+    t = pa.table({"k": pa.array(range(300), type=pa.int64())})
+    blocks = encode_dataset(
+        rd.from_arrow(t).repartition(3), block_rows=100, hash_column=None, concurrency=1
+    ).materialize()
+    with _pytest.raises(ValueError, match="total order"):
+        take_rows(blocks, [0])
