@@ -126,7 +126,7 @@ def cmd_decode(args: argparse.Namespace) -> int:
     columns = args.columns.split(",") if args.columns else None
     stats = count_decoded_blocks(blocks, filters) if filters else None
     if args.ordered:
-        out = decode_ordered(blocks, columns=columns)
+        out = decode_ordered(blocks, columns=columns, filter=filters)
     else:
         out = decode_dataset(blocks, columns=columns, filter=filters)
     out.write_parquet(args.out)

@@ -407,16 +407,22 @@ def _encode_struct(arr: pa.Array, child_codec: str, level: int = 3) -> bytes:
         pc.is_valid(arr).to_numpy(zero_copy_only=False) if null_count else None
     )
     names = [t.field(i).name for i in range(t.num_fields)]
+    # "struct:{json}" carries a per-field codec map — the cacheable form
+    # the selector emits so composite columns don't re-trial every block
+    spec: dict | None = None
+    if child_codec.startswith("struct:"):
+        spec = json.loads(child_codec[len("struct:") :])
     blobs: list[bytes] = []
-    for i in range(t.num_fields):
+    for i, name in enumerate(names):
         child = arr.field(i)
-        if child_codec == "auto":
+        cc = spec.get(name, "plain") if spec is not None else child_codec
+        if cc == "auto":
             from .selector import encode_column_auto
 
             blob, _ = encode_column_auto(child, level)
         else:
             try:
-                blob = encode_column(child, child_codec, level)
+                blob = encode_column(child, cc, level)
             except Exception:
                 blob = encode_column(child, "plain", level)
         blobs.append(blob)

@@ -316,6 +316,21 @@ def take_rows(
             return pa.table({})
         return pa.concat_tables(out)
 
+    if len(idx) == 0:
+        # empty selection: decode zero rows of the first block so the
+        # caller still gets a correctly-typed empty table
+        from .blocks import decode_rows as _dr
+
+        first = blocks.take(1)[0]
+        names = [c[4:] for c in first if c.startswith("col_")]
+        if columns:
+            names = [c for c in names if c in columns]
+        return pa.table(
+            {
+                name: _dr(memoryview(first[f"col_{name}"]), np.empty(0, np.int64))
+                for name in names
+            }
+        )
     parts = [
         t
         for t in blocks.map_batches(pick, batch_format="pyarrow").iter_batches(
@@ -387,6 +402,7 @@ def decode_ordered(
     blocks: "ray.data.Dataset",
     columns: list[str] | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    filter: list[Predicate] | None = None,
 ) -> "ray.data.Dataset":
     """Decode with GLOBAL source order reconstructed: every row carries
     (_partition_seq, _block_seq, _row_in_block) — a total order over the
@@ -400,7 +416,11 @@ def decode_ordered(
     seq 0 (Ray's batch placement is not globally ordered), so their
     total order is within-block only."""
     dec = decode_dataset(
-        blocks, columns=columns, with_provenance=True, concurrency=concurrency
+        blocks,
+        columns=columns,
+        with_provenance=True,
+        concurrency=concurrency,
+        filter=filter,
     )
     ordered = dec.sort(["_partition_seq", "_block_seq", "_row_in_block"])
     drop = [

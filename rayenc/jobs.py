@@ -50,9 +50,15 @@ def _width_or(t, default: int) -> int:
         return default
 
 
-def _rg_zone(md_rg, col_idx: dict[str, int], columns: list[str]) -> dict:
+def _rg_zone(
+    md_rg, col_idx: dict[str, int], columns: list[str], col_types: dict | None = None
+) -> dict:
     """Parquet row-group statistics -> the zone-map dict shape that
-    rayenc.decode.zone_may_match consumes (timestamps as epoch µs)."""
+    rayenc.decode.zone_may_match consumes. Timestamp stats convert via
+    pa.scalar in the COLUMN'S OWN unit with naive-as-UTC semantics —
+    datetime.timestamp() would shift bounds by the machine's UTC offset
+    and hardcode µs, silently pruning row groups that match (round-2
+    review finding, reproduced under TZ=America/New_York)."""
     import datetime
 
     zone: dict = {}
@@ -65,8 +71,11 @@ def _rg_zone(md_rg, col_idx: dict[str, int], columns: list[str]) -> dict:
             continue
         lo, hi = st.min, st.max
         if isinstance(lo, datetime.datetime):
-            lo = int(lo.timestamp() * 1_000_000)
-            hi = int(hi.timestamp() * 1_000_000)
+            t = (col_types or {}).get(col)
+            if t is None or not pa.types.is_timestamp(t):
+                continue  # unknown unit: don't prune
+            lo = pa.scalar(lo.replace(tzinfo=None), type=pa.timestamp(t.unit)).value
+            hi = pa.scalar(hi.replace(tzinfo=None), type=pa.timestamp(t.unit)).value
         if isinstance(lo, bytes):
             continue  # undecoded physical bytes: don't prune
         zone[col] = {"min": lo, "max": hi, "null_count": int(st.null_count or 0)}
@@ -100,12 +109,14 @@ def plan_partitions(
         pf = pq.ParquetFile(path)
         md = pf.metadata
         col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        arrow_schema = pf.schema_arrow
+        col_types = {f.name: f.type for f in arrow_schema}
         n_rg = md.num_row_groups
         start = 0
         acc = 0
         for rg in range(n_rg):
             if filter and not zone_may_match(
-                _rg_zone(md.row_group(rg), col_idx, fcols), filter
+                _rg_zone(md.row_group(rg), col_idx, fcols, col_types), filter
             ):
                 # flush the open range, then skip this row-group entirely
                 if acc > 0:
@@ -345,11 +356,13 @@ class OrderedStreamEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[pa.Table] = []
+        last_table: pa.Table | None = None
         for part in batch.to_pylist():
             pf = pq.ParquetFile(part["path"])
             seq = 0
             for rg in range(part["rg_start"], part["rg_end"] + 1):
                 rg_table = pf.read_row_group(rg, columns=self.columns)
+                last_table = rg_table
                 for block in PartitionEncoder._iter_blocks(self, rg_table):
                     out.append(
                         self.core.encode_table(
@@ -360,6 +373,14 @@ class OrderedStreamEncoder:
                         )
                     )
                     seq += 1
+        if not out:
+            # zero-row partitions (empty shards from distributed writers):
+            # return a 0-ROW table with the block schema instead of letting
+            # concat_tables([]) kill the actor (same class of bug as the
+            # round-1 BlockDecoder empty-batch fix)
+            if last_table is None:
+                return pa.table({})
+            return self.core.encode_table(last_table.slice(0, 0)).slice(0, 0)
         return pa.concat_tables(out)
 
 

@@ -602,10 +602,9 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
     n_buckets = 64
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_b", pa.array((uid % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
-        )
+        from ..stages.hashing import bucket_column
+
+        return b.append_column("_b", bucket_column(b["user_id"], n_buckets))
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
 

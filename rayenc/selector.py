@@ -203,11 +203,50 @@ def encode_column_auto(
     negative value)."""
     t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
     if pa.types.is_struct(t) or pa.types.is_map(t):
-        # composites: selection happens per child field inside the block
-        # encoder (children are self-describing blobs)
-        blob = encode_column(arr, "auto", level)
+        # composites: select per FIELD once and return the choices as a
+        # "struct:{json}" spec string — the block encoder's per-column
+        # cache then re-encodes later blocks with zero trials (a cached
+        # literal "auto" would re-run per-field sampling every block)
+        import json as _json
+
+        arr_c = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_map(t):
+            lt = pa.list_(
+                pa.field(
+                    "entries",
+                    pa.struct(
+                        [
+                            pa.field("key", t.key_type, nullable=False),
+                            pa.field("value", t.item_type),
+                        ]
+                    ),
+                )
+            )
+            entries = pc.list_flatten(arr_c.cast(lt))
+        else:
+            entries = arr_c
+        et = entries.type
+        spec: dict[str, str] = {}
+        for i in range(et.num_fields):
+            child = entries.field(i)
+            ct = child.type
+            if (
+                pa.types.is_struct(ct)
+                or pa.types.is_map(ct)
+                or pa.types.is_list(ct)
+                or pa.types.is_large_list(ct)
+                or pa.types.is_fixed_size_list(ct)
+            ):
+                spec[et.field(i).name] = "auto"
+            else:
+                spec[et.field(i).name] = select_codec(child, sample_rows, level).codec
+        codec_str = "struct:" + _json.dumps(spec, separators=(",", ":"))
+        blob = encode_column(arr, codec_str, level)
         return blob, Choice(
-            "auto", {"n_sample": len(arr)}, {}, "composite: per-field auto selection"
+            codec_str,
+            {"n_sample": len(arr)},
+            {},
+            "composite: per-field selection (cacheable spec)",
         )
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
         child = pc.list_flatten(
@@ -243,7 +282,18 @@ def encode_column_auto(
         # family finalists; the block-level codec cache amortizes the
         # loser's encode across retrial_blocks blocks.
         rival = "fsst@9" if choice.codec.startswith("plain") else "plain@9"
-        blob_a = encode_column(arr, choice.codec, level)
+        try:
+            blob_a = encode_column(arr, choice.codec, level)
+        except Exception:
+            # same guarantee as the non-runoff tail: a sample-chosen codec
+            # that fails on the full payload degrades to the zstd backstop
+            choice = Choice(
+                "plain",
+                choice.stats,
+                choice.trials,
+                f"{choice.codec} failed on full data; zstd backstop",
+            )
+            blob_a = encode_column(arr, "plain", level)
         try:
             blob_b = encode_column(arr, rival, level)
         except Exception:

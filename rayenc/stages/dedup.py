@@ -203,17 +203,10 @@ class MinHasher:
                 mult = mult * base
             out_chunks.append(acc[valid])
         # short docs (0 < len < k): one shingle over all their words, with
-        # the per-doc effective k' = len (matches shingle_hashes exactly)
+        # the per-doc effective k' = len (matches shingle_hashes exactly;
+        # the value itself is computed once, in the assembly loop below)
         short = np.flatnonzero((counts > 0) & (counts < k))
-        for d in short:
-            hh = H[starts[d] : starts[d + 1]]
-            kk = len(hh)
-            acc = np.uint64(0)
-            mult = np.uint64(1)
-            for j in range(kk - 1, -1, -1):
-                acc += hh[j] * mult
-                mult = mult * base
-            out_counts[d] = 1
+        out_counts[short] = 1
         # assemble in doc order: full-k shingles are already doc-ordered;
         # short-doc singles must interleave at their doc positions
         if len(short) == 0:
@@ -361,10 +354,9 @@ def minhash_candidate_pairs(
     n_buckets = 64
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_b", pa.array((bh % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
-        )
+        from .hashing import bucket_column
+
+        return b.append_column("_b", bucket_column(b["band_hash"], n_buckets))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -401,10 +393,9 @@ def minhash_candidate_pairs(
 
     # same pair surfaces from several bands: vectorized distinct per id-bucket
     def add_pair_bucket(b: pa.Table) -> pa.Table:
-        da = b["doc_a"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "_pb", pa.array((da % n_buckets).astype(np.int32), type=pa.int32())
-        )
+        from .hashing import bucket_column
+
+        return b.append_column("_pb", bucket_column(b["doc_a"], n_buckets))
 
     def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pb"])
@@ -449,43 +440,53 @@ def connected_components_labels(
     import pandas as pd
 
     # one combined table, groupby-bucketed by node each round (no joins):
-    #   state/message rows: (node, dst=-1, label)
-    #   edge rows:          (node=src, dst, label=-1), re-emitted verbatim
-    # bucket co-locates a node's state with the edges leaving it, so each
-    # round is ONE bucketed shuffle.
+    #   state/message rows: kind=0, (node, label)   [dst unused]
+    #   edge rows:          kind=1, (node=src, dst) [label unused]
+    # an explicit kind column, NOT a -1 sentinel — doc ids are arbitrary
+    # int64 values (round-2 review: a real id of -1 must not corrupt the
+    # propagation). bucket co-locates a node's state with the edges
+    # leaving it, so each round is ONE bucketed shuffle.
     def init_rows(b: pa.Table) -> pa.Table:
         u = pc.unique(b["src"])
         src = b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray) else b["src"]
         dst = b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray) else b["dst"]
         node = pa.concat_arrays([u, src])
-        dcol = pa.concat_arrays([pa.array(np.full(len(u), -1, np.int64)), dst])
-        lcol = pa.concat_arrays([u, pa.array(np.full(len(src), -1, np.int64))])
-        return pa.table({"node": node, "dst": dcol, "label": lcol})
+        dcol = pa.concat_arrays([pa.array(np.zeros(len(u), np.int64)), dst])
+        lcol = pa.concat_arrays([u, pa.array(np.zeros(len(src), np.int64))])
+        kind = pa.concat_arrays(
+            [pa.array(np.zeros(len(u), np.int8)), pa.array(np.ones(len(src), np.int8))]
+        )
+        return pa.table({"node": node, "dst": dcol, "label": lcol, "kind": kind})
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        v = b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_b", pa.array((v % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
-        )
+        from .hashing import bucket_column
+
+        return b.append_column("_b", bucket_column(b["node"], n_buckets))
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        st = g[g["dst"] == -1]
-        ed = g[g["dst"] != -1]
+        st = g[g["kind"] == 0]
+        ed = g[g["kind"] != 0]
         cur = st.groupby("node", sort=False)["label"].min()
         out_state = pd.DataFrame(
-            {"node": cur.index.to_numpy(), "dst": np.int64(-1), "label": cur.to_numpy()}
+            {
+                "node": cur.index.to_numpy(),
+                "dst": np.int64(0),
+                "label": cur.to_numpy(),
+                "kind": np.int8(0),
+            }
         )
         msgs = pd.DataFrame(
             {
                 "node": ed["dst"].to_numpy(),
-                "dst": np.int64(-1),
+                "dst": np.int64(0),
                 "label": cur.reindex(ed["node"]).to_numpy(),
+                "kind": np.int8(0),
             }
         )
         edges_out = ed.drop(columns=["_b"])
         return pd.concat(
             [out_state, msgs, edges_out], ignore_index=True
-        ).astype({"node": "int64", "dst": "int64", "label": "int64"})
+        ).astype({"node": "int64", "dst": "int64", "label": "int64", "kind": "int8"})
 
     rows = und.map_batches(init_rows, batch_format="pyarrow")
     prev_sum = None
@@ -497,7 +498,7 @@ def connected_components_labels(
             .materialize()
         )
         state = rows.map_batches(
-            lambda b: b.filter(pc.equal(b["dst"], -1)).select(["label"]),
+            lambda b: b.filter(pc.equal(b["kind"], 0)).select(["label"]),
             batch_format="pyarrow",
         )
         s = state.sum("label")
@@ -514,7 +515,7 @@ def connected_components_labels(
 
     return (
         rows.map_batches(
-            lambda b: b.filter(pc.equal(b["dst"], -1)).select(["node", "label"]),
+            lambda b: b.filter(pc.equal(b["kind"], 0)).select(["node", "label"]),
             batch_format="pyarrow",
         )
         .map_batches(add_bucket, batch_format="pyarrow")
@@ -707,10 +708,9 @@ def simhash_pairs(
     n_buckets = 64
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        ck = b["chunk_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_b", pa.array((ck % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
-        )
+        from .hashing import bucket_column
+
+        return b.append_column("_b", bucket_column(b["chunk_key"], n_buckets))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -776,10 +776,9 @@ def simhash_pairs(
     pairs = bands.groupby("_b").map_groups(verify, batch_format="pandas")
 
     def add_pair_bucket(b: pa.Table) -> pa.Table:
-        da = b["doc_a"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "_pb", pa.array((da % n_buckets).astype(np.int32), type=pa.int32())
-        )
+        from .hashing import bucket_column
+
+        return b.append_column("_pb", bucket_column(b["doc_a"], n_buckets))
 
     def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # keep the min hamming seen for the pair
@@ -908,19 +907,11 @@ def embedding_near_dup_pairs(
     for batch in ds.select_columns([id_col, vec_col]).iter_batches(
         batch_size=chunk_rows, batch_format="pyarrow"
     ):
+        from .ann import _batch_matrix, _normalize
+
         bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = batch[vec_col]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if pa.types.is_fixed_size_list(col.type):
-            dim = col.type.list_size
-        else:
-            dim = len(col[0]) if len(col) else 0
-        mat = np.asarray(
-            col.values.to_numpy(zero_copy_only=False), dtype=np.float32
-        ).reshape(len(bids), dim)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        chunks.append(ray.put((bids, np.ascontiguousarray(mat / norms))))
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        chunks.append(ray.put((bids, np.ascontiguousarray(mat))))
     k = len(chunks)
     desc = ray.data.from_items(
         [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
@@ -984,20 +975,12 @@ def embedding_near_dup_pairs_lsh(
     from .ann import lsh_plan
 
     def explode(batch: pa.Table) -> pa.Table:
+        from .ann import _batch_matrix, _normalize
+
         bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = batch[vec_col]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if pa.types.is_fixed_size_list(col.type):
-            dim = col.type.list_size
-        else:
-            dim = len(col[0]) if len(col) else 0
         n = len(bids)
-        mat = np.asarray(
-            col.values.to_numpy(zero_copy_only=False), dtype=np.float32
-        ).reshape(n, dim)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        dim = mat.shape[1]
         planes = lsh_plan(dim, n_tables * planes_per_table, seed)
         signs = (mat @ planes.T) > 0  # (n, n_tables*planes_per_table)
         weights = 1 << np.arange(planes_per_table, dtype=np.int64)
@@ -1070,10 +1053,9 @@ def embedding_near_dup_pairs_lsh(
     pairs = rows.groupby("_b").map_groups(verify, batch_format="pandas")
 
     def add_pair_bucket(b: pa.Table) -> pa.Table:
-        da = b["id_a"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "_pb", pa.array((da % n_buckets).astype(np.int32), type=pa.int32())
-        )
+        from .hashing import bucket_column
+
+        return b.append_column("_pb", bucket_column(b["id_a"], n_buckets))
 
     def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_pb"])

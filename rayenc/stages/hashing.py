@@ -50,6 +50,21 @@ def hash_array_128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
     return hash_array_64(arr, seed=1), hash_array_64(arr, seed=2)
 
 
+def bucket_column(
+    batch: pa.Array | pa.ChunkedArray | np.ndarray,
+    n_buckets: int,
+) -> "pa.Array":
+    """int32 `value % n_buckets` bucket ids for a numeric column — the
+    shared helper behind every bucketed-groupby stage (the same five
+    lines used to be copy-pasted per call site)."""
+    if isinstance(batch, (pa.Array, pa.ChunkedArray)):
+        v = batch.to_numpy(zero_copy_only=False)
+    else:
+        v = batch
+    v = np.asarray(v).astype(np.uint64)
+    return pa.array((v % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer for integer keys (public-domain
     constants from the SplitMix64 PRNG paper / xorshift family)."""
