@@ -71,15 +71,24 @@ def cmd_js2pq(args: argparse.Namespace) -> int:
     _init_ray()
     import pyarrow as pa
 
-    from rayenc.histograms import read_histograms, write_policy_parquet
+    from rayenc.histograms import (
+        read_histograms,
+        write_opaque_parquet,
+        write_policy_parquet,
+    )
 
     ds = read_histograms(args.inputs, hexify=args.hexify_tag_columns)
     table = pa.concat_tables(
         ds.iter_batches(batch_size=None, batch_format="pyarrow"),
         promote_options="default",
     )
-    write_policy_parquet(table, args.out)
-    print(json.dumps({"written": args.out, "rows": table.num_rows}))
+    if args.layout == "opaque":
+        write_opaque_parquet(table, args.out)
+    else:
+        write_policy_parquet(table, args.out)
+    print(
+        json.dumps({"written": args.out, "rows": table.num_rows, "layout": args.layout})
+    )
     return 0
 
 
@@ -283,6 +292,13 @@ def main() -> int:
     js.add_argument("inputs", nargs="+")
     js.add_argument("out")
     js.add_argument("--hexify-tag-columns", action="store_true")
+    js.add_argument(
+        "--layout",
+        choices=["shredded", "opaque"],
+        default="shredded",
+        help="shredded = typed columns (default); opaque = metric + one "
+        "lossless binary record column (the reference's FlatBuffers axis)",
+    )
     js.set_defaults(fn=cmd_js2pq)
 
     d = sub.add_parser("decode", help="decode a block table back to parquet")

@@ -165,6 +165,36 @@ def write_policy_parquet(table: pa.Table, path: str) -> None:
         pq.write_table(table, path, **kwargs)
 
 
+def write_opaque_parquet(table: pa.Table, path: str) -> str:
+    """The reference's `--use-flatbuffers` layout as a first-class
+    option (/root/reference/src/bin/js2pq/main.rs:101-118,
+    src/schema.rs:36-38): metric name + ONE opaque binary column holding
+    the whole serialized record — but lossless (rayenc.opaque msgpack;
+    the reference's FlatBuffers path drops nulls). Returns the path."""
+    from .opaque import pack_opaque
+
+    record_cols = [c for c in table.column_names if c != "metric"]
+    packed = pack_opaque(table, columns=record_cols, keep=["metric"])
+    pq.write_table(
+        packed,
+        path,
+        compression="zstd",
+        compression_level=3,
+        version="2.6",
+        use_dictionary=["metric"],
+        write_statistics=["metric"],  # stats off for the blob, like the ref
+    )
+    return path
+
+
+def read_opaque_parquet(path: str, schema: pa.Schema) -> pa.Table:
+    """Inverse of write_opaque_parquet: unpack the record column back to
+    typed columns per `schema` (metric passes through)."""
+    from .opaque import unpack_opaque
+
+    return unpack_opaque(pq.read_table(path), schema, keep=["metric"])
+
+
 def touch_metric_table(table: pa.Table) -> int:
     """The parqbench anti-DCE fold over a pivoted histogram table
     (/root/reference/src/bin/parqbench/main.rs:58-169)."""

@@ -47,3 +47,30 @@ def test_float_exactness():
     packed = pack_opaque(t)
     out = unpack_opaque(packed, pa.schema([("x", pa.float64())]))
     assert out["x"].to_pylist() == t["x"].to_pylist()
+
+
+def test_histogram_opaque_layout_roundtrip(tmp_path):
+    """js2pq opaque layout: shredded table -> metric + binary record
+    column -> unpack == shredded (the reference's FlatBuffers axis,
+    lossless)."""
+    from rayenc.histograms import (
+        gen_histograms,
+        metric_tag_keys,
+        pivot_metric,
+        read_opaque_parquet,
+        write_opaque_parquet,
+    )
+
+    m = gen_histograms(n_series=20, seed=5, metric="m0")
+    keys = sorted(metric_tag_keys(m))
+    table = pivot_metric(m, keys)
+    p = str(tmp_path / "opaque.parquet")
+    write_opaque_parquet(table, p)
+    import pyarrow.parquet as pq
+
+    packed = pq.read_table(p)
+    assert set(packed.column_names) == {"metric", "record"}
+    schema = pa.schema([f for f in table.schema if f.name != "metric"])
+    back = read_opaque_parquet(p, schema)
+    for c in table.column_names:
+        assert back[c].to_pylist() == table[c].to_pylist(), c
