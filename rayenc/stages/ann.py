@@ -128,15 +128,23 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    concurrency=(1, 4),
 ) -> pa.Table:
     """IVF approximate top-k: a k-means coarse quantizer (trained on a
-    bounded head sample, centroids broadcast once) assigns every corpus
+    bounded RANDOM sample, centroids broadcast once) assigns every corpus
     vector to its nearest centroid inside map_batches; each query scores
     only vectors whose centroid is among its n_probe nearest — the
     recall-tunable alternative to the hyperplane LSH probes (raise
-    n_probe/n_centroids for recall/speed). No shuffle of the corpus."""
+    n_probe/n_centroids for recall/speed). No shuffle of the corpus.
+
+    The training sample is a seeded random_sample over the WHOLE corpus
+    (ADVICE r2: a head sample biases the centroids on sorted/clustered
+    corpora and silently degrades recall), capped at train_rows."""
+    n = ds.count()
+    frac = min(1.0, (train_rows * 1.25) / max(n, 1))
+    sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
     train = pa.concat_tables(
-        ds.limit(train_rows)
+        sample.limit(train_rows)
         .select_columns([vec_col])
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
@@ -176,7 +184,7 @@ def knn_ivf(
                 }
             )
 
-    cands = ds.map_batches(IvfTopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    cands = ds.map_batches(IvfTopK, batch_format="pyarrow", concurrency=concurrency).to_pandas()
     out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
     for qi, g in cands.groupby("query_id"):
         g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)

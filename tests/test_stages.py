@@ -132,6 +132,26 @@ def test_embedding_near_dup_and_knn(ray_session):
     assert a0["vec_id"].tolist()[0] == 0  # own bucket always probed
 
 
+def test_embedding_lsh_recall_equals_exact(ray_session):
+    """LSH banding at threshold 0.95 recovers EXACTLY the pair set the
+    exact chunked path finds on the planted-pair fixture — the recall
+    assertion that used to run inline in q_embedding_near_dup_lsh
+    (moved here per VERDICT r2 #3: the shipped query runs LSH only)."""
+    from rayenc.pipelines.queries import _perturbed_union
+    from rayenc.stages.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    both = _perturbed_union("/root/testdata/sf0.001")
+    lsh = embedding_near_dup_pairs_lsh(both, threshold=0.95).to_pandas()
+    exact = embedding_near_dup_pairs(both, threshold=0.95).to_pandas()
+    got = set(zip(lsh["id_a"], lsh["id_b"]))
+    want = set(zip(exact["id_a"], exact["id_b"]))
+    assert got == want, (len(got), len(want))
+    assert len(want) > 0  # fixture is non-vacuous (planted near-dups)
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
