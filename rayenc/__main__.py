@@ -55,6 +55,10 @@ def cmd_encode(args: argparse.Namespace) -> int:
         block_rows=args.block_rows,
         level=args.level,
         hash_column=args.hash_column or None,
+        stats=args.stats,
+        page_rows=args.page_rows,
+        decode_weight=args.decode_weight,
+        filter=_parse_filters(args.filter),
     )
     print(json.dumps(summary))
     return 0
@@ -73,6 +77,7 @@ def cmd_js2pq(args: argparse.Namespace) -> int:
 
     from rayenc.histograms import (
         read_histograms,
+        write_flatbuffers_parquet,
         write_opaque_parquet,
         write_policy_parquet,
     )
@@ -84,6 +89,8 @@ def cmd_js2pq(args: argparse.Namespace) -> int:
     )
     if args.layout == "opaque":
         write_opaque_parquet(table, args.out)
+    elif args.layout == "flatbuffers":
+        write_flatbuffers_parquet(table, args.out)
     else:
         write_policy_parquet(table, args.out)
     print(
@@ -270,6 +277,32 @@ def main() -> int:
     e.add_argument("--level", type=int, default=3)
     e.add_argument("--hash-column", default="content")
     e.add_argument("--columns", default=None, help="comma-separated column pruning")
+    e.add_argument(
+        "--stats",
+        choices=["none", "block", "page"],
+        default="block",
+        help="statistics granularity (the reference's none/chunk/page axis); "
+        "page = paged sub-block layout with per-page zone maps",
+    )
+    e.add_argument(
+        "--page-rows",
+        type=int,
+        default=None,
+        help="rows per sub-block page (implies paged layout; default 2048 when --stats page)",
+    )
+    e.add_argument(
+        "--decode-weight",
+        type=float,
+        default=0.0,
+        help="decode-cost guard: size-win demanded per decode-speed doubling "
+        "(0 = pure size ranking; 0.1 is a sensible decode-optimized value)",
+    )
+    e.add_argument(
+        "--filter",
+        action="append",
+        metavar="COL:OP:VALUE",
+        help="encode only matching rows (row-group stats pruned at plan time; repeatable)",
+    )
     e.set_defaults(fn=cmd_encode)
 
     m = sub.add_parser("manifest", help="print the manifest summary of an encode job")
@@ -294,10 +327,11 @@ def main() -> int:
     js.add_argument("--hexify-tag-columns", action="store_true")
     js.add_argument(
         "--layout",
-        choices=["shredded", "opaque"],
+        choices=["shredded", "opaque", "flatbuffers"],
         default="shredded",
-        help="shredded = typed columns (default); opaque = metric + one "
-        "lossless binary record column (the reference's FlatBuffers axis)",
+        help="shredded = typed columns (default); opaque = lossless msgpack "
+        "record column; flatbuffers = the reference's ACTUAL binary_data "
+        "wire layout (lossy like the reference: null elements dropped)",
     )
     js.set_defaults(fn=cmd_js2pq)
 

@@ -79,8 +79,15 @@ def _is_list(t: pa.DataType) -> bool:
     )
 
 
+DEFAULT_PAGE_ROWS = 2048
+
+
 def encode_column(
-    arr: pa.Array | pa.ChunkedArray, codec_name: str, level: int = 3
+    arr: pa.Array | pa.ChunkedArray,
+    codec_name: str,
+    level: int = 3,
+    page_rows: int | None = None,
+    page_zones: bool = False,
 ) -> bytes:
     """Encode one column chunk into a self-describing block blob.
 
@@ -90,9 +97,19 @@ def encode_column(
     child block of the flattened values; `codec_name` names the CHILD
     codec. Null list vs empty list is preserved via the validity bitmap
     (def-level 0 vs 1 in the reference,
-    /root/reference/src/vec_pq_reader.rs:176-195)."""
+    /root/reference/src/vec_pq_reader.rs:176-195).
+
+    `page_rows` splits the column into independently-decodable sub-block
+    PAGES (the reference's third stats-granularity level,
+    /root/reference/src/bin/js2pq/main.rs:18-26,85-89): random access
+    (decode_rows/take_rows) and page-zone-pruned filtered decode then
+    touch page bytes instead of whole multi-MB blocks — the random-access
+    cost cliff a monolithic fsst@9 content block otherwise has.
+    `page_zones` adds per-page min/max/null stats for pruning."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if page_rows and len(arr) > page_rows:
+        return _encode_paged(arr, codec_name, level, page_rows, page_zones)
     if _is_list(arr.type):
         return _encode_list(arr, codec_name, level)
     if pa.types.is_struct(arr.type):
@@ -140,6 +157,115 @@ def encode_column(
     return b"".join(parts)
 
 
+def _encode_paged(
+    arr: pa.Array, codec_name: str, level: int, page_rows: int, page_zones: bool
+) -> bytes:
+    """Split a column into pages of `page_rows`, each a full recursive
+    RYB1 blob (own validity, own symbol tables — independently
+    decodable); the wrapper header carries per-page row counts and
+    optional per-page zone maps."""
+    n = len(arr)
+    page_blobs: list[bytes] = []
+    rows: list[int] = []
+    zones: list[dict | None] | None = [] if page_zones else None
+    for start in range(0, n, page_rows):
+        page = arr.slice(start, page_rows)
+        page_blobs.append(encode_column(page, codec_name, level))
+        rows.append(len(page))
+        if zones is not None:
+            from .encode import column_zone  # lazy: avoids import cycle
+
+            zones.append(column_zone(page))
+    params: dict = {"rows": rows, "child_codec": codec_name}
+    if zones is not None:
+        params["zones"] = zones
+    header = {
+        "codec": "paged",
+        "n": n,
+        "type": "paged",
+        "null_count": 0,  # validity lives inside each page blob
+        "params": params,
+        "sections": {f"p{i}": len(b) for i, b in enumerate(page_blobs)},
+    }
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    return b"".join([_MAGIC, len(hjson).to_bytes(4, "little"), hjson, *page_blobs])
+
+
+def _page_starts(params: dict) -> np.ndarray:
+    rows = np.asarray(params["rows"], dtype=np.int64)
+    starts = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(rows, out=starts[1:])
+    return starts
+
+
+def _decode_paged_rows(header: dict, sections: dict, indices: np.ndarray) -> pa.Array:
+    """Selected rows of a paged block: decode only the touched pages,
+    and within each only the selected positions; reassemble in the
+    requested order (duplicates preserved)."""
+    starts = _page_starts(header["params"])
+    page_of = np.searchsorted(starts, indices, side="right") - 1
+    parts: list[pa.Array] = []
+    pos_parts: list[np.ndarray] = []
+    for p in np.unique(page_of):
+        mask = page_of == p
+        local = indices[mask] - starts[p]
+        parts.append(decode_rows(sections[f"p{int(p)}"], local))
+        pos_parts.append(np.flatnonzero(mask))
+    if not parts:
+        # typed empty result: zero rows of the first page
+        return decode_rows(sections["p0"], np.empty(0, dtype=np.int64))
+    combined = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+    positions = np.concatenate(pos_parts)
+    perm = np.argsort(positions, kind="stable")
+    return combined.take(pa.array(perm, type=pa.int64()))
+
+
+def page_stats(blob: bytes | memoryview, indices=None) -> dict:
+    """Page-granularity accounting for a block blob: total payload bytes
+    vs the bytes a decode_rows(indices) call actually touches — the
+    prune-effectiveness metric the page-index tests assert on. Unpaged
+    blobs touch everything by construction."""
+    header, _, sections = _parse_block(blob)
+    if header["codec"] != "paged":
+        total = sum(header["sections"].values())
+        return {"n_pages": 1, "total_bytes": total, "touched_bytes": total}
+    sizes = {int(k[1:]): v for k, v in header["sections"].items()}
+    total = sum(sizes.values())
+    if indices is None:
+        return {"n_pages": len(sizes), "total_bytes": total, "touched_bytes": total}
+    starts = _page_starts(header["params"])
+    idx = np.asarray(indices, dtype=np.int64)
+    pages = np.unique(np.searchsorted(starts, idx, side="right") - 1)
+    touched = int(sum(sizes[int(p)] for p in pages))
+    return {"n_pages": len(sizes), "total_bytes": total, "touched_bytes": touched}
+
+
+def page_prune_indices(blob: bytes | memoryview, predicates) -> np.ndarray | None:
+    """Row indices of the pages a predicate conjunction can possibly
+    match, using per-page zone maps (page_zones=True at encode).
+    Returns None when the blob is unpaged or carries no page zones
+    (meaning: no sub-block pruning available, decode everything)."""
+    from .decode import zone_may_match  # lazy: avoids import cycle
+
+    header, _, _ = _parse_block(blob)
+    if header["codec"] != "paged":
+        return None
+    zones = header["params"].get("zones")
+    if not zones:
+        return None
+    starts = _page_starts(header["params"])
+    col = "__self__"
+    keep: list[np.ndarray] = []
+    for p, z in enumerate(zones):
+        zmap = {col: z} if z is not None else {}
+        preds = [(col, op, val) for (_, op, val) in predicates]
+        if zone_may_match(zmap, preds):
+            keep.append(np.arange(starts[p], starts[p + 1], dtype=np.int64))
+    if not keep:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(keep)
+
+
 def _parse_block(blob: bytes | memoryview) -> tuple[dict, np.ndarray | None, dict]:
     """Split a blob into (header, validity bool array or None, sections)."""
     blob = memoryview(blob)
@@ -166,6 +292,14 @@ def decode_column(blob: bytes | memoryview) -> pa.Array:
     """Decode a block blob back to the original arrow array (bit-identical)."""
     header, validity, sections = _parse_block(blob)
     n = header["n"]
+    if header["codec"] == "paged":
+        parts = [
+            decode_column(sections[f"p{i}"])
+            for i in range(len(header["params"]["rows"]))
+        ]
+        return pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+        )
     if header["codec"] == "list":
         return _decode_list(header, validity, sections)
     if header["codec"] == "struct":
@@ -204,6 +338,8 @@ def decode_rows(blob: bytes | memoryview, indices) -> pa.Array:
     if np.any((indices < 0) | (indices >= n)):
         raise IndexError(f"row index out of range for block of {n} rows")
     codec_name = header["codec"]
+    if codec_name == "paged":
+        return _decode_paged_rows(header, sections, indices)
     sub_validity = validity[indices] if validity is not None else None
     if codec_name == "struct":
         names = header["params"]["fields"]

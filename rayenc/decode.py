@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -70,6 +71,30 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
     return True
 
 
+def validate_predicates(
+    blocks: "ray.data.Dataset", predicates: list[Predicate]
+) -> None:
+    """Fail fast ON THE DRIVER for malformed filters (ADVICE r2): a
+    predicate column with no col_* in the block table would silently
+    never prune (missing zones) and then KeyError inside a Ray worker;
+    an unknown op string would die on _OPS[op] mid-pipeline."""
+    names = blocks.schema().names
+    cols = {c[4:] for c in names if c.startswith("col_")}
+    for p in predicates:
+        if not (isinstance(p, (tuple, list)) and len(p) == 3):
+            raise ValueError(f"predicate must be (column, op, value), got {p!r}")
+        col, op, _ = p
+        if op not in _OPS:
+            raise ValueError(
+                f"unknown predicate op {op!r}; supported: {sorted(_OPS)}"
+            )
+        if cols and col not in cols:
+            raise ValueError(
+                f"predicate column {col!r} not in block table "
+                f"(have: {sorted(cols)})"
+            )
+
+
 def prune_blocks(
     blocks: "ray.data.Dataset", predicates: list[Predicate]
 ) -> "ray.data.Dataset":
@@ -115,12 +140,46 @@ def apply_row_filter(
 
 
 class BlockDecoder:
-    """map_batches callable: block rows in -> decoded source rows out."""
+    """map_batches callable: block rows in -> decoded source rows out.
 
-    def __init__(self, columns: list[str] | None = None, with_provenance: bool = False):
+    With `filter` set, blocks whose predicate columns carry PAGE zone
+    maps (stats="page" at encode) decode only the pages the predicates
+    can match — sub-block pruning via blocks.decode_rows, so a selective
+    read of a multi-MB fsst@9 content block touches page bytes, not the
+    whole blob (the reference's page-stats level,
+    /root/reference/src/bin/js2pq/main.rs:18-26). The exact row filter
+    still runs downstream (pages are supersets)."""
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        with_provenance: bool = False,
+        filter: list[Predicate] | None = None,
+    ):
         self.columns = columns
         self.with_provenance = with_provenance
+        self.filter = filter
         self._cur_partition_seq = 0
+
+    def _page_keep(self, names: list[str], blobs: list):
+        """Row indices the page zones allow, or None for full decode."""
+        if not self.filter:
+            return None
+        from .blocks import page_prune_indices
+
+        by_col: dict[str, list] = {}
+        for col, op, val in self.filter:
+            by_col.setdefault(col, []).append((col, op, val))
+        keep = None
+        for name, blob in zip(names, blobs):
+            preds = by_col.get(name)
+            if not preds:
+                continue
+            k = page_prune_indices(blob, preds)
+            if k is None:
+                continue
+            keep = k if keep is None else np.intersect1d(keep, k, assume_unique=True)
+        return keep
 
     def decode_block_row(
         self,
@@ -130,20 +189,24 @@ class BlockDecoder:
         block_seq: int,
         partition_id: str = "",
     ) -> pa.Table:
+        from .blocks import decode_rows as _decode_rows
+
+        keep = self._page_keep(names, blobs)
         cols: dict[str, pa.Array] = {}
         n = None
         for name, blob in zip(names, blobs):
-            arr = decode_column(blob)
+            arr = decode_column(blob) if keep is None else _decode_rows(blob, keep)
             cols[name] = arr
             n = len(arr)
         if self.with_provenance:
+            rib = range(n or 0) if keep is None else keep
             cols["_block_id"] = pa.array([block_id] * (n or 0))
             cols["_partition_id"] = pa.array([partition_id] * (n or 0))
             cols["_partition_seq"] = pa.array(
                 [self._cur_partition_seq] * (n or 0), type=pa.int64()
             )
             cols["_block_seq"] = pa.array([block_seq] * (n or 0), type=pa.int64())
-            cols["_row_in_block"] = pa.array(range(n or 0), type=pa.int64())
+            cols["_row_in_block"] = pa.array(rib, type=pa.int64())
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -190,10 +253,13 @@ def decode_dataset(
     """Streaming decode: block rows -> Dataset of original source rows.
 
     `filter` is a conjunction of (col, op, value) predicates applied in
-    two stages: zone-map pruning drops whole blocks by min/max before
+    three stages: zone-map pruning drops whole blocks by min/max before
     their blobs ship (strictly fewer blocks decoded — measurable via
-    count_decoded_blocks), then the exact row filter runs after decode."""
+    count_decoded_blocks), page-zone pruning inside surviving blocks
+    decodes only matchable pages (stats="page" encodes), then the exact
+    row filter runs after decode."""
     if filter:
+        validate_predicates(blocks, filter)
         blocks = prune_blocks(blocks, filter)
     if concurrency is None:
         from .encode import default_pool_size
@@ -222,6 +288,7 @@ def decode_dataset(
         fn_constructor_kwargs={
             "columns": decode_cols,
             "with_provenance": with_provenance,
+            "filter": filter,
         },
         batch_format="pyarrow",
         batch_size=4,  # a few blocks per call; each expands to thousands of rows

@@ -137,15 +137,27 @@ class BlockEncoder:
         forced_codecs: dict[str, str] | None = None,
         retrial_blocks: int = 16,
         stats: str = "block",
+        page_rows: int | None = None,
+        decode_weight: float = 0.0,
     ):
         self.columns = columns
         self.level = level
         self.sample_rows = sample_rows
         self.hash_column = hash_column
         self.forced_codecs = forced_codecs or {}
-        if stats not in ("none", "block"):
-            raise ValueError(f"stats must be 'none' or 'block', got {stats!r}")
+        if stats not in ("none", "block", "page"):
+            raise ValueError(f"stats must be 'none', 'block' or 'page', got {stats!r}")
         self.stats = stats
+        # the reference's 3-level stats axis none/chunk/page
+        # (/root/reference/src/bin/js2pq/main.rs:18-26,85-89): "page"
+        # implies the paged sub-block layout with per-page zone maps
+        if stats == "page" and page_rows is None:
+            from .blocks import DEFAULT_PAGE_ROWS
+
+            page_rows = DEFAULT_PAGE_ROWS
+        self.page_rows = page_rows
+        self.page_zones = stats == "page"
+        self.decode_weight = decode_weight
         self.blocks_done = 0
         self.rows_done = 0
         # per-column codec choice cache: trial selection runs on the first
@@ -175,7 +187,7 @@ class BlockEncoder:
         h = hashlib.sha256()
         for name in cols:
             arr = batch[name]
-            if self.stats == "block":
+            if self.stats in ("block", "page"):
                 z = column_zone(arr)
                 if z is not None:
                     zones[name] = z
@@ -184,28 +196,43 @@ class BlockEncoder:
             cached = self._cached.get(name)
             if forced:
                 try:
-                    blob = encode_column(arr, forced, self.level)
+                    blob = encode_column(
+                        arr, forced, self.level, self.page_rows, self.page_zones
+                    )
                     choice_info = {"codec": forced, "reason": "forced"}
                 except Exception:
-                    blob = encode_column(arr, "plain", self.level)
+                    blob = encode_column(
+                        arr, "plain", self.level, self.page_rows, self.page_zones
+                    )
                     choice_info = {
                         "codec": "plain",
                         "reason": f"forced {forced} failed; zstd backstop",
                     }
             elif cached is not None and self._since_trial.get(name, 0) < self.retrial_blocks:
                 try:
-                    blob = encode_column(arr, cached, self.level)
+                    blob = encode_column(
+                        arr, cached, self.level, self.page_rows, self.page_zones
+                    )
                     choice_info = {"codec": cached, "reason": "cached selection"}
                     self._since_trial[name] += 1
                 except Exception:
-                    blob = encode_column(arr, "plain", self.level)
+                    blob = encode_column(
+                        arr, "plain", self.level, self.page_rows, self.page_zones
+                    )
                     choice_info = {
                         "codec": "plain",
                         "reason": f"cached {cached} failed; re-trial next block",
                     }
                     del self._cached[name]
             else:
-                blob, choice = encode_column_auto(arr, self.level, self.sample_rows)
+                blob, choice = encode_column_auto(
+                    arr,
+                    self.level,
+                    self.sample_rows,
+                    page_rows=self.page_rows,
+                    page_zones=self.page_zones,
+                    decode_weight=self.decode_weight,
+                )
                 choice_info = choice.lineage()
                 self._cached[name] = choice.codec
                 self._since_trial[name] = 0
@@ -258,6 +285,8 @@ def encode_dataset(
     retrial_blocks: int = 16,
     stats: str = "block",
     preselect: bool = False,
+    page_rows: int | None = None,
+    decode_weight: float = 0.0,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -284,7 +313,7 @@ def encode_dataset(
         sample = ds.limit(block_rows).take_batch(block_rows, batch_format="pyarrow")
         forced_codecs = {}
         for name in sample.column_names:
-            _, choice = encode_column_auto(sample[name], level)
+            _, choice = encode_column_auto(sample[name], level, decode_weight=decode_weight)
             forced_codecs[name] = choice.codec
     if concurrency is None:
         concurrency = (1, default_pool_size())
@@ -297,6 +326,8 @@ def encode_dataset(
             "forced_codecs": forced_codecs,
             "retrial_blocks": retrial_blocks,
             "stats": stats,
+            "page_rows": page_rows,
+            "decode_weight": decode_weight,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

@@ -195,6 +195,51 @@ def read_opaque_parquet(path: str, schema: pa.Schema) -> pa.Table:
     return unpack_opaque(pq.read_table(path), schema, keep=["metric"])
 
 
+def write_flatbuffers_parquet(table: pa.Table, path: str) -> str:
+    """The reference's ACTUAL `--use-flatbuffers` wire layout
+    (/root/reference/src/schema.rs:36-38, src/flatbuffers.rs:10-41):
+    tag columns + one `binary_data` column of FlatBuffers Histogram
+    buffers. Faithfully LOSSY like the reference — null elements of
+    sums_double/sums_long are dropped (:14-30); use write_opaque_parquet
+    (msgpack) when fidelity matters. Exists so reference-written files
+    and ours are mutually readable (rayenc.fbs round-trips them)."""
+    from .fbs import histogram_to_flatbuffers
+
+    keep = [c for c in table.column_names if c not in LIST_COLS]
+    blobs = []
+    for i in range(table.num_rows):
+        blobs.append(
+            histogram_to_flatbuffers(
+                table["ts"][i].as_py() or [],
+                table["count"][i].as_py() or [],
+                [d for d in (table["sums_double"][i].as_py() or []) if d is not None],
+                [d for d in (table["sums_long"][i].as_py() or []) if d is not None],
+            )
+        )
+    out = table.select(keep).append_column(
+        "binary_data", pa.array(blobs, type=pa.binary())
+    )
+    pq.write_table(
+        out,
+        path,
+        compression="zstd",
+        compression_level=3,
+        version="2.6",
+        use_dictionary=keep,
+        write_statistics=keep,  # stats off for binary_data, like the ref
+    )
+    return path
+
+
+def read_flatbuffers_parquet(path: str) -> pa.Table:
+    """Read a reference-layout opaque parquet (binary_data FlatBuffers
+    column) back to the shredded table — the interop path a user
+    migrating reference-written files hits first."""
+    from .fbs import decode_flatbuffers_column
+
+    return decode_flatbuffers_column(pq.read_table(path))
+
+
 def touch_metric_table(table: pa.Table) -> int:
     """The parqbench anti-DCE fold over a pivoted histogram table
     (/root/reference/src/bin/parqbench/main.rs:58-169)."""

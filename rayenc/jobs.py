@@ -172,12 +172,22 @@ class PartitionEncoder:
         max_block_bytes: int,
         hash_column: str | None,
         row_filter: list | None = None,
+        stats: str = "block",
+        page_rows: int | None = None,
+        decode_weight: float = 0.0,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
         self.blocks_dir.mkdir(parents=True, exist_ok=True)
         self.manifest = Manifest(out_root)
-        self.core = BlockEncoder(columns=columns, level=level, hash_column=hash_column)
+        self.core = BlockEncoder(
+            columns=columns,
+            level=level,
+            hash_column=hash_column,
+            stats=stats,
+            page_rows=page_rows,
+            decode_weight=decode_weight,
+        )
         self.columns = columns
         self.block_rows = block_rows
         self.max_block_bytes = max_block_bytes
@@ -348,8 +358,18 @@ class OrderedStreamEncoder:
         block_rows: int,
         max_block_bytes: int,
         hash_column: str | None,
+        stats: str = "block",
+        page_rows: int | None = None,
+        decode_weight: float = 0.0,
     ):
-        self.core = BlockEncoder(columns=columns, level=level, hash_column=hash_column)
+        self.core = BlockEncoder(
+            columns=columns,
+            level=level,
+            hash_column=hash_column,
+            stats=stats,
+            page_rows=page_rows,
+            decode_weight=decode_weight,
+        )
         self.columns = columns
         self.block_rows = block_rows
         self.max_block_bytes = max_block_bytes
@@ -393,6 +413,9 @@ def encode_dataset_ordered(
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
     hash_column: str | None = "content",
     concurrency: int | tuple[int, int] | None = None,
+    stats: str = "block",
+    page_rows: int | None = None,
+    decode_weight: float = 0.0,
 ) -> "ray.data.Dataset":
     """Streaming encode with TOTAL ORDER: plan partitions from parquet
     metadata (deterministic ordinals), fan the descriptor table out over
@@ -414,11 +437,42 @@ def encode_dataset_ordered(
             "block_rows": block_rows,
             "max_block_bytes": max_block_bytes,
             "hash_column": hash_column,
+            "stats": stats,
+            "page_rows": page_rows,
+            "decode_weight": decode_weight,
         },
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency,
     )
+
+
+def job_params(
+    columns: list[str] | None = None,
+    level: int = 3,
+    block_rows: int = 8192,
+    max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+    hash_column: str | None = "content",
+    filter: list | None = None,
+    stats: str = "block",
+    page_rows: int | None = None,
+    decode_weight: float = 0.0,
+) -> dict:
+    """Canonical job-record parameter dict (JSON-normalized) — the shape
+    Manifest.check_job records and compares on resume."""
+    return {
+        "filter": [list(p) for p in filter] if filter else None,
+        "columns": list(columns) if columns else None,
+        "hash_column": hash_column,
+        "block_rows": block_rows,
+        "level": level,
+        "stats": stats,
+        "page_rows": page_rows,
+        "decode_weight": decode_weight,
+        "max_block_bytes": max_block_bytes,
+        "max_partition_bytes": max_partition_bytes,
+    }
 
 
 def run_encode_job(
@@ -432,17 +486,23 @@ def run_encode_job(
     hash_column: str | None = "content",
     concurrency: int | tuple[int, int] | None = None,
     filter: list | None = None,
+    stats: str = "block",
+    page_rows: int | None = None,
+    decode_weight: float = 0.0,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
     Rerun-safe: partitions already in the manifest are skipped before any
-    data is read (kill-and-rerun covered by tests/test_resume.py).
+    data is read (kill-and-rerun covered by tests/test_resume.py). The
+    out_root carries a job record (format version + parameters); resuming
+    with a different filter/columns/hash_column — or into a root written
+    by an older partition-id scheme — raises instead of silently mixing
+    rows from different predicates (ADVICE r2).
 
     `filter` ((col, op, value) conjunctions) encodes only matching rows:
     row-groups proven empty by parquet statistics are skipped at PLAN
     time (never read), and the exact row filter runs on each row-group
-    table before blocking. Filtered and unfiltered runs use distinct
-    out_roots — partition ids encode only (path, rg range)."""
+    table before blocking."""
     if concurrency is None:
         # unlike the streaming path, the partition actor reads its own
         # input (no separate read stage to starve): use nearly all CPUs
@@ -452,6 +512,20 @@ def run_encode_job(
             ncpu = 8
         concurrency = (1, max(2, ncpu - 2))
     manifest = Manifest(out_root)
+    manifest.check_job(
+        job_params(
+            columns=columns,
+            level=level,
+            block_rows=block_rows,
+            max_block_bytes=max_block_bytes,
+            max_partition_bytes=max_partition_bytes,
+            hash_column=hash_column,
+            filter=filter,
+            stats=stats,
+            page_rows=page_rows,
+            decode_weight=decode_weight,
+        )
+    )
     parts = plan_partitions(input_paths, max_partition_bytes, filter=filter)
     committed = manifest.committed_ids()
     pending = [p for p in parts if p["partition_id"] not in committed]
@@ -475,6 +549,9 @@ def run_encode_job(
                 "max_block_bytes": max_block_bytes,
                 "hash_column": hash_column,
                 "row_filter": filter,
+                "stats": stats,
+                "page_rows": page_rows,
+                "decode_weight": decode_weight,
             },
             batch_format="pyarrow",
             batch_size=1,

@@ -25,6 +25,20 @@ import tempfile
 from pathlib import Path
 
 
+# Partition-id scheme / layout version. 2 = full-path pids (round-2 fix:
+# basename pids collided across directories). A resume into an out_root
+# written under a different scheme would re-encode everything under new
+# pids while read_blocks still reads the stale {old_pid}.parquet files —
+# silently duplicating rows (ADVICE r2) — so job records carry the
+# version and resume refuses a mismatch.
+FORMAT_VERSION = 2
+
+# Job parameters that change WHICH ROWS a partition contains (or how they
+# verify); resuming with a different value would mix rows from different
+# predicates/projections in one block table (ADVICE r2).
+STRICT_JOB_KEYS = ("filter", "columns", "hash_column")
+
+
 class Manifest:
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
@@ -50,6 +64,68 @@ class Manifest:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def job_record_path(self) -> Path:
+        return self.root / "job.json"
+
+    def job_record(self) -> dict | None:
+        p = self.job_record_path()
+        if not p.exists():
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def check_job(self, params: dict) -> None:
+        """Gate a (re)run of this out_root: write the job record on first
+        run; on resume, REFUSE a format-version mismatch (older pid
+        scheme -> stale block files would silently duplicate rows) and a
+        strict-parameter mismatch (a different filter/columns/hash would
+        mix rows from different predicates into one block table). Raises
+        ValueError with the offending keys."""
+        rec = self.job_record()
+        if rec is None:
+            if self.committed_ids():
+                raise ValueError(
+                    f"out_root {self.root} has committed partitions but no job "
+                    "record — written by an older rayenc partition-id scheme; "
+                    "refusing to resume (re-encode into a fresh out_root)"
+                )
+            self.root.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".job.", suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(
+                        {"format_version": FORMAT_VERSION, "params": params},
+                        f,
+                        separators=(",", ":"),
+                    )
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self.job_record_path())
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            return
+        ver = rec.get("format_version")
+        if ver != FORMAT_VERSION:
+            raise ValueError(
+                f"out_root {self.root} was written with format_version {ver}, "
+                f"this rayenc writes {FORMAT_VERSION}; refusing to resume "
+                "(stale block files under the old id scheme would duplicate rows)"
+            )
+        old = rec.get("params", {})
+        mismatched = {
+            k: {"recorded": old.get(k), "requested": params.get(k)}
+            for k in STRICT_JOB_KEYS
+            if old.get(k) != params.get(k)
+        }
+        if mismatched:
+            raise ValueError(
+                f"resume parameter mismatch for {self.root}: {mismatched} — "
+                "committed partitions were encoded under the recorded values; "
+                "rerunning with different ones would mix rows from different "
+                "predicates/projections (use a fresh out_root)"
+            )
 
     def committed_ids(self) -> set[str]:
         if not self.dir.is_dir():

@@ -153,6 +153,88 @@ def q_zonemap_filtered_decode(sf_dir: str):
     return decode_dataset(blocks, filter=pred)
 
 
+def q_pagezone_filtered_decode(sf_dir: str):
+    """SUB-BLOCK predicate pushdown (the reference's page-stats level,
+    /root/reference/src/bin/js2pq/main.rs:18-26): stats='page' encode
+    gives every block per-page zone maps; a filtered decode then touches
+    only matchable pages inside each surviving block. Asserted: the
+    page index proves a strict subset of rows decodes in at least one
+    block. Oracle is the equivalent WHERE clause."""
+    from ..blocks import page_prune_indices
+    from ..decode import decode_dataset
+    from ..encode import encode_dataset
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    blocks = encode_dataset(
+        ds, block_rows=500, stats="page", page_rows=100, hash_column=None
+    ).materialize()
+    pred = [("doc_id", "<", 50)]
+    # prune-proof: the first block's doc_id column keeps < all rows
+    first = blocks.take(1)[0]
+    keep = page_prune_indices(memoryview(first["col_doc_id"]), pred)
+    assert keep is not None and len(keep) < first["n_rows"], (
+        None if keep is None else len(keep),
+        first["n_rows"],
+    )
+    return decode_dataset(blocks, filter=pred)
+
+
+def q_flatbuffers_interop(sf_dir: str) -> pa.Table:
+    """Reference wire interop: histograms packed into the reference's
+    FlatBuffers binary_data layout (/root/reference/src/flatbuffers.rs:10-45),
+    written as its opaque parquet, re-read + shredded via rayenc.fbs.
+    Asserted inline: the decoded vectors equal the pre-pack shredded
+    table modulo the reference's documented null loss. Rows-only (the
+    fixture is derived from the histogram generator, not an sf table)."""
+    import os
+
+    from ..fbs import read_reference_opaque_parquet
+    from ..histograms import gen_histograms, pivot_metric, write_flatbuffers_parquet
+
+    d = "/tmp/rayenc_fbs_fixture"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "ref_opaque.parquet")
+    metric = gen_histograms(n_series=60, seed=77)
+    tag_keys = sorted({k for s in metric["series"] for k in s["tags"]})
+    shredded = pivot_metric(metric, tag_keys)
+    if not os.path.exists(path):
+        write_flatbuffers_parquet(shredded, path)
+    got = pa.concat_tables(
+        read_reference_opaque_parquet(path).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    want_sd = sorted(
+        tuple(x for x in row if x is not None)
+        for row in shredded["sums_double"].to_pylist()
+    )
+    assert sorted(tuple(r) for r in got["sums_double"].to_pylist()) == want_sd
+    assert sorted(tuple(r) for r in got["ts"].to_pylist()) == sorted(
+        tuple(r) for r in shredded["ts"].to_pylist()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "n_points": [len(r) for r in got["ts"].to_pylist()],
+            "n_sums": [len(r) for r in got["sums_double"].to_pylist()],
+        }
+    )
+    agg = (
+        df.groupby("n_points")
+        .agg(n_series=("n_sums", "count"), total_sums=("n_sums", "sum"))
+        .reset_index()
+        .sort_values("n_points")
+    )
+    return pa.table(
+        {
+            "n_points": pa.array(agg["n_points"].astype("int64")),
+            "n_series": pa.array(agg["n_series"].astype("int64")),
+            "total_sums": pa.array(agg["total_sums"].astype("int64")),
+        }
+    )
+
+
 def q_zonemap_events_time_filter(sf_dir: str):
     """Timestamp zone-map pruning: events is ts-ordered on disk, so a
     late-window predicate (epoch-µs int vs the stored int zone bounds)
@@ -1024,11 +1106,14 @@ def q_histogram_ingest(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_features(sf_dir: str) -> pa.Table:
-    """Plumbing check for the stubbed multimodal decode stage (no media
-    libs in container; FakeDecoder is deterministic)."""
+    """Multimodal decode stage, feature-detected: ImageDecoder uses PIL
+    when importable, the deterministic fake otherwise — identical output
+    schema, so this query is unchanged in CI and the real decode runs
+    where media libs exist (synthetic payloads are not parseable images,
+    so the per-row fallback keeps the values deterministic there too)."""
     t = multimodal.synthesize_media_table(256)
     ds = rd.from_arrow(t)
-    out = multimodal.decode_pipeline(ds, batch_size=32)
+    out = multimodal.decode_pipeline(ds, decoder=multimodal.ImageDecoder, batch_size=32)
     resized = out.map_batches(
         multimodal.FakeResizer, batch_format="pyarrow", concurrency=(1, 2)
     )
@@ -1084,12 +1169,15 @@ def q_jsonl_source(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_frames(sf_dir: str) -> pa.Table:
-    """Video frame-sampling plumbing (explode shape; deterministic fake
-    frames — real ffmpeg slot documented in stages/multimodal.py)."""
+    """Video frame sampling (explode shape), feature-detected: the
+    FrameSampler extracts real frames via ffmpeg when it is on PATH and
+    falls back to deterministic fakes otherwise — same schema, and this
+    query's projected (media_id, frame_idx, ts_s) columns are identical
+    on both paths (only the feature values differ with real decode)."""
     t = multimodal.synthesize_media_table(128)
     ds = rd.from_arrow(t)
     out = ds.map_batches(
-        multimodal.FakeFrameSampler, batch_format="pyarrow", batch_size=32,
+        multimodal.FrameSampler, batch_format="pyarrow", batch_size=32,
         concurrency=(1, 2),
     )
     df = out.to_pandas().sort_values(["media_id", "frame_idx"])
@@ -1114,6 +1202,8 @@ QUERIES = {
     "roundtrip_structs": q_roundtrip_structs,
     "roundtrip_decimal": q_roundtrip_decimal,
     "zonemap_filtered_decode": q_zonemap_filtered_decode,
+    "pagezone_filtered_decode": q_pagezone_filtered_decode,
+    "flatbuffers_interop": q_flatbuffers_interop,
     "ordered_roundtrip": q_ordered_roundtrip,
     "zonemap_events_time_filter": q_zonemap_events_time_filter,
     "selector_stats_by_lang": q_selector_stats_by_lang,
@@ -1167,6 +1257,9 @@ ORACLES = {
     "roundtrip_structs": "SELECT doc_id, lang, source, n_chars FROM documents",
     "zonemap_filtered_decode": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100"
+    ),
+    "pagezone_filtered_decode": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50"
     ),
     "ordered_roundtrip": (
         "SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn, "

@@ -36,14 +36,18 @@ class Choice:
     stats: dict
     trials: dict[str, int] = field(default_factory=dict)
     reason: str = ""
+    dec_mbps: dict = field(default_factory=dict)  # measured trial decode speed
 
     def lineage(self) -> dict:
-        return {
+        out = {
             "codec": self.codec,
             "stats": self.stats,
             "trials": self.trials,
             "reason": self.reason,
         }
+        if self.dec_mbps:
+            out["dec_mbps"] = self.dec_mbps
+        return out
 
 
 def _sample(arr: pa.Array, max_rows: int, max_bytes: int) -> pa.Array:
@@ -134,8 +138,19 @@ def select_codec(
     arr: pa.Array | pa.ChunkedArray,
     sample_rows: int = SAMPLE_ROWS,
     level: int = 3,
+    decode_weight: float = 0.0,
 ) -> Choice:
-    """Pick the codec for one column chunk by measured trial size."""
+    """Pick the codec for one column chunk by measured trial size.
+
+    `decode_weight` > 0 turns on the decode-cost guard (VERDICT r2 #7:
+    fsst@9's 2-3x decode-wall cost is invisible to a size-only runoff):
+    every trial blob is also DECODED and its MB/s recorded in lineage;
+    candidates are then ranked by size_ratio * (1 + w * log2(slowdown))
+    where slowdown is the fastest trial decode over this one's — so a
+    codec must buy w size-win per decode-speed doubling. 0 keeps the
+    pure size ranking (and still records decode speed)."""
+    import time as _time
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     sample = _sample(arr, sample_rows, SAMPLE_BYTES)
@@ -143,6 +158,7 @@ def select_codec(
     cands = candidate_codecs(arr.type, stats)
     trials: dict[str, int] = {}
     ratios: dict[str, float] = {}  # payload bytes per source byte (comparable across samples)
+    dec_mbps: dict[str, float] = {}
     for name in cands:
         trial_sample = sample
         if name.startswith("fsst") and sample.nbytes > FSST_SAMPLE_BYTES:
@@ -158,6 +174,15 @@ def select_codec(
         payload = len(blob) - 8 - hlen
         trials[name] = len(blob)
         ratios[name] = payload / max(trial_sample.nbytes, 1)
+        try:
+            from .blocks import decode_column
+
+            t0 = _time.perf_counter()
+            decode_column(blob)
+            dt = _time.perf_counter() - t0
+            dec_mbps[name] = round(trial_sample.nbytes / max(dt, 1e-9) / 1e6, 1)
+        except Exception:
+            dec_mbps[name] = 0.0
     if not trials:
         return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
     # a deeper zstd level costs 2-4x encode CPU: demand a >=3% size win
@@ -175,7 +200,9 @@ def select_codec(
         if best_fsst > best_other * 0.97:
             for k in fsst_keys:
                 del ratios[k]
-    best_name, best_ratio = min(ratios.items(), key=lambda kv: kv[1])
+    scores = _decode_weighted(ratios, dec_mbps, decode_weight)
+    best_name, _ = min(scores.items(), key=lambda kv: kv[1])
+    best_ratio = ratios[best_name]
     # tie-break: a lightweight codec within 2% of the zstd backstop wins —
     # equal size but cheaper decode + random access at scale
     if best_name == "plain":
@@ -186,13 +213,38 @@ def select_codec(
     reason = (
         f"min trial payload among {sorted(trials)} "
         f"(distinct_ratio={stats.get('distinct_ratio', 1):.3f}, "
-        f"run_ratio={stats.get('run_ratio', 1):.3f})"
+        f"run_ratio={stats.get('run_ratio', 1):.3f}"
+        + (f", decode_weight={decode_weight}" if decode_weight else "")
+        + ")"
     )
-    return Choice(best_name, stats, trials, reason)
+    return Choice(best_name, stats, trials, reason, dec_mbps)
+
+
+def _decode_weighted(
+    ratios: dict[str, float], dec_mbps: dict[str, float], w: float
+) -> dict[str, float]:
+    """size_ratio * (1 + w * log2(fastest_decode / this_decode)): the
+    size-win-per-decode-cost score. w=0 degenerates to size-only."""
+    if w <= 0 or not dec_mbps:
+        return dict(ratios)
+    fastest = max((dec_mbps.get(k, 0.0) for k in ratios), default=0.0)
+    if fastest <= 0:
+        return dict(ratios)
+    out = {}
+    for k, r in ratios.items():
+        speed = max(dec_mbps.get(k, fastest), 1e-9)
+        slowdown = max(1.0, fastest / speed)
+        out[k] = r * (1.0 + w * float(np.log2(slowdown)))
+    return out
 
 
 def encode_column_auto(
-    arr: pa.Array | pa.ChunkedArray, level: int = 3, sample_rows: int = SAMPLE_ROWS
+    arr: pa.Array | pa.ChunkedArray,
+    level: int = 3,
+    sample_rows: int = SAMPLE_ROWS,
+    page_rows: int | None = None,
+    page_zones: bool = False,
+    decode_weight: float = 0.0,
 ) -> tuple[bytes, Choice]:
     """Select a codec on a sample, then encode the full column with it.
 
@@ -239,9 +291,9 @@ def encode_column_auto(
             ):
                 spec[et.field(i).name] = "auto"
             else:
-                spec[et.field(i).name] = select_codec(child, sample_rows, level).codec
+                spec[et.field(i).name] = select_codec(child, sample_rows, level, decode_weight).codec
         codec_str = "struct:" + _json.dumps(spec, separators=(",", ":"))
-        blob = encode_column(arr, codec_str, level)
+        blob = encode_column(arr, codec_str, level, page_rows, page_zones)
         return blob, Choice(
             codec_str,
             {"n_sample": len(arr)},
@@ -264,10 +316,10 @@ def encode_column_auto(
                 "auto", {"n_sample": len(child)}, {}, "nested child: per-field auto"
             )
         else:
-            choice = select_codec(child, sample_rows, level)
+            choice = select_codec(child, sample_rows, level, decode_weight)
             choice.reason = f"child-values selection: {choice.reason}"
     else:
-        choice = select_codec(arr, sample_rows, level)
+        choice = select_codec(arr, sample_rows, level, decode_weight)
     if (
         is_stringlike(t)
         and arr.nbytes >= RUNOFF_PAYLOAD_BYTES
@@ -283,7 +335,7 @@ def encode_column_auto(
         # loser's encode across retrial_blocks blocks.
         rival = "fsst@9" if choice.codec.startswith("plain") else "plain@9"
         try:
-            blob_a = encode_column(arr, choice.codec, level)
+            blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones)
         except Exception:
             # same guarantee as the non-runoff tail: a sample-chosen codec
             # that fails on the full payload degrades to the zstd backstop
@@ -293,12 +345,35 @@ def encode_column_auto(
                 choice.trials,
                 f"{choice.codec} failed on full data; zstd backstop",
             )
-            blob_a = encode_column(arr, "plain", level)
+            blob_a = encode_column(arr, "plain", level, page_rows, page_zones)
         try:
-            blob_b = encode_column(arr, rival, level)
+            blob_b = encode_column(arr, rival, level, page_rows, page_zones)
         except Exception:
             blob_b = None
-        if blob_b is not None and len(blob_b) < len(blob_a):
+        pick_rival = blob_b is not None and len(blob_b) < len(blob_a)
+        if blob_b is not None and decode_weight > 0:
+            # decode-cost-aware runoff: the size-only comparison is blind
+            # to fsst@9's decode wall; re-judge the finalists with the
+            # same weighted score the trials use, on MEASURED full-blob
+            # decode speed (decode is cheap next to the double encode the
+            # runoff already paid)
+            import time as _time
+
+            from .blocks import decode_column as _dc
+
+            nb = max(arr.nbytes, 1)
+            speeds = {}
+            for key, blob in (("a", blob_a), ("b", blob_b)):
+                t0 = _time.perf_counter()
+                _dc(blob)
+                speeds[key] = round(nb / max(_time.perf_counter() - t0, 1e-9) / 1e6, 1)
+            scores = _decode_weighted(
+                {"a": len(blob_a) / nb, "b": len(blob_b) / nb}, speeds, decode_weight
+            )
+            pick_rival = scores["b"] < scores["a"]
+            choice.dec_mbps[f"runoff:{choice.codec}"] = speeds["a"]
+            choice.dec_mbps[f"runoff:{rival}"] = speeds["b"]
+        if pick_rival:
             trials = dict(choice.trials)
             trials[f"runoff:{rival}"] = len(blob_b)
             trials[f"runoff:{choice.codec}"] = len(blob_a)
@@ -306,15 +381,17 @@ def encode_column_auto(
                 rival,
                 choice.stats,
                 trials,
-                f"full-payload runoff beat {choice.codec} ({len(blob_b)} < {len(blob_a)})",
+                f"full-payload runoff beat {choice.codec} ({len(blob_b)} < {len(blob_a)})"
+                + (f" at decode_weight={decode_weight}" if decode_weight else ""),
+                choice.dec_mbps,
             )
         choice.trials[f"runoff:{choice.codec}"] = len(blob_a)
         return blob_a, choice
     try:
-        blob = encode_column(arr, choice.codec, level)
+        blob = encode_column(arr, choice.codec, level, page_rows, page_zones)
     except Exception:
         choice = Choice(
             "plain", choice.stats, choice.trials, f"{choice.codec} failed on full data; zstd backstop"
         )
-        blob = encode_column(arr, "plain", level)
+        blob = encode_column(arr, "plain", level, page_rows, page_zones)
     return blob, choice

@@ -33,6 +33,11 @@ python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python"
 echo "== 7c. random access: take specific global rows =="
 python -m rayenc take-rows "$D/job" 0,4999,2500 --columns repo,path
 
+echo "== 7d. paged job (page zone maps + sub-block pruned filtered decode) =="
+python -m rayenc encode "$D/layout" "$D/pjob" --block-rows 1000 --stats page --page-rows 250
+python -m rayenc verify "$D/pjob"
+python -m rayenc decode "$D/pjob" "$D/pdecoded_filtered" --filter "lang:==:python" --columns repo,path,lang
+
 echo "== 8. read benchmark (row-by-row vs columnar, touch counter) =="
 python -m rayenc bench-read "$D/corpus.parquet" --iterations 1
 
@@ -43,4 +48,13 @@ for i in range(2):
     write_histogram_json(f"/tmp/rayenc_demo/m{i}.json.gz", gen_histograms(n_series=10, seed=i, metric=f"metric_{i}"))
 PY
 python -m rayenc js2pq "$D"/m0.json.gz "$D"/m1.json.gz "$D/histograms.parquet"
+
+echo "== 9b. reference FlatBuffers opaque layout (wire interop) =="
+python -m rayenc js2pq "$D"/m0.json.gz "$D/histograms_fbs.parquet" --layout flatbuffers
+python - <<'PY'
+from rayenc.histograms import read_flatbuffers_parquet
+t = read_flatbuffers_parquet("/tmp/rayenc_demo/histograms_fbs.parquet")
+assert t.num_rows == 10 and "ts" in t.column_names
+print({"fbs_interop_rows": t.num_rows})
+PY
 echo "DEMO OK"

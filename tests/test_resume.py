@@ -47,10 +47,14 @@ def test_full_job_then_noop_rerun(ray_session, corpus_parquet, tmp_path):
 def test_partial_completion_resumes_rest(ray_session, corpus_parquet, tmp_path):
     out = str(tmp_path / "job")
     parts = plan_partitions(corpus_parquet, max_partition_bytes=1 << 20)
-    # simulate a killed run: first k partitions committed, rest not
+    # simulate a killed run: job record written (as a real run would at
+    # start), first k partitions committed, rest not
+    from rayenc.jobs import job_params
+
     k = len(parts) // 2
     assert k >= 1
     m = Manifest(out)
+    m.check_job(job_params(block_rows=500, max_partition_bytes=1 << 20))
     for p in parts[:k]:
         m.commit(
             {
@@ -172,3 +176,57 @@ def test_filtered_job_prunes_row_groups(ray_session, corpus_parquet, tmp_path):
     blocks = rd.read_parquet(f"{out}/blocks")
     dec = decode_dataset(blocks, concurrency=2).to_pandas()
     assert len(dec) == want and (dec["repo"] == cut).all()
+
+
+def test_resume_param_mismatch_raises(ray_session, corpus_parquet, tmp_path):
+    """ADVICE r2: a rerun into an existing out_root with a different
+    filter (or columns/hash) must raise, not silently mix predicates."""
+    out = str(tmp_path / "job")
+    run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_encode_job(
+            corpus_parquet,
+            out,
+            block_rows=500,
+            max_partition_bytes=1 << 20,
+            concurrency=2,
+            filter=[("repo", "==", "r1")],
+        )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_encode_job(
+            corpus_parquet,
+            out,
+            block_rows=500,
+            max_partition_bytes=1 << 20,
+            concurrency=2,
+            columns=["repo", "content"],
+        )
+    # physical-layout drift (block_rows) is allowed: blobs are
+    # self-describing, the row set is unchanged
+    s = run_encode_job(
+        corpus_parquet, out, block_rows=400, max_partition_bytes=1 << 20, concurrency=2
+    )
+    assert s["partitions_encoded"] == 0
+
+
+def test_resume_legacy_root_refused(corpus_parquet, tmp_path):
+    """An out_root with committed partitions but no job record was
+    written by the pre-record id scheme: refuse to resume (stale block
+    files would silently duplicate rows)."""
+    out = str(tmp_path / "job")
+    m = Manifest(out)
+    m.commit({"partition_id": "deadbeef", "rows": 0})
+    with pytest.raises(ValueError, match="older"):
+        run_encode_job(corpus_parquet, out, concurrency=2)
+
+
+def test_resume_format_version_mismatch_refused(corpus_parquet, tmp_path):
+    out = str(tmp_path / "job")
+    m = Manifest(out)
+    m.root.mkdir(parents=True, exist_ok=True)
+    with open(m.job_record_path(), "w") as f:
+        json.dump({"format_version": 1, "params": {}}, f)
+    with pytest.raises(ValueError, match="format_version"):
+        run_encode_job(corpus_parquet, out, concurrency=2)
