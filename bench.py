@@ -114,19 +114,27 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     for f in sorted(os.listdir(corpus_path)):
         pq.read_table(os.path.join(corpus_path, f))
     pool = default_pool_size()
+    # flagship operating point: decode_weight=0.1 (round 3). The decode-
+    # cost guard makes the selector's runoff pick plain@12 over fsst@9 on
+    # this corpus — measured better on EVERY axis vs the size-only mode
+    # (size_vs_ref 0.617 vs 0.628, decode 2.0 s vs 5.3 s, encode equal);
+    # the size-only mode (decode_weight=0) is reported alongside.
+    DW = 0.1
     encode_dataset(
         rd.read_parquet(corpus_path), block_rows=8000, hash_column="content",
-        concurrency=(pool, pool),
+        concurrency=(pool, pool), decode_weight=DW,
     ).materialize()
 
     # ---- headline: encode (best of 3 steady-state runs — this VM's
-    # memory-state variance swings single runs ~3x, see BASELINE.md) ----
+    # memory-state variance swings single runs ~3x, see BASELINE.md;
+    # RAYENC_BENCH_RUNS trims repeats for the long scaling children) ----
     encode_s = float("inf")
-    for _ in range(3):
+    for _ in range(int(os.environ.get("RAYENC_BENCH_RUNS", "3"))):
         t0 = time.perf_counter()
         ds = rd.read_parquet(corpus_path)
         blocks = encode_dataset(
-            ds, block_rows=8000, hash_column="content", concurrency=(pool, pool)
+            ds, block_rows=8000, hash_column="content", concurrency=(pool, pool),
+            decode_weight=DW,
         ).materialize()
         encode_s = min(encode_s, time.perf_counter() - t0)
 
@@ -152,6 +160,30 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         v = verify_blocks(blocks)
         verify_s = time.perf_counter() - t0
         assert v["ok"], v
+
+    # ---- secondary: the size-only mode (decode_weight=0) for contrast ----
+    size_only = {}
+    if not headline_only:
+        t0 = time.perf_counter()
+        blocks0 = encode_dataset(
+            rd.read_parquet(corpus_path), block_rows=8000, hash_column="content",
+            concurrency=(pool, pool),
+        ).materialize()
+        so_encode = time.perf_counter() - t0
+        so_bytes = sum(
+            r["encoded_bytes"]
+            for r in blocks0.select_columns(["encoded_bytes"]).take_all()
+        )
+        t0 = time.perf_counter()
+        for _ in decode_dataset(blocks0, concurrency=(pool, pool)).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            pass
+        size_only = {
+            "encode_sec": round(so_encode, 3),
+            "decode_sec": round(time.perf_counter() - t0, 3),
+            "encoded_bytes": so_bytes,
+        }
 
     # reference parquet size (pyarrow zstd-3 twin of the reference writer);
     # computed shard-wise and summed — the per-file layout the reference's
@@ -191,6 +223,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "embedding_near_dup_lsh",
         "top_tokens_sketch",
         "zonemap_filtered_decode",
+        "pagezone_filtered_decode",
+        "docs_anti_join",
         "roundtrip_structs",
         "simhash_pairs",
     ]
@@ -219,6 +253,15 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "source_bytes": src_bytes,
         "ref_parquet_bytes": ref_bytes,
         "size_vs_ref": round(ours_bytes / ref_bytes, 4) if ref_bytes else None,
+        "decode_weight": DW,
+        "size_only_mode": (
+            dict(
+                size_only,
+                size_vs_ref=round(size_only["encoded_bytes"] / ref_bytes, 4),
+            )
+            if size_only and ref_bytes
+            else size_only
+        ),
         "verify_ok": v["ok"],
     }
 

@@ -862,6 +862,57 @@ def q_dedup_minhash_survivors(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_docs_anti_join(sf_dir: str) -> pa.Table:
+    """Shuffle-native ANTI-JOIN (the dedup drop-filter primitive,
+    round-3 replacement for the driver loser-set broadcast): documents
+    minus a deterministic drop-id set, both sides Datasets, removed via
+    hash-partitioned Dataset.join(left_outer) + null filter — nothing
+    passes through the driver. Oracle: NOT IN over the same id rule
+    (doc_id % 7 == 3)."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def drop_rule(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids[ids % 7 == 3], type=pa.int64())})
+
+    drop_ids = ds.select_columns(["doc_id"]).map_batches(
+        drop_rule, batch_format="pyarrow"
+    )
+    kept = dedup.anti_join_ids(ds, drop_ids, id_col="doc_id", drop_col="node")
+    out = kept.to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_chars": pa.array(out["n_chars"].astype("int64")),
+        }
+    )
+
+
+def q_take_rows_random_access(sf_dir: str) -> pa.Table:
+    """Random access over the encoded BLOCK TABLE: ordered encode, then
+    take_rows fetches fixed global row positions — only the touched
+    blocks decode, and inside paged blocks only the touched pages
+    (stats='page'). documents.parquet is doc_id-ordered, so the oracle
+    is a row_number() CTE filtered to the same positions."""
+    from ..decode import take_rows
+    from ..jobs import encode_dataset_ordered
+
+    blocks = encode_dataset_ordered(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        block_rows=128,
+        hash_column=None,
+        concurrency=(1, 2),
+        stats="page",
+        page_rows=32,
+    ).materialize()
+    positions = [0, 7, 130, 131, 257, 400, 499]
+    t = take_rows(blocks, positions, columns=["doc_id", "lang", "n_chars"])
+    t = t.append_column("rn", pa.array([p + 1 for p in positions], type=pa.int64()))
+    return t.sort_by("rn")
+
+
 def q_near_dup_pairs_minhash(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, ["doc_id", "text"])
     pairs = dedup.minhash_candidate_pairs(ds, threshold=0.5)
@@ -1230,6 +1281,8 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "docs_anti_join": q_docs_anti_join,
+    "take_rows_random_access": q_take_rows_random_access,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
     "near_dup_pairs_minhash": q_near_dup_pairs_minhash,
     "simhash_pairs": q_simhash_pairs,
@@ -1260,6 +1313,15 @@ ORACLES = {
     ),
     "pagezone_filtered_decode": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50"
+    ),
+    "docs_anti_join": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 3"
+    ),
+    "take_rows_random_access": (
+        "WITH numbered AS (SELECT doc_id, lang, n_chars, "
+        "row_number() OVER (ORDER BY doc_id) AS rn FROM documents) "
+        "SELECT doc_id, lang, n_chars, rn FROM numbered "
+        "WHERE rn IN (1, 8, 131, 132, 258, 401, 500)"
     ),
     "ordered_roundtrip": (
         "SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn, "

@@ -37,6 +37,7 @@ class Choice:
     trials: dict[str, int] = field(default_factory=dict)
     reason: str = ""
     dec_mbps: dict = field(default_factory=dict)  # measured trial decode speed
+    ratios: dict = field(default_factory=dict)  # pre-prune sample size ratios
 
     def lineage(self) -> dict:
         out = {
@@ -110,9 +111,13 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
             cands.append("fsst")
             cands.append("fsst@9")
         if dr >= 0.05 and stats.get("avg_len", 0.0) >= 64:
-            # bulk text: a deeper zstd level is a live candidate (the
-            # reference pins level 3; we trial the trade on real bytes)
+            # bulk text: deeper zstd levels are live candidates (the
+            # reference pins level 3; we trial the trade on real bytes).
+            # plain@12 is the decode-friendly rival to fsst@9: measured
+            # on the bench corpus it is ~6% larger but decodes ~5x
+            # faster (542 vs 110 MB/s/core) at similar encode cost
             cands.append("plain@9")
+            cands.append("plain@12")
     elif is_intlike(t):
         cands.append("foref")
         if stats.get("min", -1) >= 0:
@@ -177,6 +182,8 @@ def select_codec(
         try:
             from .blocks import decode_column
 
+            decode_column(blob)  # warm pass: a cold first decode over-
+            # charges codecs with per-call setup (measured 5x on fsst)
             t0 = _time.perf_counter()
             decode_column(blob)
             dt = _time.perf_counter() - t0
@@ -185,12 +192,20 @@ def select_codec(
             dec_mbps[name] = 0.0
     if not trials:
         return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
+    all_ratios = dict(ratios)
     # a deeper zstd level costs 2-4x encode CPU: demand a >=3% size win
-    # over the same codec at the default level before paying it
+    # over the best shallower member of the same family before paying it
+    # (chained: @12 must beat the surviving best of {base, @9} by 3%)
     for base in ("fsst", "plain"):
-        hi = f"{base}@9"
-        if hi in ratios and base in ratios and ratios[hi] > ratios[base] * 0.97:
-            del ratios[hi]
+        best = ratios.get(base)
+        for lvl in ("9", "12"):
+            hi = f"{base}@{lvl}"
+            if hi not in ratios:
+                continue
+            if best is not None and ratios[hi] > best * 0.97:
+                del ratios[hi]
+            else:
+                best = ratios[hi] if best is None else min(best, ratios[hi])
     # fsst trades 10-100x encode CPU for size: demand a >=3% size win over
     # the best alternative before paying it (variants judged as a family)
     fsst_keys = [k for k in ratios if k.startswith("fsst")]
@@ -217,7 +232,7 @@ def select_codec(
         + (f", decode_weight={decode_weight}" if decode_weight else "")
         + ")"
     )
-    return Choice(best_name, stats, trials, reason, dec_mbps)
+    return Choice(best_name, stats, trials, reason, dec_mbps, all_ratios)
 
 
 def _decode_weighted(
@@ -323,7 +338,7 @@ def encode_column_auto(
     if (
         is_stringlike(t)
         and arr.nbytes >= RUNOFF_PAYLOAD_BYTES
-        and choice.codec in ("plain", "plain@9", "fsst", "fsst@9")
+        and choice.codec.split("@")[0] in ("plain", "fsst")
     ):
         # sample trials INVERT beyond the zstd window (~8 MiB): fsst's
         # ~4x-denser token stream stretches the window to ~4x the source
@@ -333,7 +348,22 @@ def encode_column_auto(
         # Resolve by a measured FULL-payload runoff between the two
         # family finalists; the block-level codec cache amortizes the
         # loser's encode across retrial_blocks blocks.
-        rival = "fsst@9" if choice.codec.startswith("plain") else "plain@9"
+        fam = "plain" if choice.codec.startswith("plain") else "fsst"
+        opp = "fsst" if fam == "plain" else "plain"
+        opp_rs = {
+            k: v for k, v in choice.ratios.items() if k.split("@")[0] == opp
+        }
+        # rival = the opposite family's best candidate by SAMPLE ratio
+        # (pre-prune: the 3% family gate may have dropped it, but the
+        # runoff exists precisely because samples lie on multi-window
+        # payloads); defaults keep the round-2 behavior
+        rival = (
+            min(opp_rs, key=opp_rs.get)
+            if opp_rs
+            else ("fsst@9" if fam == "plain" else "plain@9")
+        )
+        if rival == opp:  # plain/fsst at base level never beat @9 here
+            rival = f"{opp}@9"
         try:
             blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones)
         except Exception:
@@ -365,7 +395,7 @@ def encode_column_auto(
             speeds = {}
             for key, blob in (("a", blob_a), ("b", blob_b)):
                 t0 = _time.perf_counter()
-                _dc(blob)
+                _dc(blob)  # full blobs are already warm-scale: one pass
                 speeds[key] = round(nb / max(_time.perf_counter() - t0, 1e-9) / 1e6, 1)
             scores = _decode_weighted(
                 {"a": len(blob_a) / nb, "b": len(blob_b) / nb}, speeds, decode_weight

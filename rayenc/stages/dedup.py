@@ -659,16 +659,23 @@ class SimHasher:
         keep[0] = True
         keep[1:] = (ff[1:] != ff[:-1]) | (dd[1:] != dd[:-1])
         ff, dd = ff[keep], dd[keep]
-        # bit votes per doc: (n_feat, 64) expansion + segment sums
-        bits = (
-            (ff[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        ).astype(np.int32)
+        # bit votes per doc: unpackbits on the little-endian byte view is
+        # one C kernel for the (n_feat, 64) expansion (the shift-and-mask
+        # broadcast + astype was the simhash wall at bench scale), and
+        # reduceat(dtype=int64) sums without materializing an int copy
+        bits = np.unpackbits(
+            ff.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
         seg_starts = np.zeros(n, dtype=np.int64)
         fcounts = np.bincount(dd, minlength=n).astype(np.int64)
         np.cumsum(fcounts[:-1], out=seg_starts[1:])
         nz = np.flatnonzero(fcounts)
         if len(nz):
-            sums = np.add.reduceat(bits, seg_starts[nz], axis=0)
+            # reduceat(dtype=int64) over the uint8 bit matrix: fastest
+            # warm-cache segment sum measured (0.15s vs 0.33 for
+            # astype+reduceat and 0.9 for cumsum at 486k features; this
+            # VM's cold-page variance can invert one-shot timings)
+            sums = np.add.reduceat(bits, seg_starts[nz], axis=0, dtype=np.int64)
             votes = sums * 2 - fcounts[nz][:, None]
             packed = (
                 (votes > 0).astype(np.uint64)
