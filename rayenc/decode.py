@@ -171,6 +171,7 @@ class BlockDecoder:
         for col, op, val in self.filter:
             by_col.setdefault(col, []).append((col, op, val))
         keep = None
+        n_rows = None
         for name, blob in zip(names, blobs):
             preds = by_col.get(name)
             if not preds:
@@ -178,7 +179,12 @@ class BlockDecoder:
             k = page_prune_indices(blob, preds)
             if k is None:
                 continue
+            from .blocks import block_codec
+
+            n_rows = block_codec(blob)["n"]
             keep = k if keep is None else np.intersect1d(keep, k, assume_unique=True)
+        if keep is not None and n_rows is not None and len(keep) == n_rows:
+            return None  # nothing pruned: take the straight full-decode path
         return keep
 
     def decode_block_row(
@@ -200,8 +206,11 @@ class BlockDecoder:
             n = len(arr)
         if self.with_provenance:
             rib = range(n or 0) if keep is None else keep
-            cols["_block_id"] = pa.array([block_id] * (n or 0))
-            cols["_partition_id"] = pa.array([partition_id] * (n or 0))
+            # explicit types: a fully-page-pruned block has n == 0, and an
+            # untyped pa.array([]) is null-typed, which breaks
+            # concat_tables against non-empty blocks in the same batch
+            cols["_block_id"] = pa.array([block_id] * (n or 0), type=pa.string())
+            cols["_partition_id"] = pa.array([partition_id] * (n or 0), type=pa.string())
             cols["_partition_seq"] = pa.array(
                 [self._cur_partition_seq] * (n or 0), type=pa.int64()
             )

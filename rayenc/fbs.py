@@ -136,11 +136,8 @@ def decode_flatbuffers_column(
         for v in batch[bin_col].to_pylist()
     ]
     for name, _ in _FIELDS:
-        out_name = {"sums_double": "sums_double", "sums_long": "sums_long"}.get(
-            name, name
-        )
         typ = pa.list_(pa.float64() if name == "sums_double" else pa.int64())
-        cols[out_name] = pa.array(
+        cols[name] = pa.array(
             [None if p is None else p[name] for p in parsed], type=typ
         )
     return pa.table(cols)

@@ -197,8 +197,9 @@ def q_flatbuffers_interop(sf_dir: str) -> pa.Table:
     metric = gen_histograms(n_series=60, seed=77)
     tag_keys = sorted({k for s in metric["series"] for k in s["tags"]})
     shredded = pivot_metric(metric, tag_keys)
-    if not os.path.exists(path):
-        write_flatbuffers_parquet(shredded, path)
+    # always (re)write: an exists-check would pin a stale/truncated /tmp
+    # fixture forever, and regeneration is cheap at 60 series
+    write_flatbuffers_parquet(shredded, path)
     got = pa.concat_tables(
         read_reference_opaque_parquet(path).iter_batches(
             batch_size=None, batch_format="pyarrow"

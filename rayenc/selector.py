@@ -179,17 +179,19 @@ def select_codec(
         payload = len(blob) - 8 - hlen
         trials[name] = len(blob)
         ratios[name] = payload / max(trial_sample.nbytes, 1)
-        try:
-            from .blocks import decode_column
+        if decode_weight > 0:  # only pay the decode passes when the
+            # measurement can influence the ranking (hot-path economy)
+            try:
+                from .blocks import decode_column
 
-            decode_column(blob)  # warm pass: a cold first decode over-
-            # charges codecs with per-call setup (measured 5x on fsst)
-            t0 = _time.perf_counter()
-            decode_column(blob)
-            dt = _time.perf_counter() - t0
-            dec_mbps[name] = round(trial_sample.nbytes / max(dt, 1e-9) / 1e6, 1)
-        except Exception:
-            dec_mbps[name] = 0.0
+                decode_column(blob)  # warm pass: a cold first decode over-
+                # charges codecs with per-call setup (measured 5x on fsst)
+                t0 = _time.perf_counter()
+                decode_column(blob)
+                dt = _time.perf_counter() - t0
+                dec_mbps[name] = round(trial_sample.nbytes / max(dt, 1e-9) / 1e6, 1)
+            except Exception:
+                dec_mbps[name] = 0.0
     if not trials:
         return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
     all_ratios = dict(ratios)

@@ -540,7 +540,13 @@ def anti_join_ids(
     NOTHING passes through the driver (the round-2 verdict's fix for the
     take_all + broadcast loser set, unbounded at web-scale dup rates).
     ``drop_ids`` must be unique per id (true for CC labels: one row per
-    node)."""
+    node). The drop side is renamed to internal marker columns before the
+    join, so ``ds``'s own columns are never shadowed or dropped — except
+    that ``ds`` may not itself use the two reserved internal names."""
+    key_col, mark_col = "__aj_key", "__aj_drop"
+    clash = {key_col, mark_col} & set(ds.schema().names)
+    if clash:
+        raise ValueError(f"anti_join_ids reserved column names in input: {clash}")
     if num_partitions is None:
         num_partitions = max(
             2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2)
@@ -549,8 +555,8 @@ def anti_join_ids(
     def mark(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                drop_col: b[drop_col],
-                "_is_drop": pa.array(np.ones(len(b), dtype=np.int8)),
+                key_col: b[drop_col],
+                mark_col: pa.array(np.ones(len(b), dtype=np.int8)),
             }
         )
 
@@ -560,12 +566,12 @@ def anti_join_ids(
         join_type="left_outer",
         num_partitions=num_partitions,
         on=(id_col,),
-        right_on=(drop_col,),
+        right_on=(key_col,),
     )
 
     def keep(b: pa.Table) -> pa.Table:
-        mask = pc.is_null(b["_is_drop"])
-        cols = [c for c in b.column_names if c not in ("_is_drop", drop_col)]
+        mask = pc.is_null(b[mark_col])
+        cols = [c for c in b.column_names if c not in (mark_col, key_col)]
         return b.filter(mask).select(cols)
 
     return joined.map_batches(keep, batch_format="pyarrow")

@@ -304,16 +304,13 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.use_ffmpeg:
             return self._fake(batch)
+        # the fake provides the row explosion and sampled timestamps;
+        # only the feature vectors are replaced with real frame decodes
         out = self._fake(batch)  # pragma: no cover - ffmpeg absent in CI
-        durations = (
-            batch["duration_s"].to_pylist()
-            if "duration_s" in batch.column_names
-            else [float(self.n_frames)] * batch.num_rows
-        )
         feats = []
         ts_list = out["ts_s"].to_pylist()
         pos = 0
-        for payload, dur in zip(batch["payload"].to_pylist(), durations):
+        for payload in batch["payload"].to_pylist():
             for i in range(self.n_frames):
                 real = self._real_frame(payload, ts_list[pos])
                 feats.append(real if real is not None else self._fake._frame_features(payload, i))

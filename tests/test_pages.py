@@ -132,7 +132,8 @@ def test_selector_records_decode_speed_and_guard():
     from rayenc.selector import select_codec
 
     arr = _content_column(3000, 120)
-    c0 = select_codec(arr)
+    assert not select_codec(arr).dec_mbps  # w=0: no decode passes paid
+    c0 = select_codec(arr, decode_weight=0.1)
     assert c0.dec_mbps, "decode speed must be recorded in lineage"
     assert set(c0.dec_mbps) >= set(c0.trials)
     # an absurd decode weight forces the fastest-decoding candidate
@@ -155,3 +156,32 @@ def test_validate_predicates(ray_session):
         decode_dataset(blocks, filter=[("k", "!=", 1)]).count()
     with pytest.raises(ValueError, match="not in block table"):
         decode_dataset(blocks, filter=[("nope", ">=", 1)]).count()
+
+
+def test_fully_page_pruned_block_with_provenance(ray_session):
+    """Regression (round-3 review): a block whose block-level zones pass
+    but whose pages ALL prune yields n=0; provenance columns must stay
+    string-typed so concat with non-empty blocks in the same decode
+    batch does not raise ArrowInvalid."""
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+    from rayenc.encode import encode_dataset
+
+    # block 1 has a value GAP (0..999 and 2000..2999): its zones span
+    # [0, 2999] so block pruning keeps it, but no page contains 1500
+    k1 = list(range(0, 1000)) + list(range(2000, 3000))
+    k2 = list(range(1200, 1800))  # block 2 contains 1500
+    t = pa.table({"k": pa.array(k1 + k2, type=pa.int64())})
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=2000, stats="page", page_rows=500,
+        hash_column=None, concurrency=1,
+    ).materialize()
+    assert blocks.count() == 2
+    out = pa.concat_tables(
+        decode_dataset(
+            blocks, filter=[("k", "==", 1500)], with_provenance=True, concurrency=1
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert out["k"].to_pylist() == [1500]
+    assert out["_block_id"].type == pa.string()
