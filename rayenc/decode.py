@@ -41,9 +41,16 @@ _OPS = {
 
 
 def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
-    """False only when the block's min/max PROVE no row can satisfy the
+    """False only when the block's min/max (or, for equality predicates,
+    its Bloom filter — rayenc.bloom) PROVE no row can satisfy the
     conjunction; missing stats never prune (safe default)."""
+    blooms = zone.get("__bloom__") or {}
     for col, op, val in predicates:
+        if op in ("==", "=") and col in blooms:
+            from .bloom import bloom_may_contain
+
+            if not bloom_may_contain(blooms[col], val):
+                return False
         z = zone.get(col)
         if z is None:
             continue

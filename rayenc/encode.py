@@ -139,6 +139,7 @@ class BlockEncoder:
         stats: str = "block",
         page_rows: int | None = None,
         decode_weight: float = 0.0,
+        bloom: bool = True,
     ):
         self.columns = columns
         self.level = level
@@ -158,6 +159,10 @@ class BlockEncoder:
         self.page_rows = page_rows
         self.page_zones = stats == "page"
         self.decode_weight = decode_weight
+        # per-block Bloom filters for equality pruning (rayenc.bloom):
+        # built whenever stats are on — two batched hash passes per
+        # column, ~10 bits/key serialized into the zonemap JSON
+        self.bloom = bloom and stats != "none"
         self.blocks_done = 0
         self.rows_done = 0
         # per-column codec choice cache: trial selection runs on the first
@@ -185,12 +190,19 @@ class BlockEncoder:
         src_bytes = 0
         enc_bytes = 0
         h = hashlib.sha256()
+        blooms: dict[str, str] = {}
         for name in cols:
             arr = batch[name]
             if self.stats in ("block", "page"):
                 z = column_zone(arr)
                 if z is not None:
                     zones[name] = z
+                if self.bloom:
+                    from .bloom import bloom_build
+
+                    bf = bloom_build(arr)
+                    if bf is not None:
+                        blooms[name] = bf
             t0 = time.perf_counter()
             forced = self.forced_codecs.get(name)
             cached = self._cached.get(name)
@@ -247,6 +259,8 @@ class BlockEncoder:
             # full-blob digest: a 64-byte prefix is mostly the fixed JSON
             # header and collides across distinct blocks of the same shape
             h.update(hashlib.sha256(blob).digest())
+        if blooms:
+            zones["__bloom__"] = blooms
         h.update(n.to_bytes(8, "little"))
         content_hash = ""
         if self.hash_column and self.hash_column in cols:
@@ -287,6 +301,7 @@ def encode_dataset(
     preselect: bool = False,
     page_rows: int | None = None,
     decode_weight: float = 0.0,
+    bloom: bool = True,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -328,6 +343,7 @@ def encode_dataset(
             "stats": stats,
             "page_rows": page_rows,
             "decode_weight": decode_weight,
+            "bloom": bloom,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

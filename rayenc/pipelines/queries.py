@@ -179,6 +179,38 @@ def q_pagezone_filtered_decode(sf_dir: str):
     return decode_dataset(blocks, filter=pred)
 
 
+def q_bloom_filtered_decode(sf_dir: str):
+    """Bloom-filter pruning for point lookups (rayenc.bloom): documents
+    hash-SHUFFLED before encode so doc_id interleaves across blocks —
+    every block's [min,max] zone covers the probe and zone maps alone
+    prune NOTHING; the per-block Bloom filter skips all but the true
+    block (asserted). Oracle is the equality WHERE clause."""
+    from ..decode import count_decoded_blocks, decode_dataset
+    from ..encode import encode_dataset
+    from ..stages.hashing import splitmix64
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def shuffle_key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_sk", pa.array(splitmix64(ids), type=pa.uint64())
+        )
+
+    shuffled = (
+        ds.map_batches(shuffle_key, batch_format="pyarrow")
+        .sort("_sk")
+        .map_batches(lambda b: b.drop_columns(["_sk"]), batch_format="pyarrow")
+    )
+    blocks = encode_dataset(
+        shuffled, block_rows=50, hash_column=None
+    ).materialize()
+    pred = [("doc_id", "==", 123)]
+    counts = count_decoded_blocks(blocks, pred)
+    assert counts["decoded_blocks"] < counts["total_blocks"] // 2, counts
+    return decode_dataset(blocks, filter=pred)
+
+
 def q_flatbuffers_interop(sf_dir: str) -> pa.Table:
     """Reference wire interop: histograms packed into the reference's
     FlatBuffers binary_data layout (/root/reference/src/flatbuffers.rs:10-45),
@@ -801,6 +833,35 @@ def q_top_tokens(sf_dir: str) -> pa.Table:
     )
 
 
+def q_approx_quantiles_prices(sf_dir: str) -> pa.Table:
+    """Distributed approximate quantiles (KLL sketch, tree-reduced
+    partials) over lineitem.l_extendedprice. Rows-only by design
+    (sketch output is approximate), but STRONGER than a rows check:
+    the query asserts every estimate's rank error < 1% against the
+    exact ranks (the exactness pattern of top_tokens_sketch /
+    approx_distinct; the exact check collects one float column, fine at
+    contract scale and test-only by construction)."""
+    from ..stages.sketch import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = approx_quantiles(ds, "l_extendedprice", qs)
+    vals = np.sort(
+        pa.concat_tables(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )["l_extendedprice"].to_numpy(zero_copy_only=False)
+    )
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(vals, e) / len(vals)
+        assert abs(rank - q) < 0.01, (q, e, rank)
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "price_est": pa.array(est, type=pa.float64()),
+        }
+    )
+
+
 def q_top_tokens_sketch(sf_dir: str) -> pa.Table:
     """Misra-Gries heavy hitters (mergeable summary, bounded memory at
     every stage — the sketch the exact top_tokens swaps to at unbounded
@@ -1255,6 +1316,7 @@ QUERIES = {
     "roundtrip_decimal": q_roundtrip_decimal,
     "zonemap_filtered_decode": q_zonemap_filtered_decode,
     "pagezone_filtered_decode": q_pagezone_filtered_decode,
+    "bloom_filtered_decode": q_bloom_filtered_decode,
     "flatbuffers_interop": q_flatbuffers_interop,
     "ordered_roundtrip": q_ordered_roundtrip,
     "zonemap_events_time_filter": q_zonemap_events_time_filter,
@@ -1277,6 +1339,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "top_tokens": q_top_tokens,
     "top_tokens_sketch": q_top_tokens_sketch,
+    "approx_quantiles_prices": q_approx_quantiles_prices,
     "user_sessions": q_user_sessions,
     "quality_scores": q_quality_scores,
     "lang_id_documents": q_lang_id_documents,
@@ -1314,6 +1377,9 @@ ORACLES = {
     ),
     "pagezone_filtered_decode": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50"
+    ),
+    "bloom_filtered_decode": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 123"
     ),
     "docs_anti_join": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 3"

@@ -96,6 +96,136 @@ def mg_merge(a: dict, b: dict, k: int) -> dict:
     return {t: c - floor for t, c in out.items() if c - floor > 0}
 
 
+class KllSketch:
+    """Mergeable quantile sketch (simplified KLL: Karnin/Lang/Liberty,
+    FOCS 2016 — fixed-capacity compactors): level i holds items of
+    weight 2^i; a full level sorts, keeps alternate items (offset chosen
+    by a seeded RNG) and promotes the survivors one level up. Memory is
+    O(k * log(n/k)) per sketch; merge is level-wise concatenation +
+    re-compaction, so per-batch partials combine in tree-reduce rounds
+    like the HLL/Misra-Gries sketches above."""
+
+    def __init__(self, k: int = 512, seed: int = 42):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.rng = np.random.default_rng(seed)
+        self.n = 0
+
+    def update(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        self.n += len(values)
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compact()
+
+    def _compact(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            buf = self.levels[lvl]
+            if len(buf) <= self.k:
+                lvl += 1
+                continue
+            buf = np.sort(buf)
+            off = int(self.rng.integers(0, 2))
+            promoted = buf[off::2]
+            self.levels[lvl] = np.empty(0, dtype=np.float64)
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[lvl + 1] = np.concatenate(
+                [self.levels[lvl + 1], promoted]
+            )
+            lvl += 1
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        out = KllSketch(self.k, seed=int(self.rng.integers(0, 2**31)))
+        out.n = self.n + other.n
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for i in range(depth):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0, np.float64)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0, np.float64)
+            out.levels.append(np.concatenate([a, b]))
+        out._compact()
+        return out
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, weights = [], []
+        for i, buf in enumerate(self.levels):
+            if len(buf):
+                vals.append(buf)
+                weights.append(np.full(len(buf), 1 << i, dtype=np.int64))
+        if not vals:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        v, w = self._weighted()
+        if len(v) == 0:
+            return [float("nan")] * len(qs)
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out = []
+        for q in qs:
+            target = min(max(q, 0.0), 1.0) * total
+            idx = int(np.searchsorted(cw, target, side="left"))
+            out.append(float(v[min(idx, len(v) - 1)]))
+        return out
+
+    def to_json(self) -> str:
+        import json as _json
+
+        return _json.dumps(
+            {"k": self.k, "n": self.n, "levels": [b.tolist() for b in self.levels]}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "KllSketch":
+        import json as _json
+
+        d = _json.loads(s)
+        sk = cls(d["k"])
+        sk.n = d["n"]
+        sk.levels = [np.asarray(b, dtype=np.float64) for b in d["levels"]]
+        return sk
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    k: int = 512,
+) -> list[float]:
+    """Distributed approximate quantiles: one KLL partial per batch
+    (seeded by a content hash for determinism-per-input), merged in
+    tree-reduce rounds; the driver sees one final sketch. Rank error
+    ~ O(log(n/k)/k) — k=512 gives well under 1% at millions of rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        seed = int(len(vals) * 2654435761 % (2**31)) or 1
+        sk = KllSketch(k, seed=seed)
+        sk.update(np.asarray(vals, dtype=np.float64))
+        return pa.table({"kll": pa.array([sk.to_json()], type=pa.string())})
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        merged: KllSketch | None = None
+        for s in batch["kll"].to_pylist():
+            sk = KllSketch.from_json(s)
+            merged = sk if merged is None else merged.merge(sk)
+        return pa.table({"kll": pa.array([merged.to_json()], type=pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    rows = _tree_reduce(parts, merge_batch)
+    if not rows:
+        return [float("nan")] * len(qs)
+    return KllSketch.from_json(rows[0]["kll"]).quantiles(qs)
+
+
 def _tree_reduce(
     parts: "ray.data.Dataset", merge_batch, fanout: int = 32, max_rounds: int = 12
 ) -> list[dict]:

@@ -368,3 +368,42 @@ def test_multimodal_feature_detection(ray_session):
     ds = rd.from_arrow(t)
     out = mm.decode_pipeline(ds, decoder=mm.ImageDecoder, batch_size=8).to_pandas()
     assert len(out) == 32 and "features" in out.columns
+
+
+def test_kll_quantile_sketch(ray_session):
+    """KLL sketch: rank error within bound vs exact quantiles, both for
+    the in-memory sketch and the distributed tree-reduced Dataset op."""
+    import ray.data as rd
+
+    from rayenc.stages.sketch import KllSketch, approx_quantiles
+
+    rng = np.random.default_rng(9)
+    data = np.concatenate(
+        [rng.lognormal(3.0, 1.0, 40000), rng.uniform(0, 5, 20000)]
+    )
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    exact = np.quantile(data, qs)
+    srt = np.sort(data)
+
+    def rank_of(v):
+        return np.searchsorted(srt, v) / len(srt)
+
+    sk = KllSketch(k=512, seed=1)
+    for chunk in np.array_split(data, 13):
+        sk.update(chunk)
+    for q, est in zip(qs, sk.quantiles(qs)):
+        assert abs(rank_of(est) - q) < 0.02, (q, est)
+
+    # mergeability: two halves merged == one sketch, within rank bound
+    a, b = KllSketch(k=512, seed=2), KllSketch(k=512, seed=3)
+    a.update(data[:30000]); b.update(data[30000:])
+    m = a.merge(b)
+    assert m.n == len(data)
+    for q, est in zip(qs, m.quantiles(qs)):
+        assert abs(rank_of(est) - q) < 0.03, (q, est)
+
+    # distributed path over a Dataset (tree-reduced partials)
+    t = pa.table({"v": pa.array(data, type=pa.float64())})
+    got = approx_quantiles(rd.from_arrow(t).repartition(8), "v", qs)
+    for q, est in zip(qs, got):
+        assert abs(rank_of(est) - q) < 0.03, (q, est)
