@@ -112,6 +112,40 @@ def cmd_layout(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Re-block an encoded block table at a new block size (decode ->
+    re-encode, streaming) — the maintenance op for ingestion roots full
+    of under-sized commit blocks (rayenc.encode.compact_blocks)."""
+    _init_ray()
+    import ray.data as rd
+
+    from rayenc.encode import compact_blocks, write_blocks
+    from rayenc.verify import verify_blocks
+
+    blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
+    before = blocks.count()
+    out = compact_blocks(
+        blocks,
+        block_rows=args.block_rows,
+        level=args.level,
+        hash_column=args.hash_column or None,
+    ).materialize()
+    write_blocks(out, args.out)
+    v = verify_blocks(out, hash_column=args.hash_column) if args.hash_column else None
+    print(
+        json.dumps(
+            {
+                "blocks_before": before,
+                "blocks_after": out.count(),
+                "rows": sum(r["n_rows"] for r in out.select_columns(["n_rows"]).take_all()),
+                "verify": v,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def _parse_filters(specs: list[str] | None):
     """--filter col:op:value (value parsed as int/float when it looks
     numeric, else string)."""
@@ -359,6 +393,17 @@ def main() -> int:
     tr.add_argument("indices", help="comma-separated global row positions")
     tr.add_argument("--columns", default=None)
     tr.set_defaults(fn=cmd_take_rows)
+
+    cp = sub.add_parser(
+        "compact",
+        help="re-block an encoded block table at a new block size (streaming decode->encode)",
+    )
+    cp.add_argument("blocks", help="encode job output root")
+    cp.add_argument("out", help="output dir for the compacted block table")
+    cp.add_argument("--block-rows", type=int, default=8000)
+    cp.add_argument("--level", type=int, default=3)
+    cp.add_argument("--hash-column", default="content")
+    cp.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")
     v.add_argument("blocks", help="encode job output root")

@@ -38,6 +38,9 @@ python -m rayenc encode "$D/layout" "$D/pjob" --block-rows 1000 --stats page --p
 python -m rayenc verify "$D/pjob"
 python -m rayenc decode "$D/pjob" "$D/pdecoded_filtered" --filter "lang:==:python" --columns repo,path,lang
 
+echo "== 7e. compaction: re-block under-sized commits =="
+python -m rayenc compact "$D/job" "$D/compacted" --block-rows 2500
+
 echo "== 8. read benchmark (row-by-row vs columnar, touch counter) =="
 python -m rayenc bench-read "$D/corpus.parquet" --iterations 1
 
