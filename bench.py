@@ -224,7 +224,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "top_tokens_sketch",
         "zonemap_filtered_decode",
         "pagezone_filtered_decode",
+        "bloom_filtered_decode",
         "docs_anti_join",
+        "take_rows_random_access",
+        "approx_quantiles_prices",
         "roundtrip_structs",
         "simhash_pairs",
     ]

@@ -150,3 +150,32 @@ def test_decode_rows_property(values, data):
         got = decode_rows(blob, np.array(idx, dtype=np.int64))
         want = decode_column(blob).take(pa.array(idx, type=pa.int64()))
         assert got.equals(want), codec.name
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(TEXT, min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=20),
+)
+def test_paged_roundtrip_property(values, page_rows):
+    """Paged container at arbitrary page splits: full decode and random
+    access both reproduce the array exactly (nulls included)."""
+    arr = pa.array(values, type=pa.string())
+    blob = encode_column(arr, "plain", 3, page_rows=page_rows, page_zones=True)
+    assert decode_column(blob).to_pylist() == arr.to_pylist()
+    from rayenc.blocks import decode_rows
+
+    idx = np.array([0, len(arr) - 1, len(arr) // 2], dtype=np.int64)
+    got = decode_rows(blob, idx)
+    assert got.to_pylist() == [arr[int(i)].as_py() for i in idx]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=200))
+def test_bloom_no_false_negative_property(values):
+    from rayenc.bloom import bloom_build, bloom_may_contain
+
+    bf = bloom_build(pa.array(values, type=pa.int64()))
+    assert bf is not None
+    for v in set(values):
+        assert bloom_may_contain(bf, v)
