@@ -130,7 +130,9 @@ def cmd_compact(args: argparse.Namespace) -> int:
         level=args.level,
         hash_column=args.hash_column or None,
     ).materialize()
-    write_blocks(out, args.out)
+    # same root layout as the encode job (<root>/blocks/) so decode /
+    # verify / take-rows / a further compact can read the output
+    write_blocks(out, os.path.join(args.out, "blocks"))
     v = verify_blocks(out, hash_column=args.hash_column) if args.hash_column else None
     print(
         json.dumps(

@@ -9,22 +9,54 @@ proves v absent — the standard columnar-store companion to zone stats
 reference's stats-granularity axis (/root/reference/src/bin/js2pq/
 main.rs:18-26) with a third structure beside block zones and page zones.
 
-Construction is fully vectorized: one batched xxhash pass per column
-(stages.hashing), k probe positions derived from the classic
-double-hashing scheme h1 + i*h2 (Kirsch & Mitzenmacher, "Less Hashing,
-Same Performance", ESA 2006). Filters serialize as hex into the block's
-zonemap JSON under the reserved key "__bloom__", so the decode-side
-pruning path needs no schema change and old block tables (no blooms)
-simply never prune — the safe default.
+Hash stability is load-bearing: filters PERSIST in the block table, so
+the bits must reproduce in any decoding environment (the run-internal
+xxhash kernel in stages.hashing explicitly must NOT be stored). Ints
+hash with splitmix64 (our own pure-numpy function, public-domain
+constants — environment-independent); strings with blake2b-128 per
+DISTINCT value (hashlib, stable by spec; distinct counts per block are
+small, so the per-unique Python loop is off the hot path). k probe
+positions derive from the classic double-hashing scheme h1 + i*h2
+(Kirsch & Mitzenmacher, "Less Hashing, Same Performance", ESA 2006).
+
+Filters are sized by DISTINCT count (not rows), skip payload-like
+columns (avg value > _MAX_AVG_VAL_BYTES — nobody equality-probes whole
+file bodies), and serialize as hex into the block's zonemap JSON under
+the reserved key "__bloom__" — old block tables without blooms simply
+never prune (the safe default).
 """
 
 from __future__ import annotations
+
+import functools
+import hashlib
 
 import numpy as np
 import pyarrow as pa
 
 _DEFAULT_BITS_PER_KEY = 10  # ~1% false-positive rate at k=7
 _K_PROBES = 7
+_MAX_AVG_VAL_BYTES = 256  # skip blob-like columns (content payloads)
+_MAX_BITS = 1 << 18  # 32 KiB filter cap per column per block
+_SEED1 = np.uint64(0xA24BAED4963EE407)
+_SEED2 = np.uint64(0x9FB21C651E98DF25)
+
+
+def _int_hashes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    from .stages.hashing import splitmix64
+
+    u = vals.astype(np.uint64)
+    return splitmix64(u ^ _SEED1), splitmix64(u ^ _SEED2)
+
+
+def _str_hashes(values: list) -> tuple[np.ndarray, np.ndarray]:
+    h1 = np.empty(len(values), dtype=np.uint64)
+    h2 = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(v.encode() if isinstance(v, str) else v, digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1, h2
 
 
 def _probe_positions(h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
@@ -35,56 +67,77 @@ def _probe_positions(h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
-def _canon(arr: pa.Array) -> pa.Array | None:
-    """Canonical hash dtype: ints/timestamps/dates -> int64, strings ->
-    string; anything else (floats, nested, binary) gets no bloom —
-    equality probes on those either don't arise or can't be matched
-    dtype-stably against a Python predicate value."""
+def _column_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray] | None:
+    """(h1, h2) over the DISTINCT non-null values, or None when the type
+    is unsupported or the column looks like a payload."""
+    import pyarrow.compute as pc
+
     t = arr.type
     if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_integer(t):
-        return arr.cast(pa.int64())
+        vals = arr.drop_null().cast(pa.int64())
+        if len(vals) == 0:
+            return None
+        u = np.unique(vals.to_numpy(zero_copy_only=False).astype(np.int64))
+        return _int_hashes(u)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return arr.cast(pa.string())
+        vals = arr.drop_null()
+        n = len(vals)
+        if n == 0 or vals.nbytes / n > _MAX_AVG_VAL_BYTES:
+            return None
+        uniq = pc.unique(vals).to_pylist()
+        return _str_hashes(uniq)
     return None
 
 
-def _canon_value(value) -> pa.Array | None:
-    if isinstance(value, bool) or not isinstance(value, (int, str)):
-        return None
-    if isinstance(value, int):
-        return pa.array([value], type=pa.int64())
-    return pa.array([value], type=pa.string())
-
-
-def bloom_build(arr: pa.Array | pa.ChunkedArray, bits_per_key: int = _DEFAULT_BITS_PER_KEY) -> str | None:
-    """Build a hex-serialized Bloom filter over a column chunk's non-null
-    values. Returns None for empty/all-null chunks and for unsupported
-    types (no filter — never prunes)."""
-    from .stages.hashing import hash_array_64
-
+def bloom_build(
+    arr: pa.Array | pa.ChunkedArray, bits_per_key: int = _DEFAULT_BITS_PER_KEY
+) -> str | None:
+    """Build a hex-serialized Bloom filter over a column chunk's distinct
+    non-null values. Returns None for empty/all-null chunks, unsupported
+    types, payload-like columns, and cardinalities past the size cap (no
+    filter — never prunes)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    canon = _canon(arr)
-    if canon is None:
+    hashed = _column_hashes(arr)
+    if hashed is None:
         return None
-    vals = canon.drop_null()
-    n = len(vals)
-    if n == 0:
-        return None
-    m = max(64, 1 << int(np.ceil(np.log2(n * bits_per_key))))  # power of two
-    h1 = hash_array_64(vals, seed=101)
-    h2 = hash_array_64(vals, seed=202)
+    h1, h2 = hashed
+    want_bits = max(64, len(h1) * bits_per_key)
+    if want_bits > _MAX_BITS:
+        return None  # cardinality past the cap: skip rather than bloat
+    m = 1 << int(np.ceil(np.log2(want_bits)))  # power of two
     pos = _probe_positions(h1, h2, m)
     bits = np.zeros(m, dtype=np.uint8)
     bits[pos.reshape(-1)] = 1
     return np.packbits(bits, bitorder="little").tobytes().hex()
 
 
+@functools.lru_cache(maxsize=1024)
+def _probe_hash(value) -> tuple[int, int] | None:
+    """Stable (h1, h2) for a scalar probe value, memoized — zone pruning
+    probes the same constant against every block row."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        try:
+            h1, h2 = _int_hashes(np.array([np.int64(value)], dtype=np.int64))
+        except OverflowError:
+            return None  # out of int64 range: cannot be in an int64 column
+        return int(h1[0]), int(h2[0])
+    if isinstance(value, str):
+        h1, h2 = _str_hashes([value])
+        return int(h1[0]), int(h2[0])
+    return None
+
+
 def bloom_may_contain(hex_filter: str, value) -> bool:
     """True unless the filter PROVES the value absent (missing/invalid
-    filters never prune)."""
-    from .stages.hashing import hash_array_64
-
+    filters and unprobeable value types never prune)."""
+    if not isinstance(value, (int, str)):
+        return True  # also keeps unhashables out of the lru_cache
+    probe = _probe_hash(value)
+    if probe is None:
+        return True
     try:
         packed = np.frombuffer(bytes.fromhex(hex_filter), dtype=np.uint8)
     except ValueError:
@@ -92,11 +145,8 @@ def bloom_may_contain(hex_filter: str, value) -> bool:
     m = len(packed) * 8
     if m == 0:
         return True
-    arr = _canon_value(value)
-    if arr is None:
-        return True  # unprobeable value type: never prune
-    h1 = hash_array_64(arr, seed=101)
-    h2 = hash_array_64(arr, seed=202)
+    h1 = np.array([probe[0]], dtype=np.uint64)
+    h2 = np.array([probe[1]], dtype=np.uint64)
     pos = _probe_positions(h1, h2, m)[0]
     byte_idx = pos >> 3
     bit_idx = (pos & 7).astype(np.uint8)

@@ -107,6 +107,7 @@ class KllSketch:
 
     def __init__(self, k: int = 512, seed: int = 42):
         self.k = k
+        self.seed = int(seed)
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.rng = np.random.default_rng(seed)
         self.n = 0
@@ -180,7 +181,12 @@ class KllSketch:
         import json as _json
 
         return _json.dumps(
-            {"k": self.k, "n": self.n, "levels": [b.tolist() for b in self.levels]}
+            {
+                "k": self.k,
+                "n": self.n,
+                "seed": self.seed,
+                "levels": [b.tolist() for b in self.levels],
+            }
         )
 
     @classmethod
@@ -188,7 +194,7 @@ class KllSketch:
         import json as _json
 
         d = _json.loads(s)
-        sk = cls(d["k"])
+        sk = cls(d["k"], seed=d.get("seed", 42))
         sk.n = d["n"]
         sk.levels = [np.asarray(b, dtype=np.float64) for b in d["levels"]]
         return sk
@@ -201,22 +207,26 @@ def approx_quantiles(
     k: int = 512,
 ) -> list[float]:
     """Distributed approximate quantiles: one KLL partial per batch
-    (seeded by a content hash for determinism-per-input), merged in
-    tree-reduce rounds; the driver sees one final sketch. Rank error
+    (seeded by a CRC of the batch head so equal-sized batches get
+    independent compaction coins; seeds persist through serialization),
+    merged in tree-reduce rounds; the driver sees one final sketch. Rank error
     ~ O(log(n/k)/k) — k=512 gives well under 1% at millions of rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        import zlib
+
         vals = batch[col].drop_null().to_numpy(zero_copy_only=False)
-        seed = int(len(vals) * 2654435761 % (2**31)) or 1
+        # seed from the batch CONTENT so equal-sized batches decorrelate
+        # (persisted in the serialized sketch so merges stay decorrelated)
+        seed = zlib.crc32(np.asarray(vals[:64], dtype=np.float64).tobytes()) or 1
         sk = KllSketch(k, seed=seed)
         sk.update(np.asarray(vals, dtype=np.float64))
         return pa.table({"kll": pa.array([sk.to_json()], type=pa.string())})
 
     def merge_batch(batch: pa.Table) -> pa.Table:
-        merged: KllSketch | None = None
+        merged = KllSketch(k, seed=7)  # neutral: empty batches merge clean
         for s in batch["kll"].to_pylist():
-            sk = KllSketch.from_json(s)
-            merged = sk if merged is None else merged.merge(sk)
+            merged = merged.merge(KllSketch.from_json(s))
         return pa.table({"kll": pa.array([merged.to_json()], type=pa.string())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")

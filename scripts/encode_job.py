@@ -7,8 +7,8 @@ submits with `ray job submit` on a real multi-node cluster:
            /mnt/shared/encoded --block-rows 8000 --stats page
 
 In-cluster, `ray.init(address="auto")` attaches to the running cluster;
-standalone (no cluster), it falls back to local mode so the script works
-in both environments. The out_root must live on storage every node can
+standalone (no running Ray instance), the ConnectionError falls back to
+local mode so the script works in both environments. The out_root must live on storage every node can
 reach (the manifest is the resume log). This sandbox has no dashboard /
 job server, so the submission itself cannot be exercised here — the
 entrypoint logic is what run_encode_job tests cover.
@@ -37,12 +37,18 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        # in-cluster (ray job submit): attach; standalone: local mode
-        ray.init(
-            address=os.environ.get("RAY_ADDRESS", "auto"),
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        try:
+            # in-cluster (ray job submit): attach to the running cluster
+            ray.init(
+                address=os.environ.get("RAY_ADDRESS", "auto"),
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        except ConnectionError:
+            # no running Ray instance: standalone local mode
+            ray.init(
+                address="local", ignore_reinit_error=True, logging_level="ERROR"
+            )
     from rayenc.jobs import run_encode_job
 
     summary = run_encode_job(
