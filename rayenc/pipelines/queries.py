@@ -202,8 +202,11 @@ def q_bloom_filtered_decode(sf_dir: str):
         .sort("_sk")
         .map_batches(lambda b: b.drop_columns(["_sk"]), batch_format="pyarrow")
     )
+    # ~10 blocks at any sf (fixed tiny blocks at larger sf just measure
+    # per-block fixed costs, not the pruning)
+    block_rows = max(50, ds.count() // 10)
     blocks = encode_dataset(
-        shuffled, block_rows=50, hash_column=None
+        shuffled, block_rows=block_rows, hash_column=None
     ).materialize()
     pred = [("doc_id", "==", 123)]
     counts = count_decoded_blocks(blocks, pred)

@@ -41,17 +41,25 @@ def hll_partial(values: pa.Array | list, b: int = 12) -> np.ndarray:
     h = _hash64(vals)
     idx = (h >> np.uint64(64 - b)).astype(np.int64)
     rest = h << np.uint64(b)  # remaining bits, MSB-aligned
-    # rank = leading zeros in `rest` + 1 (capped)
-    lz = np.full(len(h), 64 - b, dtype=np.uint8)
+    # rank = leading zeros in `rest` + 1 (capped). Exact byte-LUT scan:
+    # 8 whole-array passes over the little-endian byte view instead of
+    # the previous per-bit loop's 64-b (~52) passes; rest's low b bits
+    # are zero by construction, so the cap only fires for rest == 0.
+    bytes8 = rest.view(np.uint8).reshape(-1, 8)
+    lz = np.full(len(h), 64 - b, dtype=np.uint8)  # rest==0 -> cap
     found = np.zeros(len(h), dtype=bool)
-    for k in range(64 - b):
-        bit = ((rest >> np.uint64(63 - k)) & np.uint64(1)).astype(bool)
-        newly = bit & ~found
-        lz[newly] = k
-        found |= bit
+    for bi in range(7, -1, -1):  # byte 7 holds the MSB (little-endian)
+        byte = bytes8[:, bi]
+        nz = (byte != 0) & ~found
+        if nz.any():
+            lz[nz] = (7 - bi) * 8 + (8 - _BIT_LENGTH[byte[nz]])
+        found |= byte != 0
     rank = (lz + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
+
+
+_BIT_LENGTH = np.array([v.bit_length() for v in range(256)], dtype=np.uint8)
 
 
 def hll_estimate(regs: np.ndarray) -> float:
