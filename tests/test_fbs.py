@@ -131,3 +131,46 @@ def test_reference_opaque_parquet_roundtrip(tmp_path, ray_session):
     )
     assert dset.num_rows == shredded.num_rows
     assert row_key(dset) == want
+
+
+def test_parser_accepts_vtable_before_table_layout():
+    """Real FlatBuffers builders (incl. the reference's Rust one) write
+    back-to-front, commonly leaving the vtable at a LOWER address than
+    the table (positive soffset). Our builder emits the opposite sign;
+    the parser must accept both. Construct the positive-soffset layout
+    by hand and parse it."""
+    import struct
+
+    ts, count, sd, sl = [11, 22], [3], [1.25], [7]
+    vals = [
+        np.asarray(ts, dtype="<i8"),
+        np.asarray(count, dtype="<i8"),
+        np.asarray(sd, dtype="<f8"),
+        np.asarray(sl, dtype="<i8"),
+    ]
+    buf = bytearray(4)  # root placeholder
+    vt_pos = len(buf)  # vtable FIRST (lower address)
+    buf += struct.pack("<HH", 12, 20)
+    for i in range(4):
+        buf += struct.pack("<H", 4 + 4 * i)
+    t_pos = len(buf)
+    buf += struct.pack("<i", t_pos - vt_pos)  # positive soffset
+    field_pos = []
+    for _ in vals:
+        field_pos.append(len(buf))
+        buf += b"\x00" * 4
+    vec_pos = []
+    for v in vals:
+        while len(buf) % 8 != 4:
+            buf += b"\x00"
+        vec_pos.append(len(buf))
+        buf += struct.pack("<I", len(v)) + v.tobytes()
+    struct.pack_into("<I", buf, 0, t_pos)
+    for fpos, vpos in zip(field_pos, vec_pos):
+        struct.pack_into("<I", buf, fpos, vpos - fpos)
+
+    got = histogram_from_flatbuffers(bytes(buf))
+    assert got["ts"].tolist() == ts
+    assert got["count"].tolist() == count
+    assert got["sums_double"].tolist() == sd
+    assert got["sums_long"].tolist() == sl
