@@ -511,6 +511,31 @@ def run_encode_job(
         except Exception:
             ncpu = 8
         concurrency = (1, max(2, ncpu - 2))
+    if filter:
+        # fail fast on the driver (same class as decode.validate_predicates):
+        # an unknown op or missing column would otherwise die inside an
+        # encode actor mid-partition
+        from .decode import _OPS
+
+        schema_names: set[str] = set()
+        probe = input_paths if isinstance(input_paths, str) else input_paths[0]
+        pp = Path(probe)
+        first = (sorted(pp.glob("*.parquet")) or [pp])[0] if pp.is_dir() else pp
+        try:
+            schema_names = set(pq.read_schema(str(first)).names)
+        except Exception:
+            pass  # unreadable yet: the planner will raise with context
+        for p in filter:
+            if not (isinstance(p, (tuple, list)) and len(p) == 3):
+                raise ValueError(f"predicate must be (column, op, value), got {p!r}")
+            col, op, _ = p
+            if op not in _OPS:
+                raise ValueError(f"unknown predicate op {op!r}; supported: {sorted(_OPS)}")
+            if schema_names and col not in schema_names:
+                raise ValueError(
+                    f"predicate column {col!r} not in input schema "
+                    f"(have: {sorted(schema_names)})"
+                )
     manifest = Manifest(out_root)
     manifest.check_job(
         job_params(

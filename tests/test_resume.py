@@ -230,3 +230,13 @@ def test_resume_format_version_mismatch_refused(corpus_parquet, tmp_path):
         json.dump({"format_version": 1, "params": {}}, f)
     with pytest.raises(ValueError, match="format_version"):
         run_encode_job(corpus_parquet, out, concurrency=2)
+
+
+def test_job_filter_validated_on_driver(corpus_parquet, tmp_path):
+    """Malformed job filters raise on the driver, not inside an encode
+    actor mid-partition (same class as decode.validate_predicates)."""
+    out = str(tmp_path / "job")
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        run_encode_job(corpus_parquet, out, concurrency=2, filter=[("repo", "!=", "r1")])
+    with pytest.raises(ValueError, match="not in input schema"):
+        run_encode_job(corpus_parquet, out, concurrency=2, filter=[("nope", "==", "x")])
