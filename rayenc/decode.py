@@ -78,15 +78,12 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
     return True
 
 
-def validate_predicates(
-    blocks: "ray.data.Dataset", predicates: list[Predicate]
+def validate_predicate_shapes(
+    predicates: list[Predicate], cols: set[str], where: str
 ) -> None:
-    """Fail fast ON THE DRIVER for malformed filters (ADVICE r2): a
-    predicate column with no col_* in the block table would silently
-    never prune (missing zones) and then KeyError inside a Ray worker;
-    an unknown op string would die on _OPS[op] mid-pipeline."""
-    names = blocks.schema().names
-    cols = {c[4:] for c in names if c.startswith("col_")}
+    """Shared driver-side predicate checks (shape, op, column
+    membership) for the decode filter and the encode-job filter —
+    one implementation so ops/shape rules cannot drift."""
     for p in predicates:
         if not (isinstance(p, (tuple, list)) and len(p) == 3):
             raise ValueError(f"predicate must be (column, op, value), got {p!r}")
@@ -97,9 +94,20 @@ def validate_predicates(
             )
         if cols and col not in cols:
             raise ValueError(
-                f"predicate column {col!r} not in block table "
-                f"(have: {sorted(cols)})"
+                f"predicate column {col!r} not in {where} (have: {sorted(cols)})"
             )
+
+
+def validate_predicates(
+    blocks: "ray.data.Dataset", predicates: list[Predicate]
+) -> None:
+    """Fail fast ON THE DRIVER for malformed filters (ADVICE r2): a
+    predicate column with no col_* in the block table would silently
+    never prune (missing zones) and then KeyError inside a Ray worker;
+    an unknown op string would die on _OPS[op] mid-pipeline."""
+    names = blocks.schema().names
+    cols = {c[4:] for c in names if c.startswith("col_")}
+    validate_predicate_shapes(predicates, cols, "block table")
 
 
 def prune_blocks(

@@ -245,12 +245,22 @@ class PartitionEncoder:
         out_tables: list[pa.Table] = []
         rows = 0
         seq = 0
+        # filter columns must be READ even when projected out of the
+        # encode set (round-3 review: a filter on a pruned column
+        # KeyError'd inside the actor); widen the read, filter, then
+        # drop the extras so the encoded schema honors `columns`
+        read_cols = self.columns
+        if self.columns and self.row_filter:
+            extra = [c for c, _, _ in self.row_filter if c not in self.columns]
+            read_cols = self.columns + sorted(set(extra))
         for rg in range(part["rg_start"], part["rg_end"] + 1):
-            rg_table = pf.read_row_group(rg, columns=self.columns)
+            rg_table = pf.read_row_group(rg, columns=read_cols)
             if self.row_filter:
                 from .decode import filter_table
 
                 rg_table = filter_table(rg_table, self.row_filter)
+                if read_cols is not self.columns and self.columns:
+                    rg_table = rg_table.select(self.columns)
             for block in self._iter_blocks(rg_table):
                 out_tables.append(
                     self.core.encode_table(
@@ -515,27 +525,22 @@ def run_encode_job(
         # fail fast on the driver (same class as decode.validate_predicates):
         # an unknown op or missing column would otherwise die inside an
         # encode actor mid-partition
-        from .decode import _OPS
+        from .decode import validate_predicate_shapes
 
         schema_names: set[str] = set()
-        probe = input_paths if isinstance(input_paths, str) else input_paths[0]
-        pp = Path(probe)
-        first = (sorted(pp.glob("*.parquet")) or [pp])[0] if pp.is_dir() else pp
-        try:
-            schema_names = set(pq.read_schema(str(first)).names)
-        except Exception:
-            pass  # unreadable yet: the planner will raise with context
-        for p in filter:
-            if not (isinstance(p, (tuple, list)) and len(p) == 3):
-                raise ValueError(f"predicate must be (column, op, value), got {p!r}")
-            col, op, _ = p
-            if op not in _OPS:
-                raise ValueError(f"unknown predicate op {op!r}; supported: {sorted(_OPS)}")
-            if schema_names and col not in schema_names:
-                raise ValueError(
-                    f"predicate column {col!r} not in input schema "
-                    f"(have: {sorted(schema_names)})"
-                )
+        probe = (
+            input_paths
+            if isinstance(input_paths, str)
+            else (input_paths[0] if input_paths else None)
+        )
+        if probe is not None:
+            pp = Path(probe)
+            first = (sorted(pp.glob("*.parquet")) or [pp])[0] if pp.is_dir() else pp
+            try:
+                schema_names = set(pq.read_schema(str(first)).names)
+            except Exception:
+                pass  # unreadable yet: the planner will raise with context
+        validate_predicate_shapes(filter, schema_names, "input schema")
     manifest = Manifest(out_root)
     manifest.check_job(
         job_params(

@@ -45,7 +45,7 @@ def hll_partial(values: pa.Array | list, b: int = 12) -> np.ndarray:
     # 8 whole-array passes over the little-endian byte view instead of
     # the previous per-bit loop's 64-b (~52) passes; rest's low b bits
     # are zero by construction, so the cap only fires for rest == 0.
-    bytes8 = rest.view(np.uint8).reshape(-1, 8)
+    bytes8 = rest.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8)
     lz = np.full(len(h), 64 - b, dtype=np.uint8)  # rest==0 -> cap
     found = np.zeros(len(h), dtype=bool)
     for bi in range(7, -1, -1):  # byte 7 holds the MSB (little-endian)

@@ -240,3 +240,40 @@ def test_job_filter_validated_on_driver(corpus_parquet, tmp_path):
         run_encode_job(corpus_parquet, out, concurrency=2, filter=[("repo", "!=", "r1")])
     with pytest.raises(ValueError, match="not in input schema"):
         run_encode_job(corpus_parquet, out, concurrency=2, filter=[("nope", "==", "x")])
+
+
+def test_job_filter_on_column_outside_projection(ray_session, corpus_parquet, tmp_path):
+    """A filter column excluded by `columns` is read for filtering then
+    dropped — the encoded schema honors `columns` and the row set honors
+    the filter (round-3 review: this KeyError'd inside the actor)."""
+    import duckdb
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+
+    out = str(tmp_path / "job")
+    s = run_encode_job(
+        corpus_parquet,
+        out,
+        columns=["repo", "content"],
+        filter=[("lang", "==", "python")],
+        hash_column="content",
+        concurrency=2,
+    )
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{corpus_parquet}') WHERE lang = 'python'"
+    ).fetchone()[0]
+    assert s["rows"] == want
+    dec = decode_dataset(rd.read_parquet(f"{out}/blocks"), concurrency=2).to_pandas()
+    assert sorted(dec.columns) == ["content", "repo"]
+    assert len(dec) == want
+
+
+def test_empty_input_list_with_filter(tmp_path):
+    """Empty input list + filter: predicate shape checks still run, no
+    IndexError (round-3 review)."""
+    out = str(tmp_path / "job")
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        run_encode_job([], out, concurrency=2, filter=[("x", "!=", 1)])
+    s = run_encode_job([], out, concurrency=2, filter=[("x", "==", 1)])
+    assert s["partitions_total"] == 0
