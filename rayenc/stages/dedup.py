@@ -362,23 +362,52 @@ def minhash_candidate_pairs(
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
 
+    rows_per_band = n_perm // n_bands
+
+    def _band_hashes(mats: np.ndarray, upto: int) -> np.ndarray:
+        """(n, upto) band-hash matrix — the same splitmix chain
+        _band_rows uses, recomputed from the signatures so a group can
+        tell whether a pair ALREADY collided in an earlier band."""
+        from .hashing import splitmix64
+
+        out = np.empty((len(mats), upto), dtype=np.uint64)
+        for bb in range(upto):
+            seg = mats[:, bb * rows_per_band : (bb + 1) * rows_per_band]
+            bh = np.full(len(mats), np.uint64(bb) + np.uint64(0x9E37), dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                bh = splitmix64(bh ^ seg[:, c])
+            out[:, bb] = bh
+        return out
+
     def pairs_in_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One call per hash-bucket (not per LSH band key): keep only rows
         whose (band_id, band_hash) actually collides, then loop over those
-        few collision groups with vectorized signature comparison."""
+        few collision groups with vectorized signature comparison.
+
+        EXACTLY-ONCE emission without a dedup shuffle: a pair is emitted
+        only from the FIRST band in which it collides (earlier-band
+        collision checked by recomputing those bands' hashes from the
+        signatures at hand) — the downstream distinct round this replaces
+        was a whole extra groupby shuffle per pipeline run."""
         dup = g.duplicated(["band_id", "band_hash"], keep=False)
         g = g[dup]
         out_a: list = []
         out_b: list = []
         out_j: list = []
         if len(g):
-            for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            for (band, _), sub in g.groupby(["band_id", "band_hash"], sort=False):
                 sub = sub.sort_values(id_col)
                 ids = sub[id_col].to_numpy()
                 mats = np.vstack(sub["minhash"].to_numpy())
+                bh_earlier = _band_hashes(mats, int(band)) if band else None
                 for i in range(len(ids) - 1):
                     eq = (mats[i + 1 :] == mats[i]).mean(axis=1)
                     hit = np.flatnonzero(eq >= threshold)
+                    if bh_earlier is not None and len(hit):
+                        seen = (
+                            bh_earlier[i + 1 :][hit] == bh_earlier[i]
+                        ).any(axis=1)
+                        hit = hit[~seen]
                     for j in hit:
                         out_a.append(ids[i])
                         out_b.append(ids[i + 1 + j])
@@ -391,22 +420,7 @@ def minhash_candidate_pairs(
             }
         )
 
-    pairs = bands.groupby("_b").map_groups(pairs_in_hash_bucket, batch_format="pandas")
-
-    # same pair surfaces from several bands: vectorized distinct per id-bucket
-    def add_pair_bucket(b: pa.Table) -> pa.Table:
-        from .hashing import bucket_column
-
-        return b.append_column("_pb", bucket_column(b["doc_a"], n_buckets))
-
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pb"])
-
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(distinct_pairs, batch_format="pandas")
-    )
+    return bands.groupby("_b").map_groups(pairs_in_hash_bucket, batch_format="pandas")
 
 
 def connected_components_labels(
@@ -763,27 +777,47 @@ def simhash_pairs(
         cross-signature comparison runs over the UNIQUE signatures'
         min-id representatives only. The emitted set is a spanning
         subset whose connected components equal the full pair graph's —
-        exactly what dedup consumes."""
+        exactly what dedup consumes.
+
+        EXACTLY-ONCE emission without a dedup shuffle: identical-sig
+        clusters agree on every chunk, so star pairs emit only from
+        chunk 0; cross pairs emit only from the FIRST chunk the two
+        signatures share (earlier chunk values recomputed from the
+        sigs) — removing the whole downstream distinct groupby."""
         dup = g.duplicated(["chunk_id", "chunk_key"], keep=False)
         g = g[dup]
         out_a: list = []
         out_b: list = []
         out_h: list = []
         if len(g):
-            for _, sub in g.groupby(["chunk_id", "chunk_key"], sort=False):
+            for (chunk, _), sub in g.groupby(["chunk_id", "chunk_key"], sort=False):
                 sub = sub.sort_values(id_col)
                 ids = sub[id_col].to_numpy()
                 s = sub["simhash"].to_numpy().astype(np.uint64)
-                # identical-signature clusters -> star pairs
+                # identical-signature clusters -> star pairs (chunk 0 only:
+                # identical sigs collide in every chunk)
                 uniq, first_idx, inv = np.unique(
                     s, return_index=True, return_inverse=True
                 )
                 reps = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
                 np.minimum.at(reps, inv, ids)
-                star_mask = reps[inv] != ids
-                out_a.append(reps[inv][star_mask])
-                out_b.append(ids[star_mask])
-                out_h.append(np.zeros(int(star_mask.sum()), dtype=np.int64))
+                if chunk == 0:
+                    star_mask = reps[inv] != ids
+                    out_a.append(reps[inv][star_mask])
+                    out_b.append(ids[star_mask])
+                    out_h.append(np.zeros(int(star_mask.sum()), dtype=np.int64))
+                # earlier chunk values of each unique sig, for first-emit
+                earlier = (
+                    np.stack(
+                        [
+                            (uniq >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+                            for c in range(int(chunk))
+                        ],
+                        axis=1,
+                    )
+                    if chunk
+                    else None
+                )
                 # cross-cluster: all-pairs over unique signatures only
                 for i in range(len(uniq) - 1):
                     x = uniq[i + 1 :] ^ uniq[i]
@@ -791,6 +825,9 @@ def simhash_pairs(
                         x.view(np.uint8).reshape(len(x), 8), axis=1
                     ).sum(axis=1)
                     hit = np.flatnonzero(d <= max_hamming)
+                    if earlier is not None and len(hit):
+                        seen = (earlier[i + 1 :][hit] == earlier[i]).any(axis=1)
+                        hit = hit[~seen]
                     if len(hit):
                         ra = reps[i]
                         rb = reps[i + 1 + hit]
@@ -812,26 +849,7 @@ def simhash_pairs(
             }
         )
 
-    pairs = bands.groupby("_b").map_groups(verify, batch_format="pandas")
-
-    def add_pair_bucket(b: pa.Table) -> pa.Table:
-        from .hashing import bucket_column
-
-        return b.append_column("_pb", bucket_column(b["doc_a"], n_buckets))
-
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # keep the min hamming seen for the pair
-        return (
-            g.sort_values("hamming")
-            .drop_duplicates(["doc_a", "doc_b"])
-            .drop(columns=["_pb"])
-        )
-
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(distinct_pairs, batch_format="pandas")
-    )
+    return bands.groupby("_b").map_groups(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -1054,16 +1072,28 @@ def embedding_near_dup_pairs_lsh(
         planes = lsh_plan(dim, n_tables * planes_per_table, seed)
         signs = (mat @ planes.T) > 0  # (n, n_tables*planes_per_table)
         weights = 1 << np.arange(planes_per_table, dtype=np.int64)
+        keys_mat = np.stack(
+            [
+                signs[:, t * planes_per_table : (t + 1) * planes_per_table]
+                .astype(np.int64) @ weights
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )  # (n, n_tables) — carried with each row: the verify stage's
+        # first-table-emission check needs the EXACT keys (recomputing
+        # signs there is not bit-stable: BLAS reduction order varies
+        # with matrix shape, and a near-zero dot could flip)
         out_t, out_k, out_i = [], [], []
         for t in range(n_tables):
-            seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
-            keys = seg.astype(np.int64) @ weights
             out_t.append(np.full(n, t, dtype=np.int32))
-            out_k.append(keys)
+            out_k.append(keys_mat[:, t])
             out_i.append(np.arange(n))
         idx = pa.array(np.concatenate(out_i), type=pa.int64())
         flat = pa.FixedSizeListArray.from_arrays(
             pa.array(mat.reshape(-1), type=pa.float32()), dim
+        )
+        keys_flat = pa.FixedSizeListArray.from_arrays(
+            pa.array(keys_mat.reshape(-1), type=pa.int64()), n_tables
         )
         return pa.table(
             {
@@ -1071,6 +1101,7 @@ def embedding_near_dup_pairs_lsh(
                 "bucket_key": pa.array(np.concatenate(out_k), type=pa.int64()),
                 id_col: pc.take(pa.array(bids, type=pa.int64()), idx),
                 "_vec": pc.take(flat, idx),
+                "_keys": pc.take(keys_flat, idx),
             }
         )
 
@@ -1092,20 +1123,32 @@ def embedding_near_dup_pairs_lsh(
     import pandas as pd
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """EXACTLY-ONCE emission without a dedup shuffle: a pair is
+        emitted only from the FIRST table in which it collides — each
+        row carries its exact per-table keys (_keys, computed once at
+        explode), so the downstream distinct groupby round is gone."""
         dup = g.duplicated(["table_id", "bucket_key"], keep=False)
         g = g[dup]
         out_a: list = []
         out_b: list = []
         out_c: list = []
         if len(g):
-            for _, sub in g.groupby(["table_id", "bucket_key"], sort=False):
+            for (t, _), sub in g.groupby(["table_id", "bucket_key"], sort=False):
                 ids = sub[id_col].to_numpy().astype(np.int64)
                 mat = np.vstack(sub["_vec"].to_numpy()).astype(np.float32)
                 scores = mat @ mat.T
-                a, b, c = _pairs_from_scores(ids, ids, scores, threshold)
-                out_a.append(a)
-                out_b.append(b)
-                out_c.append(c)
+                ii, jj = np.nonzero(scores >= threshold)
+                if len(ii) == 0:
+                    continue
+                keep = ids[ii] < ids[jj]
+                ii, jj = ii[keep], jj[keep]
+                if t and len(ii):
+                    keys_all = np.vstack(sub["_keys"].to_numpy())[:, : int(t)]
+                    seen = (keys_all[ii] == keys_all[jj]).any(axis=1)
+                    ii, jj = ii[~seen], jj[~seen]
+                out_a.append(ids[ii].astype(np.int64))
+                out_b.append(ids[jj].astype(np.int64))
+                out_c.append(scores[ii, jj].astype(np.float64))
         return pd.DataFrame(
             {
                 "id_a": pd.Series(
@@ -1120,18 +1163,4 @@ def embedding_near_dup_pairs_lsh(
             }
         )
 
-    pairs = rows.groupby("_b").map_groups(verify, batch_format="pandas")
-
-    def add_pair_bucket(b: pa.Table) -> pa.Table:
-        from .hashing import bucket_column
-
-        return b.append_column("_pb", bucket_column(b["id_a"], n_buckets))
-
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_pb"])
-
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(distinct_pairs, batch_format="pandas")
-    )
+    return rows.groupby("_b").map_groups(verify, batch_format="pandas")
