@@ -456,21 +456,32 @@ def connected_components_labels(
     import pandas as pd
 
     # one combined table, groupby-bucketed by node each round (no joins):
-    #   state/message rows: kind=0, (node, label)   [dst unused]
-    #   edge rows:          kind=1, (node=src, dst) [label unused]
+    #   state rows:   kind=0, (node, label)   [dst unused]
+    #   edge rows:    kind=1, (node=src, dst) [label unused]
+    #   message rows: kind=2, (node, label)   [dst unused]
     # an explicit kind column, NOT a -1 sentinel — doc ids are arbitrary
     # int64 values (round-2 review: a real id of -1 must not corrupt the
     # propagation). bucket co-locates a node's state with the edges
-    # leaving it, so each round is ONE bucketed shuffle.
+    # leaving it, so each round is ONE bucketed shuffle. Messages are
+    # FRONTIER-ONLY (ROADMAP r3): a node resends its label along its
+    # edges only in the round its label IMPROVED — late rounds touch the
+    # few still-converging components, not every edge (init seeds the
+    # first wave with one message per directed edge).
     def init_rows(b: pa.Table) -> pa.Table:
         u = pc.unique(b["src"])
         src = b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray) else b["src"]
         dst = b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray) else b["dst"]
-        node = pa.concat_arrays([u, src])
-        dcol = pa.concat_arrays([pa.array(np.zeros(len(u), np.int64)), dst])
-        lcol = pa.concat_arrays([u, pa.array(np.zeros(len(src), np.int64))])
+        zeros_u = pa.array(np.zeros(len(u), np.int64))
+        zeros_e = pa.array(np.zeros(len(src), np.int64))
+        node = pa.concat_arrays([u, src, dst])
+        dcol = pa.concat_arrays([zeros_u, dst, zeros_e])
+        lcol = pa.concat_arrays([u, zeros_e, src])
         kind = pa.concat_arrays(
-            [pa.array(np.zeros(len(u), np.int8)), pa.array(np.ones(len(src), np.int8))]
+            [
+                pa.array(np.zeros(len(u), np.int8)),
+                pa.array(np.ones(len(src), np.int8)),
+                pa.array(np.full(len(src), 2, np.int8)),
+            ]
         )
         return pa.table({"node": node, "dst": dcol, "label": lcol, "kind": kind})
 
@@ -481,8 +492,14 @@ def connected_components_labels(
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
         st = g[g["kind"] == 0]
-        ed = g[g["kind"] != 0]
-        cur = st.groupby("node", sort=False)["label"].min()
+        ed = g[g["kind"] == 1]
+        msg = g[g["kind"] == 2]
+        prev = st.groupby("node", sort=False)["label"].min()
+        cur = prev
+        if len(msg):
+            m = msg.groupby("node", sort=False)["label"].min()
+            aligned = m.reindex(prev.index, fill_value=np.iinfo(np.int64).max)
+            cur = np.minimum(prev, aligned)
         out_state = pd.DataFrame(
             {
                 "node": cur.index.to_numpy(),
@@ -491,12 +508,14 @@ def connected_components_labels(
                 "kind": np.int8(0),
             }
         )
+        changed = cur[cur < prev]
+        ed_send = ed[ed["node"].isin(changed.index)]
         msgs = pd.DataFrame(
             {
-                "node": ed["dst"].to_numpy(),
+                "node": ed_send["dst"].to_numpy(),
                 "dst": np.int64(0),
-                "label": cur.reindex(ed["node"]).to_numpy(),
-                "kind": np.int8(0),
+                "label": changed.reindex(ed_send["node"]).to_numpy(),
+                "kind": np.int8(2),
             }
         )
         edges_out = ed.drop(columns=["_b"])
