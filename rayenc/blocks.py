@@ -168,6 +168,7 @@ def _encode_paged(
     page_blobs: list[bytes] = []
     rows: list[int] = []
     zones: list[dict | None] | None = [] if page_zones else None
+    blooms: list[str | None] | None = [] if page_zones else None
     for start in range(0, n, page_rows):
         page = arr.slice(start, page_rows)
         page_blobs.append(encode_column(page, codec_name, level))
@@ -176,9 +177,15 @@ def _encode_paged(
             from .encode import column_zone  # lazy: avoids import cycle
 
             zones.append(column_zone(page))
+        if blooms is not None:
+            from .bloom import bloom_build  # per-page equality pruning
+
+            blooms.append(bloom_build(page))
     params: dict = {"rows": rows, "child_codec": codec_name}
     if zones is not None:
         params["zones"] = zones
+    if blooms is not None and any(b is not None for b in blooms):
+        params["blooms"] = blooms
     header = {
         "codec": "paged",
         "n": n,
@@ -242,24 +249,36 @@ def page_stats(blob: bytes | memoryview, indices=None) -> dict:
 
 def page_prune_indices(blob: bytes | memoryview, predicates) -> np.ndarray | None:
     """Row indices of the pages a predicate conjunction can possibly
-    match, using per-page zone maps (page_zones=True at encode).
-    Returns None when the blob is unpaged or carries no page zones
-    (meaning: no sub-block pruning available, decode everything)."""
-    from .decode import zone_may_match  # lazy: avoids import cycle
+    match, using per-page zone maps and (for equality predicates)
+    per-page Bloom filters (page_zones=True at encode). Returns None
+    when the blob is unpaged or carries no page stats (meaning: no
+    sub-block pruning available, decode everything)."""
+    from .bloom import bloom_may_contain  # lazy: avoids import cycle
+    from .decode import zone_may_match
 
     header, _, _ = _parse_block(blob)
     if header["codec"] != "paged":
         return None
     zones = header["params"].get("zones")
-    if not zones:
+    blooms = header["params"].get("blooms")
+    if not zones and not blooms:
         return None
+    n_pages = len(header["params"]["rows"])
     starts = _page_starts(header["params"])
     col = "__self__"
     keep: list[np.ndarray] = []
-    for p, z in enumerate(zones):
+    for p in range(n_pages):
+        z = zones[p] if zones else None
         zmap = {col: z} if z is not None else {}
         preds = [(col, op, val) for (_, op, val) in predicates]
-        if zone_may_match(zmap, preds):
+        ok = zone_may_match(zmap, preds)
+        if ok and blooms and blooms[p] is not None:
+            ok = all(
+                bloom_may_contain(blooms[p], val)
+                for (_, op, val) in predicates
+                if op in ("==", "=")
+            )
+        if ok:
             keep.append(np.arange(starts[p], starts[p + 1], dtype=np.int64))
     if not keep:
         return np.empty(0, dtype=np.int64)

@@ -80,3 +80,26 @@ def test_bloom_prunes_blocks_zone_maps_cannot(ray_session):
     ).materialize()
     c2 = count_decoded_blocks(blocks_nb, pred)
     assert c2["decoded_blocks"] == c2["total_blocks"]
+
+
+def test_per_page_blooms_prune_inside_blocks():
+    """Pages of a hash-shuffled column have overlapping zone ranges; the
+    per-page Bloom filter still narrows an equality probe to the page(s)
+    actually holding the value (ROADMAP r3 #5)."""
+    import numpy as np
+
+    from rayenc.blocks import encode_column, page_prune_indices, decode_rows
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(8000).astype(np.int64)
+    arr = pa.array(ids)
+    blob = encode_column(arr, "foref", 3, page_rows=1000, page_zones=True)
+    target = int(ids[4321])
+    keep = page_prune_indices(blob, [("k", "==", target)])
+    assert keep is not None
+    # zones alone cannot prune shuffled pages; blooms narrow to ~1 page
+    assert len(keep) <= 2000, len(keep)
+    pos = int(np.flatnonzero(ids == target)[0])
+    assert pos in set(keep.tolist())  # never prunes the true page
+    got = decode_rows(blob, np.array([pos]))
+    assert got.to_pylist() == [target]
