@@ -88,6 +88,7 @@ def encode_column(
     level: int = 3,
     page_rows: int | None = None,
     page_zones: bool = False,
+    page_blooms: bool | None = None,
 ) -> bytes:
     """Encode one column chunk into a self-describing block blob.
 
@@ -109,7 +110,11 @@ def encode_column(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if page_rows and len(arr) > page_rows:
-        return _encode_paged(arr, codec_name, level, page_rows, page_zones)
+        if page_blooms is None:
+            page_blooms = page_zones
+        return _encode_paged(
+            arr, codec_name, level, page_rows, page_zones, page_blooms
+        )
     if _is_list(arr.type):
         return _encode_list(arr, codec_name, level)
     if pa.types.is_struct(arr.type):
@@ -158,7 +163,12 @@ def encode_column(
 
 
 def _encode_paged(
-    arr: pa.Array, codec_name: str, level: int, page_rows: int, page_zones: bool
+    arr: pa.Array,
+    codec_name: str,
+    level: int,
+    page_rows: int,
+    page_zones: bool,
+    page_blooms: bool = True,
 ) -> bytes:
     """Split a column into pages of `page_rows`, each a full recursive
     RYB1 blob (own validity, own symbol tables — independently
@@ -168,7 +178,7 @@ def _encode_paged(
     page_blobs: list[bytes] = []
     rows: list[int] = []
     zones: list[dict | None] | None = [] if page_zones else None
-    blooms: list[str | None] | None = [] if page_zones else None
+    blooms: list[str | None] | None = [] if (page_zones and page_blooms) else None
     for start in range(0, n, page_rows):
         page = arr.slice(start, page_rows)
         page_blobs.append(encode_column(page, codec_name, level))

@@ -209,12 +209,14 @@ class BlockEncoder:
             if forced:
                 try:
                     blob = encode_column(
-                        arr, forced, self.level, self.page_rows, self.page_zones
+                        arr, forced, self.level, self.page_rows, self.page_zones,
+                        self.bloom,
                     )
                     choice_info = {"codec": forced, "reason": "forced"}
                 except Exception:
                     blob = encode_column(
-                        arr, "plain", self.level, self.page_rows, self.page_zones
+                        arr, "plain", self.level, self.page_rows, self.page_zones,
+                        self.bloom,
                     )
                     choice_info = {
                         "codec": "plain",
@@ -223,13 +225,15 @@ class BlockEncoder:
             elif cached is not None and self._since_trial.get(name, 0) < self.retrial_blocks:
                 try:
                     blob = encode_column(
-                        arr, cached, self.level, self.page_rows, self.page_zones
+                        arr, cached, self.level, self.page_rows, self.page_zones,
+                        self.bloom,
                     )
                     choice_info = {"codec": cached, "reason": "cached selection"}
                     self._since_trial[name] += 1
                 except Exception:
                     blob = encode_column(
-                        arr, "plain", self.level, self.page_rows, self.page_zones
+                        arr, "plain", self.level, self.page_rows, self.page_zones,
+                        self.bloom,
                     )
                     choice_info = {
                         "codec": "plain",
@@ -244,6 +248,7 @@ class BlockEncoder:
                     page_rows=self.page_rows,
                     page_zones=self.page_zones,
                     decode_weight=self.decode_weight,
+                    page_blooms=self.bloom,
                 )
                 choice_info = choice.lineage()
                 self._cached[name] = choice.codec

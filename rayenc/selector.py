@@ -262,6 +262,7 @@ def encode_column_auto(
     page_rows: int | None = None,
     page_zones: bool = False,
     decode_weight: float = 0.0,
+    page_blooms: bool | None = None,
 ) -> tuple[bytes, Choice]:
     """Select a codec on a sample, then encode the full column with it.
 
@@ -310,7 +311,7 @@ def encode_column_auto(
             else:
                 spec[et.field(i).name] = select_codec(child, sample_rows, level, decode_weight).codec
         codec_str = "struct:" + _json.dumps(spec, separators=(",", ":"))
-        blob = encode_column(arr, codec_str, level, page_rows, page_zones)
+        blob = encode_column(arr, codec_str, level, page_rows, page_zones, page_blooms)
         return blob, Choice(
             codec_str,
             {"n_sample": len(arr)},
@@ -367,7 +368,7 @@ def encode_column_auto(
         if rival == opp:  # plain/fsst at base level never beat @9 here
             rival = f"{opp}@9"
         try:
-            blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones)
+            blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones, page_blooms)
         except Exception:
             # same guarantee as the non-runoff tail: a sample-chosen codec
             # that fails on the full payload degrades to the zstd backstop
@@ -377,9 +378,9 @@ def encode_column_auto(
                 choice.trials,
                 f"{choice.codec} failed on full data; zstd backstop",
             )
-            blob_a = encode_column(arr, "plain", level, page_rows, page_zones)
+            blob_a = encode_column(arr, "plain", level, page_rows, page_zones, page_blooms)
         try:
-            blob_b = encode_column(arr, rival, level, page_rows, page_zones)
+            blob_b = encode_column(arr, rival, level, page_rows, page_zones, page_blooms)
         except Exception:
             blob_b = None
         pick_rival = blob_b is not None and len(blob_b) < len(blob_a)
@@ -420,10 +421,10 @@ def encode_column_auto(
         choice.trials[f"runoff:{choice.codec}"] = len(blob_a)
         return blob_a, choice
     try:
-        blob = encode_column(arr, choice.codec, level, page_rows, page_zones)
+        blob = encode_column(arr, choice.codec, level, page_rows, page_zones, page_blooms)
     except Exception:
         choice = Choice(
             "plain", choice.stats, choice.trials, f"{choice.codec} failed on full data; zstd backstop"
         )
-        blob = encode_column(arr, "plain", level, page_rows, page_zones)
+        blob = encode_column(arr, "plain", level, page_rows, page_zones, page_blooms)
     return blob, choice

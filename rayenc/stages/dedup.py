@@ -525,6 +525,7 @@ def connected_components_labels(
 
     rows = und.map_batches(init_rows, batch_format="pyarrow")
     prev_sum = None
+    rounds_done = 0
     for _ in range(max_rounds):
         rows = (
             rows.map_batches(add_bucket, batch_format="pyarrow")
@@ -532,6 +533,7 @@ def connected_components_labels(
             .map_groups(propagate, batch_format="pandas")
             .materialize()
         )
+        rounds_done += 1
         state = rows.map_batches(
             lambda b: b.filter(pc.equal(b["kind"], 0)).select(["label"]),
             batch_format="pyarrow",
@@ -540,8 +542,18 @@ def connected_components_labels(
         if s == prev_sum:
             break
         prev_sum = s
-    # state rows carry per-round message duplicates: one final bucketed
-    # min-dedup yields exactly one (node, label) row per node
+    state_rows = rows.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)).select(["node", "label"]),
+        batch_format="pyarrow",
+    )
+    if rounds_done:
+        # propagate emits exactly one state row per node, and all of a
+        # node's rows hash to one bucket — states are already globally
+        # unique, so no final dedup shuffle (messages live under their
+        # own kind now; the old kind-0 message duplicates are gone)
+        return state_rows
+    # degenerate max_rounds=0: init states may duplicate across input
+    # batches — keep the bucketed min-dedup for that path only
     def final_min(g: pd.DataFrame) -> pd.DataFrame:
         cur = g.groupby("node", sort=False)["label"].min()
         return pd.DataFrame(
@@ -549,11 +561,7 @@ def connected_components_labels(
         ).astype({"node": "int64", "label": "int64"})
 
     return (
-        rows.map_batches(
-            lambda b: b.filter(pc.equal(b["kind"], 0)).select(["node", "label"]),
-            batch_format="pyarrow",
-        )
-        .map_batches(add_bucket, batch_format="pyarrow")
+        state_rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(final_min, batch_format="pandas")
     )
@@ -1155,19 +1163,33 @@ def embedding_near_dup_pairs_lsh(
             for (t, _), sub in g.groupby(["table_id", "bucket_key"], sort=False):
                 ids = sub[id_col].to_numpy().astype(np.int64)
                 mat = np.vstack(sub["_vec"].to_numpy()).astype(np.float32)
+                # GEMM generates candidates with slack; the THRESHOLD
+                # decision uses a per-pair float64 fixed-order dot —
+                # np.sum's pairwise reduction depends only on dim, so
+                # every group computes the IDENTICAL score for a pair
+                # (a shape-dependent GEMM score could pass in table t
+                # but fail in the earlier table t' this group defers
+                # to, dropping a boundary pair entirely)
                 scores = mat @ mat.T
-                ii, jj = np.nonzero(scores >= threshold)
+                ii, jj = np.nonzero(scores >= threshold - 1e-4)
                 if len(ii) == 0:
                     continue
                 keep = ids[ii] < ids[jj]
                 ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    prod = mat[ii].astype(np.float64) * mat[jj].astype(np.float64)
+                    cos = prod.sum(axis=1)
+                    final = cos >= threshold
+                    ii, jj, cos = ii[final], jj[final], cos[final]
+                else:
+                    cos = np.empty(0, np.float64)
                 if t and len(ii):
                     keys_all = np.vstack(sub["_keys"].to_numpy())[:, : int(t)]
                     seen = (keys_all[ii] == keys_all[jj]).any(axis=1)
-                    ii, jj = ii[~seen], jj[~seen]
+                    ii, jj, cos = ii[~seen], jj[~seen], cos[~seen]
                 out_a.append(ids[ii].astype(np.int64))
                 out_b.append(ids[jj].astype(np.int64))
-                out_c.append(scores[ii, jj].astype(np.float64))
+                out_c.append(cos.astype(np.float64))
         return pd.DataFrame(
             {
                 "id_a": pd.Series(

@@ -103,3 +103,26 @@ def test_per_page_blooms_prune_inside_blocks():
     assert pos in set(keep.tolist())  # never prunes the true page
     got = decode_rows(blob, np.array([pos]))
     assert got.to_pylist() == [target]
+
+
+def test_paged_bloom_opt_out(ray_session):
+    """bloom=False suppresses per-page blooms too (round-3 review: the
+    paged path ignored the opt-out)."""
+    import json
+
+    import ray.data as rd
+
+    from rayenc.blocks import _parse_block
+    from rayenc.encode import encode_dataset
+
+    t = pa.table({"k": pa.array(list(range(4000)), type=pa.int64())})
+    for bloom, expect in [(True, True), (False, False)]:
+        blocks = encode_dataset(
+            rd.from_arrow(t), block_rows=4000, stats="page", page_rows=500,
+            hash_column=None, concurrency=1, bloom=bloom,
+        ).materialize()
+        row = blocks.take(1)[0]
+        header, _, _ = _parse_block(memoryview(row["col_k"]))
+        assert ("blooms" in header["params"]) == expect, (bloom, header["params"].keys())
+        zm = json.loads(row["zonemap"])
+        assert ("__bloom__" in zm) == expect
