@@ -105,13 +105,19 @@ def mg_merge(a: dict, b: dict, k: int) -> dict:
 
 
 class KllSketch:
-    """Mergeable quantile sketch (simplified KLL: Karnin/Lang/Liberty,
-    FOCS 2016 — fixed-capacity compactors): level i holds items of
-    weight 2^i; a full level sorts, keeps alternate items (offset chosen
-    by a seeded RNG) and promotes the survivors one level up. Memory is
-    O(k * log(n/k)) per sketch; merge is level-wise concatenation +
-    re-compaction, so per-batch partials combine in tree-reduce rounds
-    like the HLL/Misra-Gries sketches above."""
+    """Mergeable quantile sketch (KLL: Karnin/Lang/Liberty, FOCS 2016):
+    level i holds items of weight 2^i; a full level sorts, keeps
+    alternate items (offset chosen by a seeded RNG) and promotes the
+    survivors one level up. Capacities follow the paper's geometric
+    schedule — the TOP level holds k items and each level below decays
+    by c=2/3 (floored at 8) — giving the O(k) total-memory bound with
+    the error concentrated in the cheap low-weight levels. Merge is
+    level-wise concatenation + re-compaction, so per-batch partials
+    combine in tree-reduce rounds like the HLL/Misra-Gries sketches
+    above."""
+
+    _C = 2.0 / 3.0  # per-level capacity decay (KLL paper's constant)
+    _MIN_CAP = 8
 
     def __init__(self, k: int = 512, seed: int = 42):
         self.k = k
@@ -119,6 +125,9 @@ class KllSketch:
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.rng = np.random.default_rng(seed)
         self.n = 0
+
+    def _cap(self, lvl: int, depth: int) -> int:
+        return max(self._MIN_CAP, int(np.ceil(self.k * self._C ** (depth - 1 - lvl))))
 
     def update(self, values: np.ndarray) -> None:
         values = np.asarray(values, dtype=np.float64)
@@ -133,7 +142,7 @@ class KllSketch:
         lvl = 0
         while lvl < len(self.levels):
             buf = self.levels[lvl]
-            if len(buf) <= self.k:
+            if len(buf) <= self._cap(lvl, len(self.levels)):
                 lvl += 1
                 continue
             buf = np.sort(buf)
