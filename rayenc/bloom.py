@@ -74,10 +74,26 @@ def _column_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray] | None:
 
     t = arr.type
     if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_integer(t):
-        vals = arr.drop_null().cast(pa.int64())
+        vals = arr.drop_null()
         if len(vals) == 0:
             return None
-        u = np.unique(vals.to_numpy(zero_copy_only=False).astype(np.int64))
+        # date32 has no direct int64 cast; uint64 values >= 2^63 overflow an
+        # int64 cast. Normalize every integer-like column to its uint64 BIT
+        # pattern (int64 negatives wrap mod 2^64), which is exactly how
+        # _probe_hash maps probe ints, so build and probe always agree.
+        try:
+            if pa.types.is_date32(t):
+                ints = vals.cast(pa.int32()).cast(pa.int64())
+            elif pa.types.is_date64(t):
+                ints = vals.cast(pa.int64())
+            elif pa.types.is_uint64(t):
+                ints = vals
+            else:
+                ints = vals.cast(pa.int64())
+            np_vals = ints.to_numpy(zero_copy_only=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError):
+            return None  # unsupported type -> no filter, never prunes
+        u = np.unique(np_vals)
         return _int_hashes(u)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         vals = arr.drop_null()
@@ -98,7 +114,10 @@ def bloom_build(
     filter — never prunes)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    hashed = _column_hashes(arr)
+    try:
+        hashed = _column_hashes(arr)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError):
+        hashed = None  # docstring contract: unsupported types -> no filter
     if hashed is None:
         return None
     h1, h2 = hashed
@@ -119,10 +138,11 @@ def _probe_hash(value) -> tuple[int, int] | None:
     if isinstance(value, bool):
         return None
     if isinstance(value, int):
-        try:
-            h1, h2 = _int_hashes(np.array([np.int64(value)], dtype=np.int64))
-        except OverflowError:
-            return None  # out of int64 range: cannot be in an int64 column
+        if not -(1 << 63) <= value < (1 << 64):
+            return None  # outside every integer column's domain
+        # Same uint64 bit-pattern normalization as the build side: int64
+        # negatives wrap mod 2^64; uint64 values pass through unchanged.
+        h1, h2 = _int_hashes(np.array([value & ((1 << 64) - 1)], dtype=np.uint64))
         return int(h1[0]), int(h2[0])
     if isinstance(value, str):
         h1, h2 = _str_hashes([value])

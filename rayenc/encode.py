@@ -183,6 +183,11 @@ class BlockEncoder:
         partition_seq: int = 0,
     ) -> pa.Table:
         cols = self.columns or batch.column_names
+        if "__bloom__" in cols:
+            # "__bloom__" is the reserved zonemap key holding the per-column
+            # Bloom filter map; a real column by that name would collide with
+            # it and silently mis-prune on filtered decode.
+            raise ValueError("column name '__bloom__' is reserved by the block format")
         n = batch.num_rows
         out: dict[str, Any] = {}
         lineage: dict[str, Any] = {}

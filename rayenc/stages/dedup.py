@@ -575,47 +575,84 @@ def anti_join_ids(
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Shuffle-native anti-join: keep `ds` rows whose ``id_col`` does NOT
-    appear in ``drop_ids[drop_col]``. Ray's hash-partitioned
-    ``Dataset.join`` (left_outer) against a marker column, then a
-    vectorized null filter — both sides shuffle once by key hash and
-    NOTHING passes through the driver (the round-2 verdict's fix for the
-    take_all + broadcast loser set, unbounded at web-scale dup rates).
-    ``drop_ids`` must be unique per id (true for CC labels: one row per
-    node). The drop side is renamed to internal marker columns before the
-    join, so ``ds``'s own columns are never shadowed or dropped — except
-    that ``ds`` may not itself use the two reserved internal names."""
-    key_col, mark_col = "__aj_key", "__aj_drop"
-    clash = {key_col, mark_col} & set(ds.schema().names)
+    appear in ``drop_ids[drop_col]``. Implemented with the repo's own
+    bucketed-groupby pattern — both sides tagged with ``hash(id) % N``,
+    unioned under one PINNED schema (drop rows null-padded to the data
+    schema), one sort-based groupby shuffle, ``pc.is_in`` inside each
+    bucket — and NOTHING passes through the driver (the round-2 verdict's
+    fix for the take_all + broadcast loser set, unbounded at web-scale
+    dup rates). Ray 2.49's hash-shuffle ``Dataset.join`` was dropped here
+    (round-3 verdict #1): its Acero finalize dies intermittently when a
+    schema-less empty block lands in a partition, and schema-degraded
+    empty blocks are a normal output of the upstream CC label filter.
+    Every output table here carries an explicit schema, and the sort
+    shuffle tolerates empty blocks regardless. ``ds`` may not itself use
+    the two reserved internal names."""
+    kind_col, bucket_col = "__aj_kind", "__aj_b"
+    schema = ds.schema()
+    names = list(schema.names)
+    clash = {kind_col, bucket_col} & set(names)
     if clash:
         raise ValueError(f"anti_join_ids reserved column names in input: {clash}")
+    if id_col not in names:
+        raise ValueError(f"anti_join_ids: id column {id_col!r} not in input schema")
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        arrow_schema = base
+    else:  # pandas-backed upstream: reconstruct from names + numpy dtypes
+        arrow_schema = pa.schema(
+            [(n, pa.from_numpy_dtype(t)) for n, t in zip(schema.names, schema.types)]
+        )
+    tagged_schema = arrow_schema.append(pa.field(kind_col, pa.int8())).append(
+        pa.field(bucket_col, pa.int32())
+    )
+    id_type = arrow_schema.field(id_col).type
     if num_partitions is None:
         num_partitions = max(
             2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2)
         )
+    n_buckets = int(num_partitions)
 
-    def mark(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                key_col: b[drop_col],
-                mark_col: pa.array(np.ones(len(b), dtype=np.int8)),
-            }
+    from .hashing import splitmix64
+
+    def _buckets(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
+        u = ids.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(
+            (splitmix64(u) % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
         )
 
-    marked = drop_ids.map_batches(mark, batch_format="pyarrow")
-    joined = ds.join(
-        marked,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=(id_col,),
-        right_on=(key_col,),
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select(names)
+        b = b.append_column(kind_col, pa.array(np.zeros(len(b), dtype=np.int8)))
+        b = b.append_column(bucket_col, _buckets(b[id_col]))
+        return b.cast(tagged_schema)
+
+    def pad(b: pa.Table) -> pa.Table:
+        ids = b[drop_col].cast(id_type)
+        n = len(b)
+        cols = [
+            ids if nm == id_col else pa.nulls(n, type=arrow_schema.field(nm).type)
+            for nm in names
+        ]
+        cols.append(pa.array(np.ones(n, dtype=np.int8)))
+        cols.append(_buckets(ids))
+        return pa.Table.from_arrays(cols, schema=tagged_schema)
+
+    unioned = ds.map_batches(tag, batch_format="pyarrow").union(
+        drop_ids.map_batches(pad, batch_format="pyarrow")
     )
 
-    def keep(b: pa.Table) -> pa.Table:
-        mask = pc.is_null(b[mark_col])
-        cols = [c for c in b.column_names if c not in (mark_col, key_col)]
-        return b.filter(mask).select(cols)
+    def anti(g: pa.Table) -> pa.Table:
+        g = g.cast(tagged_schema)  # pandas round-trips in groupby can widen types
+        drop_vals = g.filter(pc.equal(g[kind_col], 1))[id_col].combine_chunks()
+        keep = g.filter(pc.equal(g[kind_col], 0))
+        if len(drop_vals):
+            keep = keep.filter(
+                pc.invert(pc.is_in(keep[id_col], value_set=drop_vals))
+            )
+        return keep.select(names).cast(arrow_schema)
 
-    return joined.map_batches(keep, batch_format="pyarrow")
+    return unioned.groupby(bucket_col).map_groups(anti, batch_format="pyarrow")
 
 
 def dedup_minhash(
@@ -1170,8 +1207,14 @@ def embedding_near_dup_pairs_lsh(
                 # (a shape-dependent GEMM score could pass in table t
                 # but fail in the earlier table t' this group defers
                 # to, dropping a boundary pair entirely)
+                # slack must dominate worst-case float32 GEMM error, which
+                # grows ~dim*eps (eps_f32~1.2e-7): a fixed 1e-4 is too tight
+                # at dim>=~1024 — a boundary pair that fails the gate in its
+                # FIRST colliding table is then suppressed by the seen-check
+                # in every later table and emitted nowhere
                 scores = mat @ mat.T
-                ii, jj = np.nonzero(scores >= threshold - 1e-4)
+                slack = max(1e-4, mat.shape[1] * 2e-7)
+                ii, jj = np.nonzero(scores >= threshold - slack)
                 if len(ii) == 0:
                     continue
                 keep = ids[ii] < ids[jj]

@@ -241,9 +241,18 @@ def approx_quantiles(
         return pa.table({"kll": pa.array([sk.to_json()], type=pa.string())})
 
     def merge_batch(batch: pa.Table) -> pa.Table:
-        merged = KllSketch(k, seed=7)  # neutral: empty batches merge clean
-        for s in batch["kll"].to_pylist():
-            merged = merged.merge(KllSketch.from_json(s))
+        # Seed the merge sketch from the incoming partials' persisted seeds
+        # (xor-fold), not a constant — a fixed seed gives every merge task
+        # identical compaction coin sequences across all tree rounds,
+        # re-correlating the compaction decisions the content-seeded
+        # partials exist to decorrelate.
+        parts = [KllSketch.from_json(s) for s in batch["kll"].to_pylist()]
+        seed = 7
+        for p in parts:
+            seed ^= int(p.seed) * 0x9E3779B1 & 0xFFFFFFFF
+        merged = KllSketch(k, seed=seed or 7)
+        for p in parts:
+            merged = merged.merge(p)
         return pa.table({"kll": pa.array([merged.to_json()], type=pa.string())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
@@ -268,7 +277,14 @@ def _tree_reduce(
         ).materialize()
         if parts.count() <= 1:
             break
-    return parts.take_all()
+    rows = parts.take_all()
+    if len(rows) > 1:
+        # rounds exhausted with >1 partial left (can't happen below
+        # fanout^max_rounds inputs, but never silently drop estimate mass):
+        # fold the stragglers with one final driver-side merge.
+        merged = merge_batch(pa.Table.from_pylist(rows))
+        rows = merged.to_pylist()
+    return rows
 
 
 def approx_top_tokens(

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 DOCS = pa.table(
@@ -407,3 +408,71 @@ def test_kll_quantile_sketch(ray_session):
     got = approx_quantiles(rd.from_arrow(t).repartition(8), "v", qs)
     for q, est in zip(qs, got):
         assert abs(rank_of(est) - q) < 0.03, (q, est)
+
+
+def test_anti_join_ids_empty_and_degenerate_shapes(ray_session):
+    """Round-3 verdict #1 regression: the Acero hash-shuffle join died
+    intermittently when schema-less EMPTY blocks reached a partition.
+    The bucketed-groupby anti-join must survive (a) a zero-loser drop
+    side, (b) a drop side containing empty blocks, (c) an input side
+    containing empty blocks, and (d) an all-dropped input."""
+    import ray.data as rd
+
+    from rayenc.stages.dedup import anti_join_ids
+
+    data = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), type=pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(10)]),
+        }
+    )
+    ds = rd.from_arrow(data).repartition(4)
+
+    # (a) zero losers: everything survives
+    empty_drop = rd.from_arrow(pa.table({"node": pa.array([], type=pa.int64())}))
+    kept = anti_join_ids(ds, empty_drop).to_pandas()
+    assert sorted(kept["doc_id"]) == list(range(10))
+    assert list(kept.columns) == ["doc_id", "text"]
+
+    # (b) drop side that produces empty blocks after a filter (the CC
+    # loser-filter shape that triggered the round-3 flake)
+    drop_src = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([3, 7, 100, 200], type=pa.int64()),
+                "label": pa.array([3, 3, 100, 100], type=pa.int64()),
+            }
+        )
+    ).repartition(4)
+    losers = drop_src.map_batches(
+        lambda b: b.filter(pc.not_equal(b["node"], b["label"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    kept = anti_join_ids(ds, losers).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+
+    # (c) input side with empty blocks
+    ds_holey = ds.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 6)), batch_format="pyarrow"
+    )
+    drop = rd.from_arrow(pa.table({"node": pa.array([0, 5], type=pa.int64())}))
+    kept = anti_join_ids(ds_holey, drop).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 3, 4]
+
+    # (d) everything dropped: empty result, schema intact
+    drop_all = rd.from_arrow(
+        pa.table({"node": pa.array(list(range(10)), type=pa.int64())})
+    )
+    kept = anti_join_ids(ds, drop_all).to_pandas()
+    assert len(kept) == 0
+    # Ray may drop all-empty blocks entirely on collection; either the
+    # pinned schema survives or the frame is columnless — never a crash.
+    assert list(kept.columns) in (["doc_id", "text"], [])
+
+    # reserved-name guard still enforced
+    bad = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                                  "__aj_kind": pa.array([1])}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        anti_join_ids(bad, drop)
