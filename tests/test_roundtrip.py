@@ -184,3 +184,17 @@ def test_compact_blocks_reduces_size_and_roundtrips(ray_session, corpus_parquet)
         decode_dataset(big, concurrency=2).iter_batches(batch_size=None, batch_format="pyarrow")
     ).select(source.column_names)
     assert tables_bit_identical(_sorted(out), _sorted(source))
+
+
+def test_decode_projection_pushdown(ray_session, encoded, corpus_parquet):
+    """Block-level projection: decode ONLY the requested columns' blobs
+    out of the full encoded block table (coverage moved here from the
+    retired roundtrip_documents_projected registry query, round 4)."""
+    source = pq.read_table(corpus_parquet).select(["repo", "path"])
+    dec = decode_dataset(encoded, columns=["repo", "path"], concurrency=2)
+    out = pa.concat_tables(dec.iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert out.column_names == ["repo", "path"]
+    assert tables_bit_identical(
+        out.sort_by([("repo", "ascending"), ("path", "ascending")]),
+        source.sort_by([("repo", "ascending"), ("path", "ascending")]),
+    )
