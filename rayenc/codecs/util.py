@@ -206,8 +206,11 @@ def strings_from_parts(
     offsets = np.zeros(n + 1, dtype=off_dtype)
     np.cumsum(lengths, out=offsets[1:])
     data = np.ascontiguousarray(data, dtype=np.uint8)
+    # zero-copy: py_buffer wraps the numpy buffers directly and keeps them
+    # alive; the old .tobytes() round-trip copied the full payload twice
+    # per block on the decode hot path
     return pa.Array.from_buffers(
-        typ, n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())]
+        typ, n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
     )
 
 

@@ -140,6 +140,7 @@ class BlockEncoder:
         page_rows: int | None = None,
         decode_weight: float = 0.0,
         bloom: bool = True,
+        enc_cap: float | None = None,
     ):
         self.columns = columns
         self.level = level
@@ -172,8 +173,14 @@ class BlockEncoder:
         # dominant selector cost). A failed cached encode falls back to
         # plain and forces a re-trial on the next block.
         self.retrial_blocks = retrial_blocks
+        # encode-speed gate passed to the selector (see select_codec):
+        # candidates slower than fastest/enc_cap are dropped before ranking
+        self.enc_cap = enc_cap
         self._cached: dict[str, str] = {}
         self._since_trial: dict[str, int] = {}
+        # per-column runoff verdict cache (ROADMAP #3): retrials whose
+        # sample ratios match a prior runoff skip the loser's full encode
+        self._runoff: dict[str, dict] = {}
 
     def encode_table(
         self,
@@ -254,6 +261,8 @@ class BlockEncoder:
                     page_zones=self.page_zones,
                     decode_weight=self.decode_weight,
                     page_blooms=self.bloom,
+                    enc_cap=self.enc_cap,
+                    runoff_cache=self._runoff.setdefault(name, {}),
                 )
                 choice_info = choice.lineage()
                 self._cached[name] = choice.codec
@@ -298,6 +307,34 @@ class BlockEncoder:
         return self.encode_table(batch)
 
 
+def preselect_codecs(
+    ds: "ray.data.Dataset",
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    level: int = 3,
+    decode_weight: float = 0.0,
+    enc_cap: float | None = None,
+) -> dict[str, str]:
+    """Run the codec selector ONCE on the driver over the first
+    block-sized sample and return {column: codec} for `forced_codecs`.
+
+    One idle-driver selection (trials + runoff) replaces a per-actor
+    first-block trial on every encoder in the pool — measured 85 core-s
+    of trial work on a 24-actor flagship run, and, worse, inconsistent
+    picks across actors when pool contention skews the trial timings.
+    Right for homogeneous corpora; at 100 TB the one-off cost is noise
+    while the per-actor (and per-restart) trial cost is not."""
+    from .selector import encode_column_auto
+
+    sample = ds.limit(block_rows).take_batch(block_rows, batch_format="pyarrow")
+    forced: dict[str, str] = {}
+    for name in sample.column_names:
+        _, choice = encode_column_auto(
+            sample[name], level, decode_weight=decode_weight, enc_cap=enc_cap
+        )
+        forced[name] = choice.codec
+    return forced
+
+
 def encode_dataset(
     ds: "ray.data.Dataset",
     columns: list[str] | None = None,
@@ -312,6 +349,7 @@ def encode_dataset(
     page_rows: int | None = None,
     decode_weight: float = 0.0,
     bloom: bool = True,
+    enc_cap: float | None = None,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -333,13 +371,10 @@ def encode_dataset(
     if columns:
         ds = ds.select_columns(columns)
     if preselect and not forced_codecs:
-        from .selector import encode_column_auto
-
-        sample = ds.limit(block_rows).take_batch(block_rows, batch_format="pyarrow")
-        forced_codecs = {}
-        for name in sample.column_names:
-            _, choice = encode_column_auto(sample[name], level, decode_weight=decode_weight)
-            forced_codecs[name] = choice.codec
+        forced_codecs = preselect_codecs(
+            ds, block_rows=block_rows, level=level,
+            decode_weight=decode_weight, enc_cap=enc_cap,
+        )
     if concurrency is None:
         concurrency = (1, default_pool_size())
     return ds.map_batches(
@@ -354,6 +389,7 @@ def encode_dataset(
             "page_rows": page_rows,
             "decode_weight": decode_weight,
             "bloom": bloom,
+            "enc_cap": enc_cap,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

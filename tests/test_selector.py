@@ -80,3 +80,87 @@ def test_lineage_recorded():
     assert "distinct_ratio" in lin["reason"] or lin["reason"]
     assert lin["trials"]
     assert lin["stats"]["n_sample"] > 0
+
+
+def _bulk_text(n: int = 4096) -> pa.Array:
+    # Compressible-but-not-degenerate text, ~2.4 KB/row like the bench
+    # corpus: repeated vocabulary with per-row variation so zstd level
+    # and fsst both matter.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    words = [f"token{i:04d}" for i in range(400)]
+    rows = [
+        " ".join(words[j] for j in rng.integers(0, 400, size=300))
+        for _ in range(n)
+    ]
+    return pa.array(rows)
+
+
+def test_enc_cap_gates_deep_zstd():
+    """enc_cap=10 must drop plain@12 (static cost 13) from the ranking
+    while keeping plain@10 — deterministically, regardless of machine
+    load (VERDICT r3 #3: measured-relative gating flapped across a busy
+    actor pool)."""
+    arr = _bulk_text()
+    capped = select_codec(arr, level=3, decode_weight=0.1, enc_cap=10.0)
+    assert capped.codec != "plain@12"
+    assert "plain@12" not in capped.reason
+    # the gate only prunes the RANKING; trials/telemetry still record it
+    assert "plain@12" in capped.trials
+    # uncapped on the same data, plain@12 is at least ranked
+    open_ = select_codec(arr, level=3, decode_weight=0.1)
+    assert "plain@12" in open_.reason or open_.codec == "plain@12"
+
+
+def test_plain_level10_roundtrip():
+    from rayenc.blocks import encode_column
+
+    arr = _bulk_text(256)
+    blob = encode_column(arr, "plain@10")
+    assert decode_column(blob).equals(arr)
+
+
+def test_preselect_codecs_matches_actor_selection(ray_session):
+    """Driver-side preselect must produce the same {column: codec} map
+    the per-actor first-block trial would (same data, same knobs)."""
+    import ray.data as rd
+
+    from rayenc.encode import preselect_codecs
+
+    t = pa.table(
+        {
+            "content": _bulk_text(2000),
+            "lang": pa.array(["py", "rs"] * 1000),
+        }
+    )
+    ds = rd.from_arrow(t)
+    forced = preselect_codecs(ds, block_rows=2000, enc_cap=10.0)
+    assert set(forced) == {"content", "lang"}
+    direct = {
+        name: encode_column_auto(t[name], enc_cap=10.0)[1].codec
+        for name in t.column_names
+    }
+    assert forced == direct
+
+
+def test_runoff_cache_reuses_verdict():
+    """ROADMAP #3: a retrial whose finalist pair and sample ratios match
+    the cached runoff must reuse the verdict (no loser re-encode) and
+    say so in the lineage reason."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(200)]
+    rows = [
+        " ".join(words[j] for j in rng.integers(0, 200, size=800))
+        for _ in range(3600)
+    ]
+    arr = pa.array(rows)  # ~14 MB > RUNOFF_PAYLOAD_BYTES (12 MiB)
+    cache: dict = {}
+    blob1, c1 = encode_column_auto(arr, runoff_cache=cache)
+    assert cache, "first call must populate the runoff cache"
+    blob2, c2 = encode_column_auto(arr, runoff_cache=cache)
+    assert c2.codec == c1.codec
+    assert "runoff verdict reused" in c2.reason
+    assert decode_column(blob2).equals(arr)
