@@ -188,6 +188,7 @@ class BlockEncoder:
         block_seq: int = 0,
         partition_id: str = "",
         partition_seq: int = 0,
+        row_start: int | None = None,
     ) -> pa.Table:
         cols = self.columns or batch.column_names
         if "__bloom__" in cols:
@@ -297,6 +298,18 @@ class BlockEncoder:
             "source_bytes": pa.array([src_bytes], type=pa.int64()),
             "encoded_bytes": pa.array([enc_bytes], type=pa.int64()),
             "content_sha256": pa.array([content_hash]),
+            # within-partition exclusive row cumsum, recorded AT ENCODE
+            # TIME by the ordered paths (the encoder sees its partition's
+            # blocks in order, so the offset is free here). Lets
+            # take_rows / attach_global_row_numbers compute global row
+            # numbers from per-PARTITION totals only — no O(n_blocks)
+            # driver materialization (VERDICT r3 #6). Ordered encoders
+            # pass it; the unordered streaming path leaves it out.
+            **(
+                {"row_start": pa.array([row_start], type=pa.int64())}
+                if row_start is not None
+                else {}
+            ),
             "lineage": pa.array([json.dumps(lineage, separators=(",", ":"))]),
             "zonemap": pa.array([json.dumps(zones, separators=(",", ":"))]),
         }

@@ -268,6 +268,7 @@ class PartitionEncoder:
                         block_seq=seq,
                         partition_id=pid,
                         partition_seq=int(part.get("partition_seq", 0)),
+                        row_start=rows,
                     )
                 )
                 rows += block.num_rows
@@ -390,6 +391,7 @@ class OrderedStreamEncoder:
         for part in batch.to_pylist():
             pf = pq.ParquetFile(part["path"])
             seq = 0
+            row_off = 0
             for rg in range(part["rg_start"], part["rg_end"] + 1):
                 rg_table = pf.read_row_group(rg, columns=self.columns)
                 last_table = rg_table
@@ -400,8 +402,10 @@ class OrderedStreamEncoder:
                             block_seq=seq,
                             partition_id=part["partition_id"],
                             partition_seq=int(part["partition_seq"]),
+                            row_start=row_off,
                         )
                     )
+                    row_off += block.num_rows
                     seq += 1
         if not out:
             # zero-row partitions (empty shards from distributed writers):
@@ -410,7 +414,12 @@ class OrderedStreamEncoder:
             # round-1 BlockDecoder empty-batch fix)
             if last_table is None:
                 return pa.table({})
-            return self.core.encode_table(last_table.slice(0, 0)).slice(0, 0)
+            # row_start=0 keeps the empty block's schema identical to the
+            # non-empty ones (a missing column on empty outputs is the
+            # exact schema-degeneration flake class fixed in round 3)
+            return self.core.encode_table(
+                last_table.slice(0, 0), row_start=0
+            ).slice(0, 0)
         return pa.concat_tables(out)
 
 

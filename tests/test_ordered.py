@@ -66,3 +66,38 @@ def test_take_rows_random_access(ray_session, corpus_parquet):
 
     with _pytest.raises(IndexError):
         take_rows(blocks, [3000])
+
+
+def test_take_rows_and_row_numbers_legacy_blocks(ray_session, corpus_parquet):
+    """Blocks WITHOUT row_start (pre-round-4 layout) fall back to the
+    driver-built offset map; results identical to the fast path."""
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from rayenc.decode import attach_global_row_numbers, take_rows
+    from rayenc.jobs import encode_dataset_ordered
+
+    src = pq.read_table(corpus_parquet, columns=["repo", "path"])
+    blocks = encode_dataset_ordered(
+        corpus_parquet,
+        columns=["repo", "path"],
+        block_rows=700,
+        hash_column=None,
+        concurrency=(1, 2),
+    ).materialize()
+    # ordered encodes record the within-partition offset at encode time
+    assert "row_start" in blocks.schema().names
+
+    legacy = blocks.drop_columns(["row_start"]).materialize()
+    idx = np.array([5, 2999, 1400, 5])
+    fast, slow = take_rows(blocks, idx), take_rows(legacy, idx)
+    assert fast.equals(slow)
+    assert fast.select(src.column_names).equals(src.take(pa.array(idx)))
+
+    rn_slow = pa.concat_tables(
+        attach_global_row_numbers(legacy, concurrency=(1, 2), base=0).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ).sort_by("rn")
+    assert rn_slow["rn"].to_pylist() == list(range(src.num_rows))
+    assert rn_slow.select(src.column_names).equals(src)
