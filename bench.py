@@ -143,7 +143,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # ---- headline: encode (best of 3 steady-state runs — this VM's
     # memory-state variance swings single runs ~3x, see BASELINE.md;
     # RAYENC_BENCH_RUNS trims repeats for the long scaling children) ----
-    encode_s = float("inf")
+    encode_samples = []
     for _ in range(int(os.environ.get("RAYENC_BENCH_RUNS", "3"))):
         t0 = time.perf_counter()
         ds = rd.read_parquet(corpus_path)
@@ -151,7 +151,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             ds, block_rows=8000, hash_column="content", concurrency=(pool, pool),
             decode_weight=DW, enc_cap=EC, forced_codecs=forced,
         ).materialize()
-        encode_s = min(encode_s, time.perf_counter() - t0)
+        encode_samples.append(time.perf_counter() - t0)
+    encode_s = min(encode_samples)
 
     enc_rows = blocks.select_columns(["n_rows", "source_bytes", "encoded_bytes"]).take_all()
     ours_bytes = sum(r["encoded_bytes"] for r in enc_rows)
@@ -176,15 +177,24 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         verify_s = time.perf_counter() - t0
         assert v["ok"], v
 
-    # ---- secondary: the size-only mode (decode_weight=0) for contrast ----
+    # ---- secondary: the size-only mode (decode_weight=0) for contrast.
+    # Selection runs UNTIMED on the driver (same steady-state shape as the
+    # flagship: one selection amortizes over the whole 100 TB input); the
+    # timed runs measure pure encode with forced codecs. ----
     size_only = {}
     if not headline_only:
-        t0 = time.perf_counter()
-        blocks0 = encode_dataset(
-            rd.read_parquet(corpus_path), block_rows=8000, hash_column="content",
-            concurrency=(pool, pool), preselect=True,
-        ).materialize()
-        so_encode = time.perf_counter() - t0
+        forced0 = preselect_codecs(
+            rd.read_parquet(corpus_path), block_rows=8000
+        )
+        so_samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            blocks0 = encode_dataset(
+                rd.read_parquet(corpus_path), block_rows=8000,
+                hash_column="content", concurrency=(pool, pool),
+                forced_codecs=forced0,
+            ).materialize()
+            so_samples.append(time.perf_counter() - t0)
         so_bytes = sum(
             r["encoded_bytes"]
             for r in blocks0.select_columns(["encoded_bytes"]).take_all()
@@ -195,9 +205,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         ):
             pass
         size_only = {
-            "encode_sec": round(so_encode, 3),
+            "encode_sec": round(min(so_samples), 3),
+            "encode_band": [round(min(so_samples), 3), round(max(so_samples), 3)],
             "decode_sec": round(time.perf_counter() - t0, 3),
             "encoded_bytes": so_bytes,
+            "codecs": forced0,
         }
 
     # reference parquet size (pyarrow zstd-3 twin of the reference writer);
@@ -246,20 +258,34 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "roundtrip_structs",
         "simhash_pairs",
     ]
+    # each query runs RAYENC_QUERY_RUNS times (default 2): "queries" is
+    # the best-of wall (steady state), "query_bands" is [best, worst] —
+    # this VM's memory-state variance swings single samples ~1.5-3x
+    # (VERDICT r3 #4: single-sample walls made docs and driver disagree;
+    # the band is the honest unit of reporting here)
+    query_bands: dict[str, list[float]] = {}
+    q_runs = max(1, int(os.environ.get("RAYENC_QUERY_RUNS", "2")))
     for name in names:
-        t0 = time.perf_counter()
-        res = QUERIES[name](sf_dir)
-        if hasattr(res, "iter_batches"):  # consume Datasets fully
-            for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
-                pass
-        query_times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(q_runs):
+            t0 = time.perf_counter()
+            res = QUERIES[name](sf_dir)
+            if hasattr(res, "iter_batches"):  # consume Datasets fully
+                for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+                    pass
+            samples.append(time.perf_counter() - t0)
+        query_times[name] = round(min(samples), 3)
+        query_bands[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     ray.shutdown()
     return {
         "metric": "flagship_encode_wall_sec",
         "value": round(encode_s, 3),
+        "encode_band": [round(min(encode_samples), 3), round(max(encode_samples), 3)],
         "unit": "sec",
         "queries": query_times,
+        "query_bands": query_bands,
+        "query_runs": q_runs,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "corpus_rows": meta["rows"],
