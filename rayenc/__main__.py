@@ -58,6 +58,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         stats=args.stats,
         page_rows=args.page_rows,
         decode_weight=args.decode_weight,
+        enc_cap=args.enc_cap,
         filter=_parse_filters(args.filter),
     )
     print(json.dumps(summary))
@@ -332,6 +333,14 @@ def main() -> int:
         default=0.0,
         help="decode-cost guard: size-win demanded per decode-speed doubling "
         "(0 = pure size ranking; 0.1 is a sensible decode-optimized value)",
+    )
+    e.add_argument(
+        "--enc-cap",
+        type=float,
+        default=None,
+        help="encode-speed gate: drop codec candidates slower than "
+        "fastest_trial/CAP before ranking (the flagship bench runs 10; "
+        "None = no gate)",
     )
     e.add_argument(
         "--filter",

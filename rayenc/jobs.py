@@ -175,6 +175,8 @@ class PartitionEncoder:
         stats: str = "block",
         page_rows: int | None = None,
         decode_weight: float = 0.0,
+        enc_cap: float | None = None,
+        forced_codecs: dict | None = None,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -187,6 +189,8 @@ class PartitionEncoder:
             stats=stats,
             page_rows=page_rows,
             decode_weight=decode_weight,
+            enc_cap=enc_cap,
+            forced_codecs=forced_codecs,
         )
         self.columns = columns
         self.block_rows = block_rows
@@ -372,6 +376,8 @@ class OrderedStreamEncoder:
         stats: str = "block",
         page_rows: int | None = None,
         decode_weight: float = 0.0,
+        enc_cap: float | None = None,
+        forced_codecs: dict | None = None,
     ):
         self.core = BlockEncoder(
             columns=columns,
@@ -380,6 +386,8 @@ class OrderedStreamEncoder:
             stats=stats,
             page_rows=page_rows,
             decode_weight=decode_weight,
+            enc_cap=enc_cap,
+            forced_codecs=forced_codecs,
         )
         self.columns = columns
         self.block_rows = block_rows
@@ -435,6 +443,8 @@ def encode_dataset_ordered(
     stats: str = "block",
     page_rows: int | None = None,
     decode_weight: float = 0.0,
+    enc_cap: float | None = None,
+    forced_codecs: dict | None = None,
 ) -> "ray.data.Dataset":
     """Streaming encode with TOTAL ORDER: plan partitions from parquet
     metadata (deterministic ordinals), fan the descriptor table out over
@@ -459,6 +469,8 @@ def encode_dataset_ordered(
             "stats": stats,
             "page_rows": page_rows,
             "decode_weight": decode_weight,
+            "enc_cap": enc_cap,
+            "forced_codecs": forced_codecs,
         },
         batch_format="pyarrow",
         batch_size=1,
@@ -477,6 +489,8 @@ def job_params(
     stats: str = "block",
     page_rows: int | None = None,
     decode_weight: float = 0.0,
+    enc_cap: float | None = None,
+    forced_codecs: dict | None = None,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
     Manifest.check_job records and compares on resume."""
@@ -489,6 +503,10 @@ def job_params(
         "stats": stats,
         "page_rows": page_rows,
         "decode_weight": decode_weight,
+        "enc_cap": enc_cap,
+        "forced_codecs": (
+            dict(sorted(forced_codecs.items())) if forced_codecs else None
+        ),
         "max_block_bytes": max_block_bytes,
         "max_partition_bytes": max_partition_bytes,
     }
@@ -508,6 +526,8 @@ def run_encode_job(
     stats: str = "block",
     page_rows: int | None = None,
     decode_weight: float = 0.0,
+    enc_cap: float | None = None,
+    forced_codecs: dict | None = None,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
@@ -563,6 +583,8 @@ def run_encode_job(
             stats=stats,
             page_rows=page_rows,
             decode_weight=decode_weight,
+            enc_cap=enc_cap,
+            forced_codecs=forced_codecs,
         )
     )
     parts = plan_partitions(input_paths, max_partition_bytes, filter=filter)
@@ -591,6 +613,8 @@ def run_encode_job(
                 "stats": stats,
                 "page_rows": page_rows,
                 "decode_weight": decode_weight,
+                "enc_cap": enc_cap,
+                "forced_codecs": forced_codecs,
             },
             batch_format="pyarrow",
             batch_size=1,

@@ -277,3 +277,34 @@ def test_empty_input_list_with_filter(tmp_path):
         run_encode_job([], out, concurrency=2, filter=[("x", "!=", 1)])
     s = run_encode_job([], out, concurrency=2, filter=[("x", "==", 1)])
     assert s["partitions_total"] == 0
+
+
+def test_job_accepts_enc_cap_and_forced_codecs(ray_session, corpus_parquet, tmp_path):
+    """The resumable job exposes the flagship's round-4 operating-point
+    knobs: forced per-column codecs (skip selection entirely) and the
+    encode-speed gate; the job record stores them (non-strict: blocks
+    are self-describing, so resumed partitions may mix codec choices)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from rayenc.blocks import block_codec
+    from rayenc.encode import read_blocks
+
+    out = str(tmp_path / "job")
+    forced = {"content": "plain", "lang": "dict"}
+    s = run_encode_job(
+        corpus_parquet,
+        out,
+        block_rows=1000,
+        concurrency=2,
+        enc_cap=10.0,
+        forced_codecs=forced,
+    )
+    assert s["partitions_encoded"] > 0
+    rec = _json.loads((tmp_path / "job" / "job.json").read_text())
+    assert rec["params"]["enc_cap"] == 10.0
+    assert rec["params"]["forced_codecs"] == {"content": "plain", "lang": "dict"}
+    row = read_blocks(out + "/blocks").take(1)[0]
+    assert block_codec(memoryview(row["col_content"]))["codec"].startswith("plain")
+    assert verify_blocks(read_blocks(out + "/blocks"))["ok"]
