@@ -414,8 +414,61 @@ def q_group_counts_lang_source(sf_dir: str) -> pa.Table:
 
 
 def q_distinct_langs(sf_dir: str) -> pa.Table:
+    """Kept as a library example of Dataset.unique; retired from the
+    driver registry (subsumed by group_counts_lang_source's GROUP BY)
+    to make room for events_asof_join inside the 50-query window."""
     vals = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
     return pa.table({"lang": pa.array(vals, type=pa.string())})
+
+
+def q_events_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join (custom operator — no Ray Data primitive): every event
+    picks the most recent order of the same customer at-or-before its
+    timestamp. Right side pre-aggregated to unique (custkey, orderdate)
+    rows so the match is fully deterministic (stages/asof.py docstring).
+    One bucketed sort-shuffle; matches resolve via vectorized
+    merge_asof inside map_groups."""
+    from ..stages.asof import asof_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .groupby(["o_custkey", "o_orderdate"])
+        .max("o_totalprice")
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["o_custkey", "o_orderdate", "order_price"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["order_price"],
+    )
+    out = pa.concat_tables(
+        b
+        for b in joined.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("event_id")
+    return pa.table(
+        {
+            "event_id": out["event_id"].cast(pa.int64()),
+            "user_id": out["user_id"].cast(pa.int64()),
+            "ts": out["ts"].cast(pa.timestamp("us")),
+            "order_price": out["order_price"].cast(pa.float64()),
+        }
+    )
 
 
 def q_filter_high_value_orders(sf_dir: str):
@@ -1319,7 +1372,7 @@ QUERIES = {
     "numeric_stats_lineitem": q_numeric_stats_lineitem,
     "topk_longest_docs": q_topk_longest_docs,
     "group_counts_lang_source": q_group_counts_lang_source,
-    "distinct_langs": q_distinct_langs,
+    "events_asof_join": q_events_asof_join,
     "filter_high_value_orders": q_filter_high_value_orders,
     "events_windowed": q_events_windowed,
     "events_props_stats": q_events_props_stats,
@@ -1416,7 +1469,14 @@ ORACLES = {
         "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs "
         "FROM documents GROUP BY lang, source"
     ),
-    "distinct_langs": "SELECT DISTINCT lang FROM documents",
+    "events_asof_join": (
+        "WITH r AS (SELECT o_custkey, o_orderdate, "
+        "CAST(MAX(o_totalprice) AS DOUBLE) AS order_price "
+        "FROM orders GROUP BY o_custkey, o_orderdate) "
+        "SELECT e.event_id, e.user_id, e.ts, r.order_price "
+        "FROM events e ASOF LEFT JOIN r "
+        "ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+    ),
     "filter_high_value_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0"
     ),

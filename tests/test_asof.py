@@ -1,0 +1,173 @@
+"""As-of join operator (rayenc/stages/asof.py): correctness vs a
+pandas merge_asof reference, null handling, directions, and the
+empty-side / schema-pinning behavior the round-3 flake class demands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayenc.stages.asof import asof_join
+
+
+def _ds(ray, tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def _collect(ds) -> pd.DataFrame:
+    parts = [
+        b.to_pandas()
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pd.DataFrame()
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+
+def _mk_inputs(seed=7, n_left=400, n_right=120, n_keys=17):
+    rng = np.random.default_rng(seed)
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(n_left), type=pa.int64()),
+            "k": pa.array(rng.integers(0, n_keys, n_left), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 10_000, n_left), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, n_keys, n_right), type=pa.int64()),
+            "ts": pa.array(
+                # unique (k, ts) pairs for determinism
+                np.arange(n_right) * 83 % 10_000,
+                type=pa.int64(),
+            ),
+            "val": pa.array(rng.normal(size=n_right), type=pa.float64()),
+        }
+    )
+    return left, right
+
+
+def _reference(left: pa.Table, right: pa.Table, direction: str) -> pd.DataFrame:
+    ldf = left.to_pandas().sort_values("ts", kind="mergesort")
+    rdf = right.to_pandas().sort_values("ts", kind="mergesort")
+    out = pd.merge_asof(ldf, rdf, on="ts", by="k", direction=direction)
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_reference(ray_session, direction):
+    left_t, right_t = _mk_inputs()
+    got = _collect(
+        asof_join(
+            _ds(ray_session, left_t),
+            _ds(ray_session, right_t),
+            left_key="k",
+            right_key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["val"],
+            n_buckets=8,
+            direction=direction,
+        )
+    )
+    want = _reference(left_t, right_t, direction)
+    assert len(got) == len(want) == left_t.num_rows
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "ts", "val"]], want[["lid", "k", "ts", "val"]]
+    )
+
+
+def test_asof_empty_right_yields_typed_nulls(ray_session):
+    left_t, right_t = _mk_inputs(n_left=50, n_right=0)
+    out = asof_join(
+        _ds(ray_session, left_t),
+        _ds(ray_session, right_t),
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["val"],
+        n_buckets=4,
+    )
+    got = _collect(out)
+    assert len(got) == 50
+    assert got["val"].isna().all()
+    assert got["val"].dtype == np.float64  # typed, not object
+    assert got["lid"].dtype == np.int64
+
+
+def test_asof_exact_match_and_no_earlier_row(ray_session):
+    left_t = pa.table(
+        {
+            "lid": pa.array([0, 1, 2], type=pa.int64()),
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([5, 10, 3], type=pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "k": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([5, 9], type=pa.int64()),
+            "val": pa.array([1.5, 2.5], type=pa.float64()),
+        }
+    )
+    got = _collect(
+        asof_join(
+            _ds(ray_session, left_t),
+            _ds(ray_session, right_t),
+            left_key="k",
+            right_key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["val"],
+            n_buckets=2,
+        )
+    )
+    # ts=5 matches exactly; ts=10 takes ts=9; ts=3 has no earlier row
+    assert got["val"].tolist()[:2] == [1.5, 2.5]
+    assert np.isnan(got["val"].iloc[2])
+
+
+def test_asof_reserved_and_colliding_names_raise(ray_session):
+    left_t, right_t = _mk_inputs(n_left=5, n_right=5)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            _ds(ray_session, left_t),
+            _ds(ray_session, right_t),
+            left_key="k",
+            right_key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["k"],
+        )
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            _ds(ray_session, left_t),
+            _ds(ray_session, right_t),
+            left_key="k",
+            right_key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["val"],
+            direction="nearest",
+        )
+    with pytest.raises(ValueError, match="not in right schema"):
+        asof_join(
+            _ds(ray_session, left_t),
+            _ds(ray_session, right_t),
+            left_key="k",
+            right_key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["missing"],
+        )

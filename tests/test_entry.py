@@ -33,7 +33,7 @@ def test_sample_queries_at_sf0001(ray_session):
 
     qs = e.queries()
     sf = "/root/testdata/sf0.001"
-    for name in ["selector_stats_by_lang", "topk_longest_docs", "distinct_langs"]:
+    for name in ["selector_stats_by_lang", "topk_longest_docs", "events_asof_join"]:
         res = qs[name](sf)
         t = res if isinstance(res, pa.Table) else pa.table(res.to_pandas() if hasattr(res, "to_pandas") else res)
         assert t.num_rows > 0, name
