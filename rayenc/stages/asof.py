@@ -137,14 +137,23 @@ def asof_join(
             df.reset_index(drop=True), schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
 
-    def join_bucket(df: "pd.DataFrame") -> pa.Table:
-        ldf = df[df[_SIDE] == 0][lnames]
-        rdf = df[df[_SIDE] == 1][[left_key, left_ts, *right_values]]
+    import pyarrow.compute as pc
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        # split sides in ARROW before any pandas conversion: the union
+        # table null-pads each side's missing columns, and converting a
+        # nulled int64 column to pandas goes through float64 (precision
+        # loss past 2^53 for id columns). Each side's own columns are
+        # null-free after the filter, so to_pandas keeps exact dtypes.
+        side = t[_SIDE]
+        ldf = t.filter(pc.equal(side, 0)).select(lnames).to_pandas()
+        rdf = (
+            t.filter(pc.equal(side, 1))
+            .select([left_key, left_ts, *right_values])
+            .to_pandas()
+        )
         if not len(ldf):
             return out_schema.empty_table()
-        # null-padding the union table turns int left columns float in
-        # pandas; left rows carry no nulls there, so restore the dtypes
-        ldf = ldf.astype({c: empty_pdf.dtypes[c] for c in lnames})
         ldf = ldf.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
         if not len(rdf):
             return _pin(ldf.reindex(columns=out_names))
@@ -159,7 +168,7 @@ def asof_join(
         )
         return _pin(merged[out_names])
 
-    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def _arrow_schema(schema) -> pa.Schema:
