@@ -359,26 +359,68 @@ def count_decoded_blocks(
     return {"total_blocks": total, "decoded_blocks": kept}
 
 
+class _RowStartUnavailable(Exception):
+    """row_start is in the schema but null for some blocks (e.g. a
+    pre-row_start job dir resumed with newer code: parquet schema
+    unification null-fills the old files). Callers fall back to the
+    legacy driver offset map."""
+
+
 def _partition_bases(blocks: "ray.data.Dataset") -> tuple[dict, int]:
     """(partition_seq -> global base row, total rows) from a DISTRIBUTED
     per-partition aggregate.
 
-    groupby("partition_seq").sum("n_rows") shuffles only two int64 meta
-    columns and yields n_partitions rows — manifest-sized, a few bytes
-    per input shard — so the driver never materializes per-BLOCK
-    metadata (VERDICT r3 #6: the old take_all of (partition_seq,
-    block_seq, n_rows) was O(n_blocks) driver rows — tens of millions at
-    100 TB / 8k-row blocks)."""
+    The groupby shuffles only int64 meta columns and yields
+    n_partitions rows — manifest-sized, a few bytes per input shard —
+    so the driver never materializes per-BLOCK metadata (VERDICT r3 #6:
+    the old take_all of (partition_seq, block_seq, n_rows) was
+    O(n_blocks) driver rows — tens of millions at 100 TB / 8k-row
+    blocks).
+
+    The same aggregate carries two integrity checks that replace the
+    legacy path's per-block total-order guard: a null count of
+    row_start (mixed old/new job dirs -> _RowStartUnavailable, callers
+    fall back) and per-partition coverage (sum of block rows must equal
+    the partition's row_start span — duplicated blocks from unioned
+    encodes, or a filtered blocks dataset, inflate/deflate the sum and
+    raise instead of silently mis-addressing rows)."""
+    from ray.data.aggregate import Max, Sum
+
+    def _meta(t: pa.Table) -> pa.Table:
+        rs = t["row_start"]
+        return pa.table(
+            {
+                "partition_seq": t["partition_seq"],
+                "n_rows": t["n_rows"],
+                "rs_null": pc.cast(pc.is_null(rs), pa.int64()),
+                "rs_end": pc.add(
+                    pc.fill_null(pc.cast(rs, pa.int64()), 0), t["n_rows"]
+                ),
+            }
+        )
+
     rows = (
-        blocks.select_columns(["partition_seq", "n_rows"])
+        blocks.select_columns(["partition_seq", "n_rows", "row_start"])
+        .map_batches(_meta, batch_format="pyarrow")
         .groupby("partition_seq")
-        .sum("n_rows")
+        .aggregate(Sum("n_rows"), Sum("rs_null"), Max("rs_end"))
         .take_all()
     )
+    if any(int(r["sum(rs_null)"] or 0) > 0 for r in rows):
+        raise _RowStartUnavailable()
     rows.sort(key=lambda r: r["partition_seq"])
     bases: dict = {}
     acc = 0
     for r in rows:
+        if int(r["sum(n_rows)"]) != int(r["max(rs_end)"]):
+            raise ValueError(
+                "blocks lack a total order (partition "
+                f"{int(r['partition_seq'])}: block rows sum to "
+                f"{int(r['sum(n_rows)'])} but row_start spans "
+                f"{int(r['max(rs_end)'])} — duplicated or missing blocks, "
+                "e.g. a union of two encodes); re-encode with "
+                "encode_dataset_ordered or the resumable job"
+            )
         bases[int(r["partition_seq"])] = acc
         acc += int(r["sum(n_rows)"])
     return bases, acc
@@ -406,8 +448,13 @@ def take_rows(
     import ray as _ray
 
     idx = np.asarray(indices, dtype=np.int64)
+    bases = total = None
     if "row_start" in blocks.schema().names:
-        bases, total = _partition_bases(blocks)
+        try:
+            bases, total = _partition_bases(blocks)
+        except _RowStartUnavailable:
+            bases = None  # mixed old/new blocks: legacy offset map below
+    if bases is not None:
         if len(idx) and (idx.min() < 0 or idx.max() >= total):
             raise IndexError(f"row index out of range 0..{total - 1}")
         state = _ray.put((idx, bases))
@@ -548,8 +595,13 @@ def attach_global_row_numbers(
 
     import ray as _ray
 
+    bases = None
     if "row_start" in blocks.schema().names:
-        bases, _total = _partition_bases(blocks)
+        try:
+            bases, _total = _partition_bases(blocks)
+        except _RowStartUnavailable:
+            bases = None  # mixed old/new blocks: legacy offset map below
+    if bases is not None:
         ref = _ray.put(bases)
         dec = decode_dataset(
             blocks, columns=columns, with_provenance=True, concurrency=concurrency

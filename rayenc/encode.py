@@ -263,7 +263,15 @@ class BlockEncoder:
                     decode_weight=self.decode_weight,
                     page_blooms=self.bloom,
                     enc_cap=self.enc_cap,
-                    runoff_cache=self._runoff.setdefault(name, {}),
+                    # retrial_blocks=0 means "every block decides from its
+                    # own content" (q_codec_selection_documents relies on
+                    # lineage being a pure function of the block) — the
+                    # cross-block runoff verdict cache must stay off there
+                    runoff_cache=(
+                        self._runoff.setdefault(name, {})
+                        if self.retrial_blocks > 0
+                        else None
+                    ),
                 )
                 choice_info = choice.lineage()
                 self._cached[name] = choice.codec

@@ -435,7 +435,7 @@ def encode_column_auto(
         if runoff_cache is not None and runoff_cache.get("pair") == pair:
             cached_sr: dict = runoff_cache["sr"]
             cur_sr = {k: choice.ratios.get(k) for k in cached_sr}
-            if all(
+            if cached_sr and all(
                 cur_sr.get(k) is not None
                 and abs(cur_sr[k] - v) <= 0.15 * v
                 for k, v in cached_sr.items()
@@ -459,11 +459,13 @@ def encode_column_auto(
                         choice.ratios,
                         choice.enc_mbps,
                     )
+        degraded = False
         try:
             blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones, page_blooms)
         except Exception:
             # same guarantee as the non-runoff tail: a sample-chosen codec
             # that fails on the full payload degrades to the zstd backstop
+            degraded = True
             choice = Choice(
                 "plain",
                 choice.stats,
@@ -498,16 +500,17 @@ def encode_column_auto(
             pick_rival = scores["b"] < scores["a"]
             choice.dec_mbps[f"runoff:{choice.codec}"] = speeds["a"]
             choice.dec_mbps[f"runoff:{rival}"] = speeds["b"]
-        if runoff_cache is not None and blob_b is not None:
+        # a backstop-degraded choice (blob_a failed -> plain) is not a
+        # verdict on `pair`: its winner may not be a pair member and its
+        # sample ratios may not cover it, which would make the 15%
+        # similarity guard vacuously true on reuse — never store it
+        sr = {k: choice.ratios[k] for k in pair if k in choice.ratios}
+        if runoff_cache is not None and blob_b is not None and not degraded and sr:
             runoff_cache.clear()
             runoff_cache.update(
                 {
                     "pair": pair,
-                    "sr": {
-                        k: choice.ratios[k]
-                        for k in (choice.codec, rival)
-                        if k in choice.ratios
-                    },
+                    "sr": sr,
                     "winner": rival if pick_rival else choice.codec,
                 }
             )

@@ -5,14 +5,19 @@ The operator the reference has no analog for (it has no joins at all —
 SURVEY.md §2.5) but a training-data pipeline needs constantly: join an
 event stream to the most recent model snapshot / price / config row.
 
-Ray-Data-first shape (same pattern as dedup.anti_join_ids): both sides
-are tagged with ``hash(key) % n_buckets`` and a side marker, unioned
-under ONE PINNED schema (each side null-padded to the union schema —
-schema-less empty blocks are the round-3 flake class), shuffled with a
-single sort-based groupby(bucket), and each bucket resolves its matches
-with pandas ``merge_asof`` (vectorized C merge over ts-sorted frames,
-``by=`` key) inside ``map_groups``. Nothing passes through the driver;
-skew is bounded by the key-hash bucketing.
+Ray-Data-first shape (same pattern as dedup.anti_join_ids, sharing its
+bucketing via hashing.key_buckets): both sides are tagged with
+``hash(key) % n_buckets`` and a side marker, unioned under ONE PINNED
+schema (each side null-padded to the union schema — schema-less empty
+blocks are the round-3 flake class), shuffled with a single sort-based
+groupby(bucket), and each bucket resolves its matches with pandas
+``merge_asof`` (vectorized C merge over ts-sorted frames, ``by=`` key)
+inside ``map_groups``. Only the (key, ts, row-index) triple ever
+round-trips through pandas — match indices come back and every output
+column is gathered with Arrow ``take``, so int64 ids never pass through
+float64 and right value columns may be ANY arrow type (lists, structs,
+binary), nullable or not. Nothing passes through the driver; skew is
+bounded by the key-hash bucketing.
 
 Partitioning assumption: one bucket's rows (both sides) fit one task —
 true whenever any single join key's rows do (the same assumption every
@@ -28,9 +33,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from .hashing import arrow_schema_of, key_buckets
 
 _SIDE, _BUCKET = "__asof_side", "__asof_b"
 
@@ -49,14 +57,17 @@ def asof_join(
     """Left as-of join. Output = every left row + ``right_values`` from
     its matched right row (null when no right row qualifies).
 
-    ``left_key``/``right_key`` must be integer-typed (hash-bucketed);
-    ``left_ts``/``right_ts`` must share a comparable type (timestamp or
-    numeric). ``right_values`` must not collide with left column names.
+    ``left_key``/``right_key`` must be integer-typed (hash-bucketed) and
+    non-null; ``left_ts``/``right_ts`` must share a comparable type
+    (timestamp or numeric) and be non-null — nulls in any of the four
+    raise at runtime with the offending side and column (merge keys
+    cannot be null). ``right_values`` must not collide with left column
+    names and may be any arrow type, nullable included.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-    lschema = _arrow_schema(left.schema())
-    rschema = _arrow_schema(right.schema())
+    lschema = arrow_schema_of(left.schema())
+    rschema = arrow_schema_of(right.schema())
     lnames = list(lschema.names)
     clash = {_SIDE, _BUCKET} & (set(lnames) | set(right_values))
     if clash:
@@ -81,23 +92,22 @@ def asof_join(
         .append(pa.field(_BUCKET, pa.int32()))
     )
 
-    from .hashing import splitmix64
-
-    def _bucket(ids) -> pa.Array:
-        u = ids.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.array(
-            (splitmix64(u) % np.uint64(n_buckets)).astype(np.int32),
-            type=pa.int32(),
-        )
+    def _require_non_null(col: pa.ChunkedArray | pa.Array, name: str, side: str):
+        nc = col.null_count
+        if nc:
+            raise ValueError(
+                f"asof_join: {side} merge column {name!r} has {nc} null(s); "
+                "key and timestamp columns must be non-null"
+            )
 
     def _pad(t: pa.Table, cols: dict, side: int, key_arr) -> pa.Table:
         n = t.num_rows
         out = {}
         for f in union_schema:
             if f.name == _SIDE:
-                out[f.name] = pa.array([side] * n, type=pa.int8())
+                out[f.name] = pa.array(np.full(n, side, dtype=np.int8))
             elif f.name == _BUCKET:
-                out[f.name] = _bucket(key_arr)
+                out[f.name] = key_buckets(key_arr, n_buckets)
             elif f.name in cols:
                 col = cols[f.name]
                 out[f.name] = (
@@ -108,9 +118,13 @@ def asof_join(
         return pa.table(out, schema=union_schema)
 
     def tag_left(t: pa.Table) -> pa.Table:
+        _require_non_null(t[left_key], left_key, "left")
+        _require_non_null(t[left_ts], left_ts, "left")
         return _pad(t, {c: t[c] for c in t.column_names}, 0, t[left_key])
 
     def tag_right(t: pa.Table) -> pa.Table:
+        _require_non_null(t[right_key], right_key, "right")
+        _require_non_null(t[right_ts], right_ts, "right")
         cols = {left_key: t[right_key], left_ts: t[right_ts]}
         cols.update({v: t[v] for v in right_values})
         return _pad(t, cols, 1, t[right_key])
@@ -122,61 +136,41 @@ def asof_join(
     import pandas as pd
 
     out_names = lnames + list(right_values)
-    # typed empty frame: empty/missing-side outputs must keep real
-    # dtypes, or Ray sees schema-less blocks (the round-3 flake class)
-    out_schema = pa.schema(
-        [union_schema.field(n) for n in out_names]
-    )
-    empty_pdf = out_schema.empty_table().to_pandas()
-
-    def _pin(df: "pd.DataFrame") -> pa.Table:
-        # hand Ray an arrow table with the schema pinned explicitly —
-        # pandas outputs with all-null columns degrade to null-typed
-        # arrow blocks at the task boundary (the round-3 flake class)
-        return pa.Table.from_pandas(
-            df.reset_index(drop=True), schema=out_schema, preserve_index=False
-        ).replace_schema_metadata(None)
-
-    import pyarrow.compute as pc
+    out_schema = pa.schema([union_schema.field(n) for n in out_names])
+    key_ts = [left_key, left_ts]
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        # split sides in ARROW before any pandas conversion: the union
-        # table null-pads each side's missing columns, and converting a
-        # nulled int64 column to pandas goes through float64 (precision
-        # loss past 2^53 for id columns). Each side's own columns are
-        # null-free after the filter, so to_pandas keeps exact dtypes.
         side = t[_SIDE]
-        ldf = t.filter(pc.equal(side, 0)).select(lnames).to_pandas()
-        rdf = (
-            t.filter(pc.equal(side, 1))
-            .select([left_key, left_ts, *right_values])
-            .to_pandas()
-        )
-        if not len(ldf):
+        lt = t.filter(pc.equal(side, 0)).combine_chunks()
+        if not lt.num_rows:
             return out_schema.empty_table()
-        ldf = ldf.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
-        if not len(rdf):
-            return _pin(ldf.reindex(columns=out_names))
-        rdf = rdf.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
-        merged = pd.merge_asof(
-            ldf,
-            rdf,
-            on=left_ts,
-            by=left_key,
-            direction=direction,
-            allow_exact_matches=True,
-        )
-        return _pin(merged[out_names])
+        rt = t.filter(pc.equal(side, 1)).combine_chunks()
+        # only (key, ts, position) round-trips through pandas — both are
+        # non-null by the tag-time check, so dtypes stay exact; every
+        # output column is gathered from the arrow tables by index below
+        match = np.full(lt.num_rows, -1, dtype=np.int64)
+        if rt.num_rows:
+            ldf = lt.select(key_ts).to_pandas()
+            ldf["__li"] = np.arange(len(ldf), dtype=np.int64)
+            rdf = rt.select(key_ts).to_pandas()
+            rdf["__ri"] = np.arange(len(rdf), dtype=np.int64)
+            merged = pd.merge_asof(
+                ldf.sort_values(left_ts, kind="mergesort"),
+                rdf.sort_values(left_ts, kind="mergesort"),
+                on=left_ts,
+                by=left_key,
+                direction=direction,
+                allow_exact_matches=True,
+            )
+            ri = merged["__ri"].to_numpy(dtype=np.float64, na_value=-1.0)
+            match[merged["__li"].to_numpy()] = ri.astype(np.int64)
+        take_idx = pa.array(match, type=pa.int64(), mask=match < 0)
+        cols = {}
+        for f in out_schema:
+            if f.name in lnames:
+                cols[f.name] = lt[f.name]
+            else:
+                cols[f.name] = pc.take(rt[f.name].combine_chunks(), take_idx)
+        return pa.table(cols, schema=out_schema)
 
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
-
-
-def _arrow_schema(schema) -> pa.Schema:
-    base = getattr(schema, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        return base
-    if isinstance(schema, pa.Schema):
-        return schema
-    return pa.schema(
-        [(n, pa.from_numpy_dtype(t)) for n, t in zip(schema.names, schema.types)]
-    )

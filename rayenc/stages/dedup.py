@@ -596,13 +596,9 @@ def anti_join_ids(
         raise ValueError(f"anti_join_ids reserved column names in input: {clash}")
     if id_col not in names:
         raise ValueError(f"anti_join_ids: id column {id_col!r} not in input schema")
-    base = getattr(schema, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        arrow_schema = base
-    else:  # pandas-backed upstream: reconstruct from names + numpy dtypes
-        arrow_schema = pa.schema(
-            [(n, pa.from_numpy_dtype(t)) for n, t in zip(schema.names, schema.types)]
-        )
+    from .hashing import arrow_schema_of
+
+    arrow_schema = arrow_schema_of(schema)
     tagged_schema = arrow_schema.append(pa.field(kind_col, pa.int8())).append(
         pa.field(bucket_col, pa.int32())
     )
@@ -613,13 +609,10 @@ def anti_join_ids(
         )
     n_buckets = int(num_partitions)
 
-    from .hashing import splitmix64
+    from .hashing import key_buckets
 
     def _buckets(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
-        u = ids.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.array(
-            (splitmix64(u) % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
-        )
+        return key_buckets(ids, n_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
         b = b.select(names)

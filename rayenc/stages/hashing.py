@@ -65,6 +65,34 @@ def bucket_column(
     return pa.array((v % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
 
 
+def key_buckets(ids: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    """splitmix64 shuffle-bucket id (int32) per integer key — the ONE
+    bucketing used by every keyed custom shuffle in this repo
+    (dedup.anti_join_ids, asof.asof_join) so the pattern cannot drift.
+    Nulls bucket with key 0 (callers decide null-key semantics)."""
+    import pyarrow.compute as pc
+
+    filled = pc.fill_null(ids.cast(pa.int64()), 0)
+    u = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.array(
+        (splitmix64(u) % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
+    )
+
+
+def arrow_schema_of(schema) -> pa.Schema:
+    """Arrow schema from a Ray Dataset schema: unwrap base_schema when
+    arrow-backed, reconstruct from names + numpy dtypes when a pandas
+    stage erased it."""
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    if isinstance(schema, pa.Schema):
+        return schema
+    return pa.schema(
+        [(n, pa.from_numpy_dtype(t)) for n, t in zip(schema.names, schema.types)]
+    )
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer for integer keys (public-domain
     constants from the SplitMix64 PRNG paper / xorshift family)."""

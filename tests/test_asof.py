@@ -138,6 +138,72 @@ def test_asof_exact_match_and_no_earlier_row(ray_session):
     assert np.isnan(got["val"].iloc[2])
 
 
+def test_asof_large_int64_and_nullable_values_exact(ray_session):
+    """Right value columns never round-trip through pandas: int64 ids
+    past 2^53 survive bit-exact and nullable values stay null."""
+    big = 2**62 + 12345
+    left_t = pa.table(
+        {
+            "lid": pa.array([0, 1, 2], type=pa.int64()),
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": pa.array([10, 20, 10], type=pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": pa.array([5, 15, 5], type=pa.int64()),
+            "snap": pa.array([big, big + 1, None], type=pa.int64()),
+        }
+    )
+    ds = asof_join(
+        _ds(ray_session, left_t),
+        _ds(ray_session, right_t),
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["snap"],
+        n_buckets=4,
+    )
+    got = pa.concat_tables(
+        b
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("lid")
+    assert got["snap"].type == pa.int64()
+    assert got["snap"].to_pylist() == [big, big + 1, None]  # bit-exact, no 2^53 rounding
+
+
+def test_asof_null_merge_keys_raise(ray_session):
+    left_t = pa.table(
+        {
+            "lid": pa.array([0, 1], type=pa.int64()),
+            "k": pa.array([1, None], type=pa.int64()),
+            "ts": pa.array([5, 6], type=pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "ts": pa.array([3], type=pa.int64()),
+            "val": pa.array([1.0], type=pa.float64()),
+        }
+    )
+    ds = asof_join(
+        _ds(ray_session, left_t),
+        _ds(ray_session, right_t),
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["val"],
+        n_buckets=2,
+    )
+    with pytest.raises(Exception, match="null"):
+        _collect(ds)
+
+
 def test_asof_reserved_and_colliding_names_raise(ray_session):
     left_t, right_t = _mk_inputs(n_left=5, n_right=5)
     with pytest.raises(ValueError, match="collide"):

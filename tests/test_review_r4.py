@@ -1,0 +1,114 @@
+"""Round-4 self-review regressions: row_start fast-path integrity
+(duplicate blocks, null row_start fallback) and the runoff cache's
+purity/poisoning guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _ordered_blocks(corpus_parquet, columns=("repo", "path")):
+    from rayenc.jobs import encode_dataset_ordered
+
+    return encode_dataset_ordered(
+        corpus_parquet,
+        columns=list(columns),
+        block_rows=700,
+        hash_column=None,
+        concurrency=(1, 2),
+    ).materialize()
+
+
+def test_take_rows_rejects_unioned_encodes(ray_session, corpus_parquet):
+    """Two encodes unioned -> duplicate (partition_seq, row_start) spans.
+    The row_start fast path must raise, not silently double rows
+    (legacy path already did; VERDICT r4 self-review)."""
+    from rayenc.decode import take_rows
+
+    blocks = _ordered_blocks(corpus_parquet)
+    doubled = blocks.union(blocks)
+    with pytest.raises(Exception, match="total order"):
+        take_rows(doubled, [0, 1])
+
+
+def test_take_rows_null_row_start_falls_back_to_legacy(
+    ray_session, corpus_parquet
+):
+    """row_start present in the schema but null for every block (a
+    pre-row_start job dir read with round-4 code unifies schemas this
+    way): take_rows must fall back to the legacy offset map and still
+    return the right rows."""
+    from rayenc.decode import take_rows
+
+    src = pq.read_table(corpus_parquet, columns=["repo", "path"])
+    blocks = _ordered_blocks(corpus_parquet)
+
+    def null_rs(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("row_start")
+        return t.set_column(i, "row_start", pa.nulls(t.num_rows, pa.int64()))
+
+    legacy = blocks.map_batches(null_rs, batch_format="pyarrow")
+    idx = np.array([0, 1234, 2999])
+    got = take_rows(legacy, idx)
+    assert got.select(src.column_names).equals(src.take(pa.array(idx)))
+
+
+def test_attach_row_numbers_null_row_start_falls_back(
+    ray_session, corpus_parquet
+):
+    from rayenc.decode import attach_global_row_numbers
+
+    src = pq.read_table(corpus_parquet, columns=["repo", "path"])
+    blocks = _ordered_blocks(corpus_parquet)
+
+    def null_rs(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("row_start")
+        return t.set_column(i, "row_start", pa.nulls(t.num_rows, pa.int64()))
+
+    legacy = blocks.map_batches(null_rs, batch_format="pyarrow")
+    t = pa.concat_tables(
+        attach_global_row_numbers(legacy, concurrency=(1, 2), base=0).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ).sort_by("rn")
+    assert t["rn"].to_pylist() == list(range(src.num_rows))
+    assert t.select(src.column_names).equals(src)
+
+
+def test_retrial_zero_disables_runoff_cache(ray_session):
+    """retrial_blocks=0 means codec lineage is a pure function of block
+    content (q_codec_selection_documents contract) — the per-actor
+    cross-block runoff verdict cache must never be consulted."""
+    from rayenc.encode import BlockEncoder
+
+    enc = BlockEncoder(retrial_blocks=0)
+    batch = pa.table(
+        {
+            "_partition_id": pa.array(["p0"] * 300),
+            "s": pa.array([f"value-{i % 7}" for i in range(300)]),
+        }
+    )
+    enc(batch)
+    enc(batch)
+    assert enc._runoff == {}  # never even seeded when retrials are off
+
+
+def test_runoff_cache_not_poisoned_by_backstop(tmp_path):
+    """A backstop-degraded choice (sample winner failed on the full
+    payload -> plain) must not be stored as a verdict on the original
+    finalist pair: its ratios don't cover the pair and its winner isn't
+    a member, which would disable the 15% similarity guard."""
+    from rayenc import selector as sel
+
+    cache: dict = {}
+    arr = pa.array([f"row {i} padding padding" for i in range(5000)])
+    blob, choice = sel.encode_column_auto(
+        arr, level=3, sample_rows=512, runoff_cache=cache
+    )
+    if cache:  # stored only when the verdict is about the stored pair
+        assert cache["winner"] in cache["pair"]
+        assert cache["sr"] and set(cache["sr"]) <= set(cache["pair"])
+        assert all(v is not None for v in cache["sr"].values())
