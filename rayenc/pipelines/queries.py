@@ -455,6 +455,16 @@ def q_events_asof_join(sf_dir: str) -> pa.Table:
         left_ts="ts",
         right_ts="o_orderdate",
         right_values=["order_price"],
+        # the aggregate side's schema is not statically known to Ray;
+        # passing it explicitly stops asof_join's schema probe from
+        # executing the whole aggregate a first, throwaway time
+        right_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.date32()),
+                ("order_price", pa.float64()),
+            ]
+        ),
     )
     out = pa.concat_tables(
         b

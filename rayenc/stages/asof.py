@@ -53,6 +53,8 @@ def asof_join(
     right_values: list[str],
     n_buckets: int = 64,
     direction: str = "backward",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Left as-of join. Output = every left row + ``right_values`` from
     its matched right row (null when no right row qualifies).
@@ -63,11 +65,21 @@ def asof_join(
     raise at runtime with the offending side and column (merge keys
     cannot be null). ``right_values`` must not collide with left column
     names and may be any arrow type, nullable included.
+
+    Pass ``left_schema``/``right_schema`` when a side's schema is not
+    statically known to Ray (e.g. downstream of groupby/aggregate or
+    map_batches): ``Dataset.schema()`` on such a side EXECUTES its
+    upstream plan just to learn the schema, and the pipeline then
+    re-executes for real — the whole side runs twice.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-    lschema = arrow_schema_of(left.schema())
-    rschema = arrow_schema_of(right.schema())
+    lschema = (
+        left_schema if left_schema is not None else arrow_schema_of(left.schema())
+    )
+    rschema = (
+        right_schema if right_schema is not None else arrow_schema_of(right.schema())
+    )
     lnames = list(lschema.names)
     clash = {_SIDE, _BUCKET} & (set(lnames) | set(right_values))
     if clash:
