@@ -186,3 +186,80 @@ def asof_join(
         return pa.table(cols, schema=out_schema)
 
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    right_values: list[str],
+    n_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> "ray.data.Dataset":
+    """Left validity-interval (range) join: each left row matches the
+    right row of the same key whose ``[right_start, right_end)`` window
+    contains ``left_ts``; rows in no window get nulls.
+
+    Built on :func:`asof_join` (backward on ``right_start``) plus an
+    expiry filter — exact when each key's windows DON'T OVERLAP (the
+    validity-window case a training pipeline hits: config/model/price
+    epochs). With overlapping windows only the latest-starting one can
+    match (the asof candidate); a general all-pairs interval join would
+    need a per-key interval index instead. ``right_end`` may be null
+    (open-ended window).
+    """
+    end_col = "__ivl_end"
+    if end_col in (set(right_values) | {left_key, left_ts}):
+        raise ValueError(f"interval_join reserved column name in input: {end_col}")
+    if right_schema is None:
+        right_schema = arrow_schema_of(right.schema())
+    if right_end not in right_schema.names:
+        raise ValueError(f"interval_join: column {right_end!r} not in right schema")
+
+    def add_end(t: pa.Table) -> pa.Table:
+        return t.append_column(end_col, t[right_end])
+
+    matched = asof_join(
+        left,
+        right.map_batches(add_end, batch_format="pyarrow"),
+        left_key=left_key,
+        right_key=right_key,
+        left_ts=left_ts,
+        right_ts=right_start,
+        right_values=[*right_values, end_col],
+        n_buckets=n_buckets,
+        direction="backward",
+        left_schema=left_schema,
+        right_schema=right_schema.append(
+            pa.field(end_col, right_schema.field(right_end).type)
+        ),
+    )
+
+    def expire(t: pa.Table) -> pa.Table:
+        # candidate matched on start <= ts; drop it when its window
+        # closed before ts (end <= ts). Null end = open-ended = keep.
+        end = t[end_col].combine_chunks()
+        ts = t[left_ts].combine_chunks()
+        if end.type != ts.type:
+            try:  # compare in the finer type (date32 end -> timestamp ts)
+                end = end.cast(ts.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                ts = ts.cast(end.type)
+        alive = pc.fill_null(pc.greater(end, ts), True)
+        cols = {}
+        for f in t.schema:
+            if f.name == end_col:
+                continue
+            if f.name in right_values:
+                col = t[f.name].combine_chunks()
+                cols[f.name] = pc.if_else(alive, col, pa.nulls(len(col), f.type))
+            else:
+                cols[f.name] = t[f.name]
+        return pa.table(cols)
+
+    return matched.map_batches(expire, batch_format="pyarrow")

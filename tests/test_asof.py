@@ -204,6 +204,50 @@ def test_asof_null_merge_keys_raise(ray_session):
         _collect(ds)
 
 
+def test_interval_join_validity_windows(ray_session):
+    """Non-overlapping validity windows: each left ts matches the window
+    containing it, gap rows and post-expiry rows get nulls, open-ended
+    (null end) windows stay alive."""
+    from rayenc.stages.asof import interval_join
+
+    left_t = pa.table(
+        {
+            "lid": pa.array(list(range(6)), type=pa.int64()),
+            "k": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+            # windows for k=1: [0,10) v=1.0, [10,20) v=2.0, gap, [30,None) v=3.0
+            "ts": pa.array([5, 10, 25, 31, 7, 100], type=pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "start": pa.array([0, 10, 30, 50], type=pa.int64()),
+            "end": pa.array([10, 20, None, 60], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 9.0], type=pa.float64()),
+        }
+    )
+    ds = interval_join(
+        _ds(ray_session, left_t),
+        _ds(ray_session, right_t),
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_start="start",
+        right_end="end",
+        right_values=["v"],
+        n_buckets=4,
+    )
+    got = _collect(ds)
+    assert len(got) == 6
+    vals = got["v"].tolist()
+    assert vals[0] == 1.0  # ts=5 inside [0,10)
+    assert vals[1] == 2.0  # ts=10: first window closed, second open
+    assert np.isnan(vals[2])  # ts=25: in the gap
+    assert vals[3] == 3.0  # ts=31: open-ended window
+    assert np.isnan(vals[4])  # k=2 ts=7: before any window
+    assert np.isnan(vals[5])  # k=2 ts=100: window [50,60) expired
+
+
 def test_asof_reserved_and_colliding_names_raise(ray_session):
     left_t, right_t = _mk_inputs(n_left=5, n_right=5)
     with pytest.raises(ValueError, match="collide"):
