@@ -51,7 +51,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     direction: str = "backward",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
@@ -74,6 +74,11 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if n_buckets is None:
+        # scale shuffle width with the cluster, same default rule as
+        # dedup.anti_join_ids; explicit n_buckets overrides (at real
+        # scale pick ~(total rows / rows-per-task) buckets)
+        n_buckets = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) - 2))
     lschema = (
         left_schema if left_schema is not None else arrow_schema_of(left.schema())
     )
@@ -197,7 +202,7 @@ def interval_join(
     right_start: str,
     right_end: str,
     right_values: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
