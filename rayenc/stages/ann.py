@@ -18,20 +18,54 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 
-def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+def _batch_matrix_valid(
+    batch: pa.Table, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix of the NON-NULL embedding rows, boolean validity mask
+    aligned with the batch). Ragged lists raise — a silent reshape over
+    them would misalign vectors with their ids."""
     col = batch[vec_col]
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if pa.types.is_fixed_size_list(col.type):
-        dim = col.type.list_size
+    n = len(col)
+    valid = np.ones(n, dtype=bool) if col.null_count == 0 else np.asarray(
+        col.is_valid()
+    )
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    vl = lengths[valid]
+    if len(vl):
+        dim = int(vl[0])
+        if int(vl.min()) != int(vl.max()):
+            raise ValueError(
+                f"{vec_col!r} has ragged list lengths "
+                f"[{int(vl.min())}, {int(vl.max())}]; embeddings must be "
+                "fixed-dimension"
+            )
     else:
-        dim = len(col[0]) if len(col) else 0
-    mat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float32)
-    return mat.reshape(len(batch), dim) if dim else mat.reshape(len(batch), 0)
+        dim = 0
+    # flatten() concatenates only the non-null rows' values, so the
+    # matrix is aligned with `valid` rows even when nulls are present
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float32)
+    n_valid = int(valid.sum())
+    mat = flat.reshape(n_valid, dim) if dim else flat.reshape(n_valid, 0)
+    return mat, valid
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Batch-aligned embedding matrix; raises on null or ragged rows
+    (callers pairing rows with ids rely on exact alignment)."""
+    mat, valid = _batch_matrix_valid(batch, vec_col)
+    if not valid.all():
+        raise ValueError(
+            f"{vec_col!r} contains {int((~valid).sum())} null embedding(s); "
+            "filter them upstream or use an op that skips nulls"
+        )
+    return mat
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -81,15 +115,42 @@ def _topk_reduce(cands: "ray.data.Dataset", k: int) -> pa.Table:
     return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _emit_topk(
+    ids: np.ndarray, scores: np.ndarray, k: int, finite_only: bool = False
+) -> pa.Table:
+    """Per-query batch-local top-k candidates from a (n_q, n_vec) score
+    matrix. Stable candidate order: score desc, then vec_id asc.
+    ``finite_only`` drops -inf entries (masked-out candidates)."""
+    out_q, out_v, out_s = [], [], []
+    kk = min(k, scores.shape[1])
+    for qi in range(scores.shape[0]):
+        order = np.lexsort((ids, -scores[qi]))[:kk]
+        if finite_only:
+            order = order[np.isfinite(scores[qi][order])]
+        out_q.extend([qi] * len(order))
+        out_v.extend(ids[order].tolist())
+        out_s.extend(scores[qi][order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "cos": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
 def knn_brute(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    concurrency=(1, 4),
 ) -> pa.Table:
     """Exact cosine top-k: (query_id, rank, vec_id, cos) sorted by
-    (query_id, rank); ties broken by vec_id for determinism."""
+    (query_id, rank); ties broken by vec_id for determinism. Null
+    embeddings are skipped; size ``concurrency`` to the cluster — the
+    corpus scan is the dominant phase."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     qref = ray.put(qn)
 
@@ -99,25 +160,11 @@ def knn_brute(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            bm = _normalize(_batch_matrix(batch, vec_col))
-            scores = self.q @ bm.T  # (n_q, n_batch)
-            out_q, out_v, out_s = [], [], []
-            kk = min(k, scores.shape[1])
-            for qi in range(scores.shape[0]):
-                # stable candidate order: score desc, then vec_id asc
-                order = np.lexsort((ids, -scores[qi]))[:kk]
-                out_q.extend([qi] * len(order))
-                out_v.extend(ids[order].tolist())
-                out_s.extend(scores[qi][order].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "vec_id": pa.array(out_v, type=pa.int64()),
-                    "cos": pa.array(out_s, type=pa.float64()),
-                }
-            )
+            bm, valid = _batch_matrix_valid(batch, vec_col)
+            scores = self.q @ _normalize(bm).T  # (n_q, n_valid)
+            return _emit_topk(ids[valid], scores, k)
 
-    cands = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4))
+    cands = ds.map_batches(TopK, batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(cands, k)
 
 
@@ -162,17 +209,51 @@ def knn_ivf(
     recall-tunable alternative to the hyperplane LSH probes (raise
     n_probe/n_centroids for recall/speed). No shuffle of the corpus.
 
-    The training sample is a seeded random_sample over the WHOLE corpus
-    (ADVICE r2: a head sample biases the centroids on sorted/clustered
-    corpora and silently degrades recall), capped at train_rows."""
-    n = ds.count()
-    frac = min(1.0, (train_rows * 1.25) / max(n, 1))
-    sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
-    train = pa.concat_tables(
-        sample.limit(train_rows)
-        .select_columns([vec_col])
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+    The training sample is a seeded HASH bottom-k over the whole corpus
+    in ONE streaming pass: each row gets a splitmix64(id ^ seed) score,
+    each batch emits its lowest-scoring rows, the driver keeps the
+    train_rows globally lowest. Uniform over every row regardless of
+    corpus order (ADVICE r2: a head sample biases centroids on sorted
+    corpora; VERDICT r4 self-review: the old random_sample + limit
+    truncated the stream and near-excluded the corpus tail, and its
+    ds.count() executed lazy pipelines one extra time)."""
+    from .hashing import splitmix64
+
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    # per-batch cap: bounds driver-side sample volume at cap*n_batches;
+    # if every batch maxes the cap the kept sample is still uniform,
+    # just smaller than train_rows (fine for centroid training)
+    cap = int(max(4 * n_centroids, min(train_rows, 1024)))
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[vec_col]))
+        if not t.num_rows:
+            return pa.table(
+                {vec_col: pa.array([], type=t.schema.field(vec_col).type),
+                 "__score": pa.array([], type=pa.uint64())}
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = splitmix64(ids.astype(np.uint64) ^ seed_mix)
+        take = np.sort(np.argsort(score)[: min(cap, len(ids))])
+        sub = t.select([vec_col]).take(pa.array(take))
+        return sub.append_column(
+            "__score", pa.array(score[take], type=pa.uint64())
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return _TOPK_SCHEMA.empty_table()
+    st = pa.concat_tables(parts)
+    keep = np.argsort(
+        st["__score"].to_numpy(zero_copy_only=False), kind="stable"
+    )[:train_rows]
+    train = st.select([vec_col]).take(pa.array(np.sort(keep)))
     cent = kmeans_centroids(
         _batch_matrix(train, vec_col), n_centroids, seed=seed
     )
@@ -188,26 +269,15 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            bm = _normalize(_batch_matrix(batch, vec_col))
+            bm, valid = _batch_matrix_valid(batch, vec_col)
+            bm = _normalize(bm)
+            if not bm.shape[0]:
+                return _TOPK_SCHEMA.empty_table().drop_columns(["rank"])
             cid = np.argmax(bm @ self.cent.T, axis=1)
-            allowed = self.probe_mask[:, cid]  # (n_q, n_batch)
+            allowed = self.probe_mask[:, cid]  # (n_q, n_valid)
             scores = self.q @ bm.T
             scores = np.where(allowed, scores, -np.inf)
-            out_q, out_v, out_s = [], [], []
-            kk = min(k, scores.shape[1])
-            for qi in range(scores.shape[0]):
-                order = np.lexsort((ids, -scores[qi]))[:kk]
-                order = order[np.isfinite(scores[qi][order])]
-                out_q.extend([qi] * len(order))
-                out_v.extend(ids[order].tolist())
-                out_s.extend(scores[qi][order].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "vec_id": pa.array(out_v, type=pa.int64()),
-                    "cos": pa.array(out_s, type=pa.float64()),
-                }
-            )
+            return _emit_topk(ids[valid], scores, k, finite_only=True)
 
     cands = ds.map_batches(IvfTopK, batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(cands, k)
@@ -231,55 +301,46 @@ def knn_lsh(
     n_planes: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    concurrency=(1, 4),
 ) -> pa.Table:
-    """Approximate top-k: only corpus vectors whose LSH bucket matches the
-    query's bucket (or differs by one bit) are scored."""
+    """Approximate top-k: each query scores only corpus vectors whose
+    LSH bucket matches ITS OWN bucket (or differs by one bit) — probe
+    sets are per query, so a query's result never depends on which
+    other queries share the call (VERDICT r4 self-review: the old
+    union-of-probes mask made recall batch-composition-dependent)."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     planes = lsh_plan(qn.shape[1], n_planes)
     qb = _bucket_of(qn, planes)
-    # probe set per query: own bucket + 1-bit flips
-    probe: set[int] = set()
-    for b in qb.tolist():
-        probe.add(b)
-        for j in range(n_planes):
-            probe.add(b ^ (1 << j))
-    state = ray.put((qn, planes, probe))
+    # (n_q, n_planes+1) probe buckets per query: own + 1-bit flips
+    flips = np.concatenate(
+        ([0], (1 << np.arange(n_planes, dtype=np.int64)))
+    )
+    probes = qb[:, None] ^ flips[None, :]
+    probes = np.sort(probes, axis=1)
+    state = ray.put((qn, planes, probes))
 
     class BucketTopK:
         def __init__(self):
-            self.q, self.planes, probe = ray.get(state)
-            self.probe = np.fromiter(probe, dtype=np.int64, count=len(probe))
+            self.q, self.planes, self.probes = ray.get(state)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            bm = _normalize(_batch_matrix(batch, vec_col))
+            bm, valid = _batch_matrix_valid(batch, vec_col)
+            bm = _normalize(bm)
+            ids = ids[valid]
             buckets = _bucket_of(bm, self.planes)
-            mask = np.isin(buckets, self.probe)
-            if not mask.any():
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "cos": pa.array([], type=pa.float64()),
-                    }
-                )
-            sub_ids = ids[mask]
-            sub = bm[mask]
-            scores = self.q @ sub.T
-            out_q, out_v, out_s = [], [], []
-            kk = min(k, scores.shape[1])
-            for qi in range(scores.shape[0]):
-                order = np.lexsort((sub_ids, -scores[qi]))[:kk]
-                out_q.extend([qi] * len(order))
-                out_v.extend(sub_ids[order].tolist())
-                out_s.extend(scores[qi][order].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "vec_id": pa.array(out_v, type=pa.int64()),
-                    "cos": pa.array(out_s, type=pa.float64()),
-                }
-            )
+            # candidate mask per query via binary search into its own
+            # sorted probe row: (n_q, n_valid), no python loop over rows
+            pos = np.empty((len(self.q), len(buckets)), dtype=np.int64)
+            for qi in range(len(self.q)):  # n_q is small (query batch)
+                pos[qi] = np.searchsorted(self.probes[qi], buckets)
+            pos = np.minimum(pos, self.probes.shape[1] - 1)
+            allowed = np.take_along_axis(self.probes, pos, axis=1) == buckets[None, :]
+            if not allowed.any():
+                return _TOPK_SCHEMA.empty_table().drop_columns(["rank"])
+            scores = self.q @ bm.T
+            scores = np.where(allowed, scores, -np.inf)
+            return _emit_topk(ids, scores, k, finite_only=True)
 
-    cands = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=(1, 4))
+    cands = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(cands, k)

@@ -112,3 +112,95 @@ def test_runoff_cache_not_poisoned_by_backstop(tmp_path):
         assert cache["winner"] in cache["pair"]
         assert cache["sr"] and set(cache["sr"]) <= set(cache["pair"])
         assert all(v is not None for v in cache["sr"].values())
+
+
+def _vec_ds(ray, vecs, ids=None):
+    import ray.data as rd
+
+    n = len(vecs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    ids if ids is not None else list(range(n)), type=pa.int64()
+                ),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_knn_skips_null_embeddings(ray_session):
+    """A null embedding row must be skipped (not crash the scan or
+    misalign ids with vectors)."""
+    from rayenc.stages.ann import knn_brute
+
+    vecs = [[1.0, 0.0], None, [0.0, 1.0], [0.7, 0.7]]
+    ds = _vec_ds(ray_session, vecs)
+    q = np.array([[1.0, 0.0]], dtype=np.float32)
+    out = knn_brute(ds, q, k=2)
+    assert out["vec_id"].to_pylist() == [0, 3]  # null row 1 skipped
+
+
+def test_batch_matrix_ragged_raises(ray_session):
+    from rayenc.stages.ann import _batch_matrix
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], type=pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _batch_matrix(t, "embedding")
+
+
+def test_knn_lsh_results_independent_of_query_batch(ray_session):
+    """Per-query probe sets: a query's neighbors must not change when
+    other queries join the same call (VERDICT r4 self-review)."""
+    from rayenc.stages.ann import knn_lsh
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32).tolist()
+    ds = _vec_ds(ray_session, vecs)
+    qa = rng.normal(size=(1, 16)).astype(np.float32)
+    qb = rng.normal(size=(1, 16)).astype(np.float32)
+    alone = knn_lsh(ds, qa, k=5, n_planes=8)
+    together = knn_lsh(ds, np.vstack([qa, qb]), k=5, n_planes=8)
+    t0 = together.filter(pa.compute.equal(together["query_id"], 0))
+    assert alone["vec_id"].to_pylist() == t0["vec_id"].to_pylist()
+    assert alone["cos"].to_pylist() == t0["cos"].to_pylist()
+
+
+def test_knn_ivf_empty_corpus(ray_session):
+    from rayenc.stages.ann import knn_ivf
+
+    ds = _vec_ds(ray_session, [])
+    out = knn_ivf(ds, np.ones((1, 4), dtype=np.float32), k=3)
+    assert out.num_rows == 0
+
+
+def test_knn_ivf_sample_covers_corpus_tail(ray_session):
+    """The hash bottom-k trainer must draw from the whole corpus: with
+    clusters living only in the stream tail, their centroids must still
+    form and tail queries must find their true neighbors."""
+    from rayenc.stages.ann import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(3)
+    head = rng.normal(loc=0.0, size=(3000, 8)).astype(np.float32)
+    tail = rng.normal(loc=6.0, size=(500, 8)).astype(np.float32)
+    vecs = np.vstack([head, tail]).tolist()  # tail strictly last
+    ds = _vec_ds(ray_session, vecs)
+    q = (tail[:2] + rng.normal(scale=0.01, size=(2, 8))).astype(np.float32)
+    exact = knn_brute(ds, q, k=5)
+    approx = knn_ivf(
+        ds, q, k=5, n_centroids=8, n_probe=2, train_rows=512, seed=7
+    )
+    for qi in (0, 1):
+        e = set(
+            exact.filter(pa.compute.equal(exact["query_id"], qi))["vec_id"].to_pylist()
+        )
+        a = set(
+            approx.filter(pa.compute.equal(approx["query_id"], qi))["vec_id"].to_pylist()
+        )
+        assert len(e & a) >= 4, (qi, e, a)  # tail cluster was trained on
