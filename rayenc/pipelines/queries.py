@@ -1529,8 +1529,12 @@ ORACLES = {
         "FROM documents"
     ),
     "stratified_sample": (
+        # bit-exact twin of stages.sample.hash_sample: high bits XOR-
+        # folded into the low 32, Knuth multiply in HUGEINT (no int64
+        # overflow), compare in the 32-bit space
         "SELECT doc_id, lang FROM documents "
-        "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
+        "WHERE (CAST(xor(doc_id >> 32, doc_id) & 4294967295 AS HUGEINT) "
+        "* 2654435761) % 4294967296 < 429496729"
     ),
     "pattern_scan": (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_matching_docs "

@@ -73,10 +73,12 @@ def dedup_exact(
     One shuffle — but grouped by `hash % n_buckets`, NOT by the raw hash:
     Ray's map_groups makes one Python call per group, so per-hash groups
     (mostly singletons) would serialize; per-bucket groups are few and the
-    within-bucket dedup is one vectorized drop_duplicates. Hash keys are
-    uniform, so buckets are balanced by construction (no salt needed);
-    scale n_buckets with the cluster."""
-    import pandas as pd
+    within-bucket dedup is one vectorized first-per-key scan. Hash keys
+    are uniform, so buckets are balanced by construction (no salt
+    needed); scale n_buckets with the cluster. The group body stays in
+    ARROW end to end (round-4 self-review: the old pandas
+    drop_duplicates round-trip silently widened nullable int columns to
+    float64 and lost >2^53 precision)."""
 
     def hash_and_bucket(b: pa.Table) -> pa.Table:
         b = add_content_hash(b, text_col)
@@ -86,14 +88,18 @@ def dedup_exact(
 
     hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
-    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values(id_col)
-            .drop_duplicates(["_h1", "_h2"], keep="first")
-            .drop(columns=["_h1", "_h2", "_b"])
-        )
+    def drop_dups(g: pa.Table) -> pa.Table:
+        h1 = g["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = g["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        s1, s2 = h1[order], h2[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        keep = np.sort(order[first])  # min-id row per key, original order
+        return g.take(pa.array(keep)).drop_columns(["_h1", "_h2", "_b"])
 
-    return hashed.groupby("_b").map_groups(drop_dups, batch_format="pandas")
+    return hashed.groupby("_b").map_groups(drop_dups, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -329,9 +335,12 @@ def minhash_candidate_pairs(
     n_bands: int = 16,
     threshold: float = 0.7,
     concurrency=(1, 4),
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b, est_jaccard) pairs whose signature-estimated
-    Jaccard >= threshold. texts never shuffle; signatures do."""
+    Jaccard >= threshold. texts never shuffle; signatures do. Scale
+    ``n_buckets`` (default: cluster CPUs) with the corpus: each
+    bucket's band rows are processed by one task."""
     import pandas as pd
 
     if n_perm % n_bands != 0 or n_perm // n_bands < 1:
@@ -353,7 +362,8 @@ def minhash_candidate_pairs(
         lambda b: _band_rows(b, n_bands, id_col), batch_format="pyarrow"
     )
 
-    n_buckets = 64
+    if n_buckets is None:
+        n_buckets = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) - 2))
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from .hashing import bucket_column
@@ -540,8 +550,18 @@ def connected_components_labels(
         )
         s = state.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    else:
+        converged = rounds_done == 0
+    if not converged:
+        # silent truncation would leave extra survivors (nodes still
+        # holding their own id get treated as component reps downstream)
+        raise RuntimeError(
+            f"connected_components_labels did not converge in {max_rounds} "
+            "rounds (component diameter exceeds the budget); raise max_rounds"
+        )
     state_rows = rows.map_batches(
         lambda b: b.filter(pc.equal(b["kind"], 0)).select(["node", "label"]),
         batch_format="pyarrow",
@@ -780,12 +800,30 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     concurrency=(1, 4),
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b, hamming) pairs with distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 chunks; any pair within
-    hamming<=3 agrees on >=1 chunk -> groupby chunk value, verify inside."""
+    Pigeonhole banding: split 64 bits into max_hamming+1 chunks; any
+    pair within the distance agrees on >=1 chunk -> groupby chunk value,
+    verify inside. Chunk widths derive from max_hamming (round-4
+    self-review: the old fixed 4x16 layout silently missed pairs for
+    max_hamming >= 4). max_hamming is capped at 15 — beyond that the
+    chunks get so narrow that banding admits most of the corpus as
+    candidates. Scale ``n_buckets`` (default: cluster CPUs) with the
+    corpus: each bucket's band rows land in one task."""
     import pandas as pd
+
+    if not (0 <= max_hamming <= 15):
+        raise ValueError(
+            f"max_hamming must be in [0, 15], got {max_hamming} "
+            "(4-bit chunks already admit ~1/16 of the corpus per group)"
+        )
+    n_chunks = max_hamming + 1
+    base_w, rem = divmod(64, n_chunks)
+    widths = [base_w + (1 if c < rem else 0) for c in range(n_chunks)]
+    offs = [int(o) for o in np.cumsum([0] + widths[:-1])]
+    masks = [np.uint64((1 << w) - 1) for w in widths]
 
     sigs = ds.map_batches(
         SimHasher,
@@ -799,9 +837,9 @@ def simhash_pairs(
         ids = batch[id_col]
         n = len(s)
         chunks, keys, idx = [], [], []
-        for c in range(4):
+        for c in range(n_chunks):
             chunks.append(np.full(n, c, dtype=np.int32))
-            keys.append((s >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            keys.append((s >> np.uint64(offs[c])) & masks[c])
             idx.append(np.arange(n))
         take = pa.array(np.concatenate(idx), type=pa.int64())
         return pa.table(
@@ -815,7 +853,8 @@ def simhash_pairs(
 
     bands = sigs.map_batches(explode, batch_format="pyarrow")
 
-    n_buckets = 64
+    if n_buckets is None:
+        n_buckets = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) - 2))
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from .hashing import bucket_column
@@ -867,7 +906,7 @@ def simhash_pairs(
                 earlier = (
                     np.stack(
                         [
-                            (uniq >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+                            (uniq >> np.uint64(offs[c])) & masks[c]
                             for c in range(int(chunk))
                         ],
                         axis=1,
@@ -951,23 +990,6 @@ def exact_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
-
-
-def embedding_matrix(ds: "ray.data.Dataset", vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Collect (ids, L2-normalized matrix) — ONLY for broadcast-sized
-    tables (the small side of the comparison)."""
-    t = pa.concat_tables(ds.select_columns([id_col, vec_col]).iter_batches(batch_size=None, batch_format="pyarrow")).combine_chunks()
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    col = t[vec_col].combine_chunks() if isinstance(t[vec_col], pa.ChunkedArray) else t[vec_col]
-    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
-        dim = len(col[0])
-        mat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(len(ids), dim)
-    else:
-        dim = col.type.list_size
-        mat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(len(ids), dim)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return ids, mat / norms
 
 
 def _pairs_from_scores(

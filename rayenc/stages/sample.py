@@ -16,6 +16,7 @@ import ray.data
 
 _KNUTH = np.uint64(2654435761)  # Knuth multiplicative hash constant
 _MOD = np.uint64(4294967296)  # 2^32
+_M32 = np.uint64(4294967295)  # 2^32 - 1
 
 
 def hash_sample(
@@ -23,18 +24,36 @@ def hash_sample(
     id_col: str = "doc_id",
     fraction: float = 0.1,
 ) -> "ray.data.Dataset":
-    """Keep rows whose Knuth-multiplicative-hashed id falls in the lowest
-    `fraction` of the 32-bit hash space. Deterministic per id: the same
-    row is kept at every scale and on every run (so samples of nested
-    pipelines stay consistent), and the filter vectorizes to three numpy
-    ops per batch."""
+    """Keep rows whose hashed id falls in the lowest `fraction` of the
+    32-bit hash space. Deterministic per id: the same row is kept at
+    every scale and on every run (so samples of nested pipelines stay
+    consistent), and the filter vectorizes to a few numpy ops per batch.
+
+    Hash = Knuth-multiplicative over the id's high bits XOR-folded into
+    the low 32 (round-4 self-review: the bare ``(id * K) % 2^32`` read
+    only the low 32 bits, so composite ids like ``shard << 32 | row``
+    sampled every shard identically). Deliberately SQL-expressible so
+    the DuckDB oracle replicates it bit-for-bit — ids must be
+    NON-NEGATIVE int64 for that parity (>> differs on negatives). Null
+    ids are dropped, matching SQL ``WHERE`` on a null expression."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cut = np.uint64(int(fraction * float(_MOD)))
 
     def pick(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * _KNUTH) % _MOD
-        return b.filter(pa.array(h < cut))
+        col = b[id_col]
+        valid = np.ones(b.num_rows, dtype=bool)
+        if col.null_count:
+            valid = np.asarray(
+                col.is_valid() if not isinstance(col, pa.ChunkedArray)
+                else col.combine_chunks().is_valid()
+            )
+            col = col.combine_chunks().fill_null(0) if isinstance(
+                col, pa.ChunkedArray
+            ) else col.fill_null(0)
+        ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        fold = ((ids >> np.uint64(32)) ^ ids) & _M32
+        h = (fold * _KNUTH) % _MOD
+        return b.filter(pa.array((h < cut) & valid))
 
     return ds.map_batches(pick, batch_format="pyarrow")

@@ -170,12 +170,13 @@ def _kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
     base = np.uint64(1099511628211)
     weights = np.empty(k, dtype=np.uint64)
     weights[0] = 1
-    for i in range(1, k):
-        weights[i] = weights[i - 1] * base
     n_win = len(data) - k + 1
     acc = np.zeros(n_win, dtype=np.uint64)
-    for j in range(k):  # k is small (8): k passes over the array, no per-row loop
-        acc += data[j : j + n_win].astype(np.uint64) * weights[k - 1 - j]
+    with np.errstate(over="ignore"):  # intentional uint64 wraparound
+        for i in range(1, k):
+            weights[i] = weights[i - 1] * base
+        for j in range(k):  # k is small (8): k passes over the array
+            acc += data[j : j + n_win].astype(np.uint64) * weights[k - 1 - j]
     return acc
 
 
