@@ -95,6 +95,16 @@ def pivot_metric(metric: dict, tag_keys: list[str], hexify: bool = False) -> pa.
     reference's FlatBuffers path loses)."""
     series = metric["series"]
     n = len(series)
+    reserved = {"metric", "ts", "sums_double", "sums_long", "count"}
+    clash = reserved & set(tag_keys)
+    if clash:
+        # a tag key named like a value column would be silently
+        # overwritten by the list column below — refuse loudly (the
+        # hexify=True path cannot collide: hex names differ)
+        raise ValueError(
+            f"tag key(s) {sorted(clash)} collide with reserved metric "
+            "columns; ingest with hexify=True or rename the tags"
+        )
     cols: dict[str, pa.Array] = {
         "metric": pa.array([metric["metric"]] * n, type=pa.string())
     }
@@ -160,7 +170,15 @@ def write_policy_parquet(table: pa.Table, path: str) -> None:
         write_statistics=["metric", *tag_cols],
     )
     try:
-        pq.write_table(table, path, use_byte_stream_split=["sums_double"], **kwargs)
+        # the policy targets the parquet LEAF, whose path for a list
+        # column is '<name>.list.element' — the bare column name is
+        # silently ignored (round-4 self-review, verified on pyarrow 16)
+        pq.write_table(
+            table,
+            path,
+            use_byte_stream_split=["sums_double.list.element"],
+            **kwargs,
+        )
     except Exception:  # older pyarrow without list-valued byte_stream_split
         pq.write_table(table, path, **kwargs)
 
@@ -208,10 +226,21 @@ def write_flatbuffers_parquet(table: pa.Table, path: str) -> str:
     keep = [c for c in table.column_names if c not in LIST_COLS]
     blobs = []
     for i in range(table.num_rows):
+        ts = table["ts"][i].as_py() or []
+        count = table["count"][i].as_py() or []
+        if None in ts or None in count:
+            # ts/count are int64 wire vectors with no null slot in the
+            # layout; a silent np.asarray failure deep in fbs would kill
+            # the whole write with an opaque TypeError — refuse per-row
+            raise ValueError(
+                f"write_flatbuffers_parquet: row {i} has null element(s) "
+                "in ts/count; the FlatBuffers layout cannot represent "
+                "them — clean the series or use write_opaque_parquet"
+            )
         blobs.append(
             histogram_to_flatbuffers(
-                table["ts"][i].as_py() or [],
-                table["count"][i].as_py() or [],
+                ts,
+                count,
                 [d for d in (table["sums_double"][i].as_py() or []) if d is not None],
                 [d for d in (table["sums_long"][i].as_py() or []) if d is not None],
             )
@@ -243,7 +272,7 @@ def read_flatbuffers_parquet(path: str) -> pa.Table:
 def touch_metric_table(table: pa.Table) -> int:
     """The parqbench anti-DCE fold over a pivoted histogram table
     (/root/reference/src/bin/parqbench/main.rs:58-169)."""
-    from .__main__ import _touch_column
+    from .touch import _touch_column
 
     return sum(_touch_column(table[c]) for c in table.column_names)
 

@@ -99,10 +99,16 @@ def plan_partitions(
     from .decode import zone_may_match
 
     if isinstance(input_paths, str):
-        p = Path(input_paths)
-        paths = sorted(str(q) for q in p.glob("*.parquet")) if p.is_dir() else [str(p)]
-    else:
-        paths = [str(p) for p in input_paths]
+        input_paths = [input_paths]
+    paths = []
+    for raw in input_paths:
+        p = Path(raw)
+        # directories expand for list elements too (round-4 self-review:
+        # the list form used to treat a directory as a literal file and
+        # crash inside pq.ParquetFile with no hint)
+        paths.extend(
+            sorted(str(q) for q in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+        )
     fcols = [c for c, _, _ in filter] if filter else []
     parts: list[dict] = []
     for path in paths:
@@ -111,6 +117,15 @@ def plan_partitions(
         col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         arrow_schema = pf.schema_arrow
         col_types = {f.name: f.type for f in arrow_schema}
+        missing = [c for c in fcols if c not in col_types]
+        if missing:
+            # validate EVERY file at plan time (round-4 self-review: the
+            # driver guard only probed the first file, so schema drift
+            # crashed inside an encode actor hours into the job)
+            raise ValueError(
+                f"filter column(s) {missing} not in the schema of {path}; "
+                "all input files must carry the filter columns"
+            )
         n_rg = md.num_row_groups
         start = 0
         acc = 0
@@ -159,6 +174,79 @@ def plan_partitions(
     return parts
 
 
+def iter_blocks(table: pa.Table, block_rows: int, max_block_bytes: int):
+    """Split a row-group table into encode blocks bounded by rows AND
+    bytes — byte-accurate per row, so one megabyte blob among small
+    rows still closes its block at the cap instead of hiding behind
+    an average (the reference's one-batch-per-file simplification,
+    /root/reference/src/bin/js2pq/main.rs:119, is exactly the failure
+    mode this avoids). Module-level so both encoder classes share one
+    copy (round-4 self-review: OrderedStreamEncoder used to borrow the
+    method unbound with a foreign self)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    if n == 0:
+        return
+
+    def _var_lens(col) -> "np.ndarray":
+        return (
+            pc.fill_null(pc.binary_length(col.cast(pa.large_binary())), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    row_bytes = np.zeros(n, dtype=np.int64)
+    for name in table.column_names:
+        col = table[name]
+        t = col.type
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            row_bytes += _var_lens(col)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            counts = (
+                pc.fill_null(pc.list_value_length(ca), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vt = t.value_type
+            if (
+                pa.types.is_string(vt)
+                or pa.types.is_large_string(vt)
+                or pa.types.is_binary(vt)
+                or pa.types.is_large_binary(vt)
+            ):
+                # exact bytes: inner value lengths segment-summed per
+                # outer row (round-4 self-review: the old 8-bytes-per-
+                # element estimate let one list of multi-MB strings blow
+                # past max_block_bytes unnoticed — the giant-blob stall
+                # this cap exists to stop)
+                inner = _var_lens(pc.list_flatten(ca))
+                c_in = np.concatenate(([0], np.cumsum(inner)))
+                ends = np.cumsum(counts)
+                row_bytes += c_in[ends] - c_in[ends - counts]
+            else:
+                # fixed-width (or deeper-nested: width-8 floor) elements
+                row_bytes += counts * _width_or(vt, 8)
+        else:
+            row_bytes += _width_or(t, 8)
+    cum = np.cumsum(row_bytes)
+    pos = 0
+    while pos < n:
+        base = cum[pos - 1] if pos else 0
+        # furthest row index keeping the block under the byte cap
+        hi = int(np.searchsorted(cum, base + max_block_bytes, side="right"))
+        step = max(1, min(block_rows, hi - pos))
+        yield table.slice(pos, step)
+        pos += step
+
+
 class PartitionEncoder:
     """Actor-pool stage: one partition descriptor in -> one committed
     partition out (blocks parquet + manifest entry)."""
@@ -198,43 +286,7 @@ class PartitionEncoder:
         self.row_filter = row_filter
 
     def _iter_blocks(self, table: pa.Table):
-        """Split a row-group table into encode blocks bounded by rows AND
-        bytes — byte-accurate per row, so one megabyte blob among small
-        rows still closes its block at the cap instead of hiding behind
-        an average (the reference's one-batch-per-file simplification,
-        /root/reference/src/bin/js2pq/main.rs:119, is exactly the failure
-        mode this avoids)."""
-        import numpy as np
-        import pyarrow.compute as pc
-
-        n = table.num_rows
-        if n == 0:
-            return
-        row_bytes = np.zeros(n, dtype=np.int64)
-        for name in table.column_names:
-            col = table[name]
-            t = col.type
-            if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-                lens = pc.fill_null(
-                    pc.binary_length(col.cast(pa.large_binary())), 0
-                ).to_numpy(zero_copy_only=False)
-                row_bytes += lens.astype(np.int64)
-            elif pa.types.is_list(t) or pa.types.is_large_list(t):
-                lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
-                    zero_copy_only=False
-                )
-                row_bytes += lens.astype(np.int64) * _width_or(t.value_type, 8)
-            else:
-                row_bytes += _width_or(t, 8)
-        cum = np.cumsum(row_bytes)
-        pos = 0
-        while pos < n:
-            base = cum[pos - 1] if pos else 0
-            # furthest row index keeping the block under the byte cap
-            hi = int(np.searchsorted(cum, base + self.max_block_bytes, side="right"))
-            step = max(1, min(self.block_rows, hi - pos))
-            yield table.slice(pos, step)
-            pos += step
+        yield from iter_blocks(table, self.block_rows, self.max_block_bytes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         results: list[dict] = []
@@ -403,7 +455,9 @@ class OrderedStreamEncoder:
             for rg in range(part["rg_start"], part["rg_end"] + 1):
                 rg_table = pf.read_row_group(rg, columns=self.columns)
                 last_table = rg_table
-                for block in PartitionEncoder._iter_blocks(self, rg_table):
+                for block in iter_blocks(
+                    rg_table, self.block_rows, self.max_block_bytes
+                ):
                     out.append(
                         self.core.encode_table(
                             block,

@@ -90,21 +90,9 @@ class Manifest:
                     "record — written by an older rayenc partition-id scheme; "
                     "refusing to resume (re-encode into a fresh out_root)"
                 )
-            self.root.mkdir(parents=True, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".job.", suffix=".tmp")
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump(
-                        {"format_version": FORMAT_VERSION, "params": params},
-                        f,
-                        separators=(",", ":"),
-                    )
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self.job_record_path())
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
+            self._write_job_record(
+                {"format_version": FORMAT_VERSION, "params": params}
+            )
             return
         ver = rec.get("format_version")
         if ver != FORMAT_VERSION:
@@ -119,13 +107,39 @@ class Manifest:
             for k in STRICT_JOB_KEYS
             if old.get(k) != params.get(k)
         }
-        if mismatched:
+        if mismatched and self.committed_ids():
             raise ValueError(
                 f"resume parameter mismatch for {self.root}: {mismatched} — "
                 "committed partitions were encoded under the recorded values; "
                 "rerunning with different ones would mix rows from different "
                 "predicates/projections (use a fresh out_root)"
             )
+        # zero committed partitions: nothing was encoded under the old
+        # values, so a strict-param change is safe — rewrite rather than
+        # permanently locking a root whose first run failed pre-commit
+        # (round-4 self-review). Non-strict changes (level, enc_cap, ...)
+        # on a real resume rewrite too, so job.json reflects how the
+        # REMAINING partitions will be encoded; prior values are kept in
+        # param_history for audit.
+        if old != params:
+            rec2 = {"format_version": FORMAT_VERSION, "params": params}
+            history = list(rec.get("param_history", []))
+            history.append(old)
+            rec2["param_history"] = history
+            self._write_job_record(rec2)
+
+    def _write_job_record(self, record: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".job.", suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(record, f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.job_record_path())
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def committed_ids(self) -> set[str]:
         if not self.dir.is_dir():

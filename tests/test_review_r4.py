@@ -338,3 +338,130 @@ def test_connected_components_raises_when_round_budget_too_small(
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_labels(rd.from_arrow(pairs), max_rounds=2)
+
+
+def test_job_record_unlocks_when_nothing_committed(tmp_path):
+    """A strict-param change must be allowed when ZERO partitions are
+    committed (first run failed pre-commit), and non-strict changes on
+    resume must rewrite the record with history."""
+    from rayenc.manifest import Manifest
+    from rayenc.jobs import job_params
+
+    m = Manifest(str(tmp_path / "job"))
+    pa_ = job_params(
+        columns=None, level=3, block_rows=1000, max_block_bytes=1 << 20,
+        max_partition_bytes=1 << 24, hash_column=None,
+        filter=[["lang", "==", "python"]], stats="block", page_rows=None,
+        decode_weight=0.0, enc_cap=None, forced_codecs=None,
+    )
+    m.check_job(pa_)
+    pb = dict(pa_, filter=[["lang", "==", "go"]])
+    m.check_job(pb)  # no commits yet: must not raise, record rewritten
+    assert m.job_record()["params"]["filter"] == [["lang", "==", "go"]]
+    assert m.job_record()["param_history"][0]["filter"] == [["lang", "==", "python"]]
+    # simulate a committed partition: strict change now refuses
+    m.dir.mkdir(parents=True, exist_ok=True)
+    (m.dir / "deadbeef.json").write_text("{}")
+    with pytest.raises(ValueError, match="mismatch"):
+        m.check_job(pa_)
+    # non-strict change (enc_cap) still resumes and updates the record
+    pc_ = dict(pb, enc_cap=150.0)
+    m.check_job(pc_)
+    assert m.job_record()["params"]["enc_cap"] == 150.0
+
+
+def test_plan_partitions_validates_filter_on_every_file(tmp_path):
+    import pyarrow.parquet as pq_
+
+    from rayenc.jobs import plan_partitions
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    pq_.write_table(pa.table({"x": [1, 2], "lang": ["py", "go"]}), a)
+    pq_.write_table(pa.table({"x": [3, 4]}), b)  # lang missing
+    with pytest.raises(ValueError, match="filter column"):
+        plan_partitions([str(a), str(b)], filter=[("lang", "==", "py")])
+
+
+def test_plan_partitions_expands_directories_in_list_input(tmp_path):
+    import pyarrow.parquet as pq_
+
+    from rayenc.jobs import plan_partitions
+
+    d1 = tmp_path / "shard_a"
+    d1.mkdir()
+    pq_.write_table(pa.table({"x": [1]}), d1 / "f1.parquet")
+    pq_.write_table(pa.table({"x": [2]}), d1 / "f2.parquet")
+    parts = plan_partitions([str(d1)])
+    assert len(parts) == 2
+
+
+def test_iter_blocks_caps_list_of_string_payloads():
+    from rayenc.jobs import iter_blocks
+
+    big = "x" * (1 << 20)  # 1 MiB string
+    t = pa.table(
+        {
+            "payload": pa.array(
+                [[big] * 4] * 8, type=pa.list_(pa.string())
+            )  # 4 MiB per row
+        }
+    )
+    blocks = list(iter_blocks(t, block_rows=1000, max_block_bytes=8 << 20))
+    assert len(blocks) >= 4  # ~2 rows per 8 MiB block, not one 32 MiB block
+    assert all(b.num_rows <= 2 for b in blocks)
+
+
+def test_pivot_metric_rejects_reserved_tag_names():
+    from rayenc.histograms import pivot_metric
+
+    metric = {
+        "metric": "m",
+        "series": [
+            {"tags": ["count"], "tagValues": ["v"], "ts": [1],
+             "sumsDouble": [1.0], "sumsLong": [1], "count": [1]}
+        ],
+    }
+    with pytest.raises(ValueError, match="reserved"):
+        pivot_metric(metric, ["count"])
+
+
+def test_policy_parquet_applies_byte_stream_split(tmp_path):
+    import pyarrow.parquet as pq_
+
+    from rayenc.histograms import write_policy_parquet
+
+    t = pa.table(
+        {
+            "metric": pa.array(["m", "m"]),
+            "host": pa.array(["a", "b"]),
+            "ts": pa.array([[1], [2]], type=pa.list_(pa.int64())),
+            "sums_double": pa.array([[1.5], [2.5]], type=pa.list_(pa.float64())),
+            "sums_long": pa.array([[1], [2]], type=pa.list_(pa.int64())),
+            "count": pa.array([[1], [1]], type=pa.list_(pa.int64())),
+        }
+    )
+    p = str(tmp_path / "policy.parquet")
+    write_policy_parquet(t, p)
+    md = pq_.ParquetFile(p).metadata.row_group(0)
+    encs = {
+        md.column(i).path_in_schema: md.column(i).encodings
+        for i in range(md.num_columns)
+    }
+    assert "BYTE_STREAM_SPLIT" in encs["sums_double.list.element"]
+
+
+def test_write_flatbuffers_rejects_null_ts_elements(tmp_path):
+    from rayenc.histograms import write_flatbuffers_parquet
+
+    t = pa.table(
+        {
+            "metric": pa.array(["m"]),
+            "ts": pa.array([[1, None, 3]], type=pa.list_(pa.int64())),
+            "sums_double": pa.array([[1.0]], type=pa.list_(pa.float64())),
+            "sums_long": pa.array([[1]], type=pa.list_(pa.int64())),
+            "count": pa.array([[1]], type=pa.list_(pa.int64())),
+        }
+    )
+    with pytest.raises(ValueError, match="null element"):
+        write_flatbuffers_parquet(t, str(tmp_path / "fbs.parquet"))
