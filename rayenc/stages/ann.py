@@ -116,20 +116,43 @@ def _topk_reduce(cands: "ray.data.Dataset", k: int) -> pa.Table:
 
 
 def _emit_topk(
-    ids: np.ndarray, scores: np.ndarray, k: int, finite_only: bool = False
+    ids: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    finite_only: bool = False,
+    bm: np.ndarray | None = None,
+    q: np.ndarray | None = None,
+    pad: int = 8,
 ) -> pa.Table:
     """Per-query batch-local top-k candidates from a (n_q, n_vec) score
     matrix. Stable candidate order: score desc, then vec_id asc.
-    ``finite_only`` drops -inf entries (masked-out candidates)."""
+    ``finite_only`` drops -inf entries (masked-out candidates).
+
+    When ``bm``/``q`` are given the float32 GEMM scores are used only to
+    SELECT the top (k+pad) candidates; the emitted cos is then recomputed
+    per candidate as a float64 elementwise-multiply + row-sum — the one
+    kernel measured batch-shape-independent on this BLAS (sgemm/dgemm and
+    even dgemv results vary with the number of stacked rows), so a
+    query's scores never depend on which other queries share the call."""
     out_q, out_v, out_s = [], [], []
     kk = min(k, scores.shape[1])
+    sel = min(k + pad, scores.shape[1]) if bm is not None else kk
     for qi in range(scores.shape[0]):
-        order = np.lexsort((ids, -scores[qi]))[:kk]
+        order = np.lexsort((ids, -scores[qi]))[:sel]
         if finite_only:
             order = order[np.isfinite(scores[qi][order])]
+        if bm is not None and len(order):
+            cos = (bm[order].astype(np.float64) * q[qi].astype(np.float64)).sum(
+                axis=1
+            )
+            sub = np.lexsort((ids[order], -cos))[:kk]
+            order = order[sub]
+            svals = cos[sub]
+        else:
+            svals = scores[qi][order]
         out_q.extend([qi] * len(order))
         out_v.extend(ids[order].tolist())
-        out_s.extend(scores[qi][order].tolist())
+        out_s.extend(svals.tolist())
     return pa.table(
         {
             "query_id": pa.array(out_q, type=pa.int64()),
@@ -137,6 +160,16 @@ def _emit_topk(
             "cos": pa.array(out_s, type=pa.float64()),
         }
     )
+
+
+def _per_row(fn, mat: np.ndarray) -> np.ndarray:
+    """Apply ``fn`` to each row as a standalone (1, dim) matrix so a
+    row's result never depends on which other rows share the call (BLAS
+    gemm/gemv kernels pick different accumulation orders per batch
+    shape). Used on the QUERY side only — query batches are small."""
+    if not len(mat):
+        return fn(mat)
+    return np.concatenate([fn(mat[i : i + 1]) for i in range(len(mat))], axis=0)
 
 
 def knn_brute(
@@ -161,8 +194,9 @@ def knn_brute(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             bm, valid = _batch_matrix_valid(batch, vec_col)
-            scores = self.q @ _normalize(bm).T  # (n_q, n_valid)
-            return _emit_topk(ids[valid], scores, k)
+            bm = _normalize(bm)
+            scores = self.q @ bm.T  # (n_q, n_valid)
+            return _emit_topk(ids[valid], scores, k, bm=bm, q=self.q)
 
     cands = ds.map_batches(TopK, batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(cands, k)
@@ -258,7 +292,9 @@ def knn_ivf(
         _batch_matrix(train, vec_col), n_centroids, seed=seed
     )
     qn = _normalize(np.asarray(queries, dtype=np.float32))
-    qc = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    # per-row so a query's probe set never shifts with the batch shape
+    qcs = _per_row(lambda m: m @ cent.T, qn)
+    qc = np.argsort(-qcs, axis=1, kind="stable")[:, :n_probe]  # (n_q, n_probe)
     probe_mask = np.zeros((len(qn), len(cent)), dtype=bool)
     np.put_along_axis(probe_mask, qc, True, axis=1)
     state = ray.put((qn, cent, probe_mask))
@@ -277,7 +313,9 @@ def knn_ivf(
             allowed = self.probe_mask[:, cid]  # (n_q, n_valid)
             scores = self.q @ bm.T
             scores = np.where(allowed, scores, -np.inf)
-            return _emit_topk(ids[valid], scores, k, finite_only=True)
+            return _emit_topk(
+                ids[valid], scores, k, finite_only=True, bm=bm, q=self.q
+            )
 
     cands = ds.map_batches(IvfTopK, batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(cands, k)
@@ -310,7 +348,8 @@ def knn_lsh(
     union-of-probes mask made recall batch-composition-dependent)."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     planes = lsh_plan(qn.shape[1], n_planes)
-    qb = _bucket_of(qn, planes)
+    # per-row so a query's bucket never shifts with the batch shape
+    qb = _per_row(lambda m: _bucket_of(m, planes), qn)
     # (n_q, n_planes+1) probe buckets per query: own + 1-bit flips
     flips = np.concatenate(
         ([0], (1 << np.arange(n_planes, dtype=np.int64)))
@@ -340,7 +379,7 @@ def knn_lsh(
                 return _TOPK_SCHEMA.empty_table().drop_columns(["rank"])
             scores = self.q @ bm.T
             scores = np.where(allowed, scores, -np.inf)
-            return _emit_topk(ids, scores, k, finite_only=True)
+            return _emit_topk(ids, scores, k, finite_only=True, bm=bm, q=self.q)
 
     cands = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=concurrency)
     return _topk_reduce(cands, k)
