@@ -6,7 +6,7 @@ Built from scratch against the behavior of REASY/parquet-playground-rs
 (repo, path, commit, lang, content), ``map_batches`` over zero-copy
 Arrow batches into an actor-pool encode stage that samples each block's
 columns, auto-selects a codec (dict / rle / fsst / bitpack / foref /
-bss / zstd-plain), and writes compressed column blocks plus per-partition
+bss / alp / zstd-plain), and writes compressed column blocks plus per-partition
 codec lineage + metrics to a resumable manifest. Decode reproduces every
 value bit-identically (per-row content sha256 verified).
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from .alp import AlpCodec
 from .base import Codec
 from .bss import ByteStreamSplitCodec
 from .dictionary import DictionaryCodec
@@ -28,6 +29,7 @@ _REGISTRY: dict[str, Codec] = {
         ForefCodec(),
         BitpackCodec(),
         ByteStreamSplitCodec(),
+        AlpCodec(),
         FsstCodec(),
     ]
 }

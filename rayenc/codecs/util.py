@@ -93,14 +93,53 @@ def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
     return carriers.astype(np.uint64)
 
 
+def pack_planes(values: np.ndarray, width: int) -> bytes:
+    """Bit-PLANE-major packing: plane j holds bit j of every value
+    (BitWeaving/bit-slicing layout, public technique). Replaces the
+    element-major `pack_bits` on every zstd-wrapped path: the
+    element-major form pays a strided `bits[:, :width].ravel()` copy
+    that collapses at non-byte widths (measured 1.5-6 s per 500k values
+    at w=12-40 vs 7-38 ms plane-major), and plane-major exposes
+    near-constant high planes to zstd (sorted 24-bit stream: 1.40 MB ->
+    0.60 MB at the same level). fsst's token stream keeps `pack_bits`
+    (its C kernel writes that layout)."""
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    per = (n + 7) // 8
+    out = np.empty((width, per), dtype=np.uint8)
+    for j in range(width):
+        out[j] = np.packbits(
+            ((v >> np.uint64(j)) & np.uint64(1)).astype(np.uint8),
+            bitorder="little",
+        )
+    return out.tobytes()
+
+
+def unpack_planes(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of pack_planes -> uint64 array of length n."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    per = (n + 7) // 8
+    planes = np.frombuffer(buf, dtype=np.uint8).reshape(width, per)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        bits = np.unpackbits(planes[j], count=n, bitorder="little")
+        out |= bits.astype(np.uint64) << np.uint64(j)
+    return out
+
+
 def pack_bits_z(values: np.ndarray, width: int, level: int = 3) -> bytes:
-    """bit-pack then zstd (packed streams often still have structure)."""
-    return zstd_compress(pack_bits(values, width), level)
+    """bit-pack (plane-major) then zstd."""
+    return zstd_compress(pack_planes(values, width), level)
 
 
 def unpack_bits_z(buf: bytes, width: int, n: int) -> np.ndarray:
-    packed_len = (n * width + 7) // 8
-    return unpack_bits(zstd_decompress(buf, packed_len), width, n)
+    packed_len = width * ((n + 7) // 8)
+    return unpack_planes(zstd_decompress(buf, packed_len), width, n)
 
 
 # --------------------------------------------------------------------------

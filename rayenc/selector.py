@@ -133,6 +133,7 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
         cands.append("bss")
     elif is_floatlike(t):
         cands.append("bss")
+        cands.append("alp")  # decimal-scaled floats -> FOR-packed ints
         if dr < 0.2:
             cands.append("dict")
         if rr < 0.6:

@@ -18,7 +18,7 @@ from rayenc.corpus import edge_case_table
 
 STRING_CODECS = ["plain", "dict", "rle", "fsst"]
 INT_CODECS = ["plain", "dict", "rle", "foref", "bss"]
-FLOAT_CODECS = ["plain", "dict", "rle", "bss"]
+FLOAT_CODECS = ["plain", "dict", "rle", "bss", "alp"]
 
 EDGE_STRINGS = pa.array(
     [

@@ -57,7 +57,9 @@ def main() -> None:
     ints = pa.array(np.cumsum(rng.integers(0, 50, size=200_000)).astype(np.int64))
     cols["monotone_int(foref,bitpack,bss,plain)"] = (ints, ["foref", "bitpack", "bss", "plain"])
     floats = pa.array(rng.lognormal(3, 1, size=200_000))
-    cols["float(bss,plain)"] = (floats, ["bss", "plain"])
+    cols["float(bss,alp,plain)"] = (floats, ["bss", "alp", "plain"])
+    prices = pa.array(np.round(rng.uniform(1, 100_000, size=200_000), 2))
+    cols["decimal_float(alp,bss,plain)"] = (prices, ["alp", "bss", "plain"])
 
     results = []
     for label, (arr, codecs) in cols.items():
