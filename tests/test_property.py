@@ -179,3 +179,50 @@ def test_bloom_no_false_negative_property(values):
     assert bf is not None
     for v in set(values):
         assert bloom_may_contain(bf, v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=300),
+    st.integers(min_value=0, max_value=64),
+)
+def test_pack_planes_roundtrip_property(values, width):
+    """Plane-major bit packing inverts exactly for every width 0..64
+    (values masked to the width, as every caller guarantees)."""
+    from rayenc.codecs.util import pack_planes, unpack_planes
+
+    v = np.array(values, dtype=np.uint64)
+    if width < 64:
+        v &= np.uint64((1 << width) - 1)
+    buf = pack_planes(v, width)
+    assert len(buf) == width * ((len(v) + 7) // 8) if len(v) else len(buf) == 0
+    out = unpack_planes(buf, width, len(v))
+    assert np.array_equal(out, v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.decimals(
+                min_value=-10**6, max_value=10**6, places=2, allow_nan=False
+            ).map(float),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_alp_roundtrip_property(values):
+    """ALP must be bit-exact on ANY float mix — clean decimals, randoms,
+    NaN/inf/-0.0 — via its exception path."""
+    arr = pa.array(values, type=pa.float64())
+    from rayenc.codecs import get_codec
+
+    c = get_codec("alp")
+    params, sections = c.encode(arr)
+    dec = c.decode(params, sections, len(arr), pa.float64())
+    assert (
+        arr.to_numpy(zero_copy_only=True).tobytes()
+        == dec.to_numpy(zero_copy_only=True).tobytes()
+    )
