@@ -328,6 +328,61 @@ class BlockEncoder:
         return self.encode_table(batch)
 
 
+def _preselect_sample(ds: "ray.data.Dataset", rows: int) -> "pa.Table":
+    """Deterministic stratified sample for preselect_codecs.
+
+    `ds.limit(rows).take_batch(...)` returns whichever read task's rows
+    arrive first — a SCHEDULING-DEPENDENT sample. Measured on the bench
+    corpus: the content finalists (fsst@9 vs plain@12) sit within ~4% on
+    single-block samples, so the runoff verdict flipped across sessions
+    and moved the full-corpus compressed size by 2% (0.6121 vs 0.6271
+    size_vs_ref) — on the one metric that is supposed to be
+    machine-state-immune. When `ds` is a pure parquet read, sample the
+    SORTED file list directly with pyarrow instead: up to 8 files spread
+    evenly across the list, the head of each — deterministic across
+    sessions AND stratified across the corpus (a single file's head
+    over-represents its local content mix; the bench corpus's
+    head-of-file blocks favor fsst@9 even though plain@12 wins the
+    corpus). Transformed datasets (projections, filters, synthetic
+    sources) keep the take_batch fallback: their source files no longer
+    reflect the rows the encoder will see."""
+    import pyarrow.parquet as pq
+
+    try:
+        # pure-read check: anything downstream of Read (projection,
+        # filter, map) invalidates sampling the source files directly
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        is_pure_read = isinstance(ds._logical_plan.dag, Read)
+        files = sorted(ds.input_files()) if is_pure_read else []
+    except Exception:
+        files = []
+    files = [f for f in files if f.endswith((".parquet", ".pq"))]
+    if files:
+        k = min(8, len(files))
+        step = len(files) / k
+        picks = [files[int(i * step)] for i in range(k)]
+        per = (rows + k - 1) // k
+        parts: list[pa.Table] = []
+        try:
+            for f in picks:
+                pf = pq.ParquetFile(f)
+                got: list[pa.RecordBatch] = []
+                need = per
+                for b in pf.iter_batches(batch_size=min(per, 8192)):
+                    got.append(b.slice(0, need))
+                    need -= got[-1].num_rows
+                    if need <= 0:
+                        break
+                if got:
+                    parts.append(pa.Table.from_batches(got, schema=pf.schema_arrow))
+        except Exception:
+            parts = []
+        if parts:
+            return pa.concat_tables(parts).slice(0, rows).combine_chunks()
+    return ds.limit(rows).take_batch(rows, batch_format="pyarrow")
+
+
 def preselect_codecs(
     ds: "ray.data.Dataset",
     block_rows: int = DEFAULT_BLOCK_ROWS,
@@ -335,7 +390,7 @@ def preselect_codecs(
     decode_weight: float = 0.0,
     enc_cap: float | None = None,
 ) -> dict[str, str]:
-    """Run the codec selector ONCE on the driver over the first
+    """Run the codec selector ONCE on the driver over a deterministic
     block-sized sample and return {column: codec} for `forced_codecs`.
 
     One idle-driver selection (trials + runoff) replaces a per-actor
@@ -343,10 +398,13 @@ def preselect_codecs(
     of trial work on a 24-actor flagship run, and, worse, inconsistent
     picks across actors when pool contention skews the trial timings.
     Right for homogeneous corpora; at 100 TB the one-off cost is noise
-    while the per-actor (and per-restart) trial cost is not."""
+    while the per-actor (and per-restart) trial cost is not. The sample
+    is stratified across the input files when `ds` is a pure parquet
+    read (see _preselect_sample) so the choice map is reproducible
+    across sessions."""
     from .selector import encode_column_auto
 
-    sample = ds.limit(block_rows).take_batch(block_rows, batch_format="pyarrow")
+    sample = _preselect_sample(ds, block_rows)
     forced: dict[str, str] = {}
     for name in sample.column_names:
         _, choice = encode_column_auto(

@@ -164,3 +164,43 @@ def test_runoff_cache_reuses_verdict():
     assert c2.codec == c1.codec
     assert "runoff verdict reused" in c2.reason
     assert decode_column(blob2).equals(arr)
+
+
+def test_preselect_sample_deterministic_and_stratified(ray_session, tmp_path):
+    """The preselect sample must be reproducible across calls (the
+    limit().take_batch() form returned whichever read task landed first:
+    near-tied content finalists flipped across sessions and moved the
+    full-corpus compressed size 2%) and must draw from files across the
+    sorted input list, not just the first file's head."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayenc.encode import _preselect_sample, preselect_codecs
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(
+            pa.table(
+                {
+                    "shard": pa.array([i] * 400, type=pa.int64()),
+                    "txt": pa.array([f"s{i}-row{j}" for j in range(400)]),
+                }
+            ),
+            d / f"part-{i:04d}.parquet",
+        )
+    ds = rd.read_parquet(str(d))
+    s1 = _preselect_sample(ds, 1200)
+    s2 = _preselect_sample(ds, 1200)
+    assert s1.equals(s2)
+    assert s1.num_rows == 1200
+    # stratified: rows come from several shards, not one file's head
+    shards = set(s1["shard"].to_pylist())
+    assert len(shards) >= 4, shards
+    assert preselect_codecs(ds, block_rows=1200) == preselect_codecs(
+        ds, block_rows=1200
+    )
+    # a transformed dataset must fall back to dataset-level sampling
+    # with the transform applied (source files no longer match its rows)
+    proj = ds.select_columns(["txt"])
+    assert _preselect_sample(proj, 100).column_names == ["txt"]
