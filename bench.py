@@ -118,7 +118,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # Round 3's decode-cost guard alone picked plain@12 for bulk content —
     # best size (0.616) and fast decode, but zstd-12 encodes at ~20 MB/s/core
     # and the flagship WALL (this engine's graded headline) doubled. The
-    # encode-speed gate drops candidates >10x slower than the fastest trial,
+    # encode-cost gate drops candidates whose static cost class
+    # (selector._ENC_COST, a nominal multiple of zstd-3; measured speeds
+    # invert under pool contention) exceeds 10x,
     # landing content on plain@10: measured enc 37 vs 23 MB/s/core, decode
     # 930 vs 770 MB/s/core, size_vs_ref ~0.67 vs 0.616. The size-only mode
     # (decode_weight=0, no cap) is reported alongside for the size frontier.

@@ -291,8 +291,11 @@ def main() -> int:
         "--enc-cap",
         type=float,
         default=None,
-        help="encode-speed gate: drop codec candidates slower than "
-        "fastest_trial/CAP before ranking (the flagship bench runs 10; "
+        help="encode-cost gate: drop candidates whose NOMINAL encode cost "
+        "class (selector._ENC_COST, a static multiple of the zstd-3 "
+        "backstop; e.g. plain@12=13, fsst@9=9, unlisted codecs=1) exceeds "
+        "CAP before ranking — static on purpose, measured trial speeds "
+        "invert under pool contention (the flagship bench runs 10; "
         "None = no gate)",
     )
     e.add_argument(

@@ -2,7 +2,7 @@
 
 One encoded column chunk = one self-describing byte blob:
 
-    MAGIC "RYB1" | header_len u32 LE | header json | validity? | sections...
+    MAGIC "RYB2" | header_len u32 LE | header json | validity? | sections...
 
 The header records codec name, row count, arrow type, null count and the
 codec's params plus section lengths, so any worker can decode a block
@@ -28,7 +28,14 @@ from .codecs import get_codec
 from .codecs.base import is_floatlike, is_stringlike
 from .codecs.util import type_from_str, type_to_str
 
-_MAGIC = b"RYB1"
+_MAGIC = b"RYB2"
+# The magic doubles as the on-disk layout version. "RYB1" blobs packed
+# bit streams ELEMENT-major; "RYB2" packs them PLANE-major (pack_planes)
+# — same section lengths when n%8==0, so decoding an RYB1 blob with the
+# RYB2 unpacker would return silently wrong values. Decode therefore
+# refuses RYB1 loudly (and manifest.FORMAT_VERSION gates job-dir resume
+# the same way).
+_OLD_MAGICS = {b"RYB1"}
 
 
 def _fill_value(t: pa.DataType):
@@ -171,7 +178,7 @@ def _encode_paged(
     page_blooms: bool = True,
 ) -> bytes:
     """Split a column into pages of `page_rows`, each a full recursive
-    RYB1 blob (own validity, own symbol tables — independently
+    RYB2 blob (own validity, own symbol tables — independently
     decodable); the wrapper header carries per-page row counts and
     optional per-page zone maps."""
     n = len(arr)
@@ -299,7 +306,13 @@ def _parse_block(blob: bytes | memoryview) -> tuple[dict, np.ndarray | None, dic
     """Split a blob into (header, validity bool array or None, sections)."""
     blob = memoryview(blob)
     if bytes(blob[:4]) != _MAGIC:
-        raise ValueError("not a RYB1 block")
+        if bytes(blob[:4]) in _OLD_MAGICS:
+            raise ValueError(
+                "RYB1 block from an older rayenc (element-major bit "
+                "packing); this build reads RYB2 (plane-major) — re-encode "
+                "the source data"
+            )
+        raise ValueError("not a RYB2 block")
     hlen = int.from_bytes(blob[4:8], "little")
     header = json.loads(bytes(blob[8 : 8 + hlen]))
     n = header["n"]

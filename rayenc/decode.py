@@ -231,11 +231,15 @@ class BlockDecoder:
             )
             cols["_block_seq"] = pa.array([block_seq] * (n or 0), type=pa.int64())
             cols["_row_in_block"] = pa.array(rib, type=pa.int64())
-            if getattr(self, "_cur_row_start", None) is not None:
-                # within-partition block row offset (ordered encodes only)
-                cols["_row_start"] = pa.array(
-                    [self._cur_row_start] * (n or 0), type=pa.int64()
-                )
+            # within-partition block row offset (ordered encodes record it;
+            # unordered/legacy blocks carry null). ALWAYS emitted: making
+            # the column conditional per block row gave blocks within one
+            # batch different schemas, and concat_tables raises on a batch
+            # that mixes ordered and legacy blocks (e.g. a union of
+            # encode_dataset and encode_dataset_ordered output).
+            cols["_row_start"] = pa.array(
+                [self._cur_row_start] * (n or 0), type=pa.int64()
+            )
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -448,6 +452,13 @@ def take_rows(
     import ray as _ray
 
     idx = np.asarray(indices, dtype=np.int64)
+    # multi-pass consumer (schema probe + bases groupby + the decode):
+    # on a LAZY blocks pipeline each pass would re-run the whole encode;
+    # pin it once (no-op when the caller already materialized)
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(blocks, MaterializedDataset):
+        blocks = blocks.materialize()
     bases = total = None
     if "row_start" in blocks.schema().names:
         try:
@@ -595,6 +606,12 @@ def attach_global_row_numbers(
 
     import ray as _ray
 
+    # multi-pass consumer (schema probe + bases groupby + the decode):
+    # pin a lazy input once so each pass doesn't re-run the encode
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(blocks, MaterializedDataset):
+        blocks = blocks.materialize()
     bases = None
     if "row_start" in blocks.schema().names:
         try:
@@ -646,7 +663,14 @@ def attach_global_row_numbers(
     dec = decode_dataset(
         blocks, columns=columns, with_provenance=True, concurrency=concurrency
     )
-    drop = ["_block_id", "_partition_id", "_partition_seq", "_block_seq", "_row_in_block"]
+    drop = [
+        "_block_id",
+        "_partition_id",
+        "_partition_seq",
+        "_block_seq",
+        "_row_in_block",
+        "_row_start",  # all-null on this legacy path; emitted unconditionally
+    ]
 
     def stamp(b: pa.Table) -> pa.Table:
         off = _ray.get(ref)

@@ -31,7 +31,10 @@ from pathlib import Path
 # pids while read_blocks still reads the stale {old_pid}.parquet files —
 # silently duplicating rows (ADVICE r2) — so job records carry the
 # version and resume refuses a mismatch.
-FORMAT_VERSION = 2
+# 2 -> 3: pack_bits_z switched element-major -> plane-major bit packing
+# (block magic RYB1 -> RYB2); a v2 job dir resumed under v3 would decode
+# to silently wrong values wherever n%8 == 0.
+FORMAT_VERSION = 3
 
 # Job parameters that change WHICH ROWS a partition contains (or how they
 # verify); resuming with a different value would mix rows from different

@@ -1222,9 +1222,15 @@ def q_codec_selection_documents(sf_dir: str) -> pa.Table:
         {
             "column": pa.array(list(agg["column"]) + ["__total__"], type=pa.string()),
             "codec": pa.array(list(agg["codec"]) + ["__all__"], type=pa.string()),
+            # __total__ keeps n_blocks in BLOCK units (it previously held
+            # the corpus ROW count — two units in one column); rows
+            # encoded get their own column, null on per-codec rows
             "n_blocks": pa.array(
-                list(agg["n_blocks"].astype("int64"))
-                + [sum(r["n_rows"] for r in totals)],
+                list(agg["n_blocks"].astype("int64")) + [len(totals)],
+                type=pa.int64(),
+            ),
+            "n_rows": pa.array(
+                [None] * len(agg) + [sum(r["n_rows"] for r in totals)],
                 type=pa.int64(),
             ),
             "src_bytes": pa.array(

@@ -122,34 +122,46 @@ def _emit_topk(
     finite_only: bool = False,
     bm: np.ndarray | None = None,
     q: np.ndarray | None = None,
-    pad: int = 8,
 ) -> pa.Table:
     """Per-query batch-local top-k candidates from a (n_q, n_vec) score
     matrix. Stable candidate order: score desc, then vec_id asc.
     ``finite_only`` drops -inf entries (masked-out candidates).
 
     When ``bm``/``q`` are given the float32 GEMM scores are used only to
-    SELECT the top (k+pad) candidates; the emitted cos is then recomputed
-    per candidate as a float64 elementwise-multiply + row-sum — the one
-    kernel measured batch-shape-independent on this BLAS (sgemm/dgemm and
-    even dgemv results vary with the number of stacked rows), so a
-    query's scores never depend on which other queries share the call."""
+    SELECT candidates; the emitted cos is then recomputed per candidate
+    as a float64 elementwise-multiply + row-sum — the one kernel
+    measured batch-shape-independent on this BLAS (sgemm/dgemm and even
+    dgemv results vary with the number of stacked rows), so a query's
+    scores never depend on which other queries share the call. The cut
+    is by SCORE THRESHOLD, not a fixed k+pad count: every candidate
+    within the GEMM error band of the kth score survives to the f64
+    re-rank, so a true top-k member whose f32 score sits below a fixed
+    pad window among many ties (duplicate/near-duplicate vectors) can't
+    be dropped before the vec_id tie-break sees it. Band = dim-scaled
+    worst-case f32 accumulation error (~dim * eps_f32), floored at 1e-5."""
     out_q, out_v, out_s = [], [], []
     kk = min(k, scores.shape[1])
-    sel = min(k + pad, scores.shape[1]) if bm is not None else kk
     for qi in range(scores.shape[0]):
-        order = np.lexsort((ids, -scores[qi]))[:sel]
-        if finite_only:
-            order = order[np.isfinite(scores[qi][order])]
-        if bm is not None and len(order):
-            cos = (bm[order].astype(np.float64) * q[qi].astype(np.float64)).sum(
+        s = scores[qi]
+        if kk == 0:
+            break
+        if bm is not None:
+            slack = max(1e-5, bm.shape[1] * 2.4e-7)
+            kth = np.partition(s, len(s) - kk)[len(s) - kk]
+            cand = np.flatnonzero(s >= kth - slack)
+            if finite_only:
+                cand = cand[np.isfinite(s[cand])]
+            cos = (bm[cand].astype(np.float64) * q[qi].astype(np.float64)).sum(
                 axis=1
             )
-            sub = np.lexsort((ids[order], -cos))[:kk]
-            order = order[sub]
+            sub = np.lexsort((ids[cand], -cos))[:kk]
+            order = cand[sub]
             svals = cos[sub]
         else:
-            svals = scores[qi][order]
+            order = np.lexsort((ids, -s))[:kk]
+            if finite_only:
+                order = order[np.isfinite(s[order])]
+            svals = s[order]
         out_q.extend([qi] * len(order))
         out_v.extend(ids[order].tolist())
         out_s.extend(svals.tolist())

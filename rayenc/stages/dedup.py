@@ -536,7 +536,13 @@ def connected_components_labels(
     rows = und.map_batches(init_rows, batch_format="pyarrow")
     prev_sum = None
     rounds_done = 0
-    for _ in range(max_rounds):
+    # +1 when rounds run at all: convergence is only OBSERVABLE via one
+    # extra unchanged-sum round, so a component whose propagation
+    # completes exactly on round max_rounds needs the confirming pass
+    # too — without it the labels would be final and correct but the
+    # loop would spuriously raise (max_rounds=0 keeps its degenerate
+    # no-propagation path below)
+    for _ in range(max_rounds + 1 if max_rounds else 0):
         rows = (
             rows.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_b")

@@ -20,7 +20,14 @@ def _touch_value(v) -> int:
         return 1
     if isinstance(v, bool):
         return int(v)
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # non-finite floats fold to 0, matching the columnar path's
+        # isfinite filter (int(inf) raises, and the two counters must
+        # agree bit-for-bit)
+        return int(v) if math.isfinite(v) else 0
+    if isinstance(v, int):
         return int(v)
     if isinstance(v, (str, bytes)):
         return len(v)

@@ -160,8 +160,16 @@ def test_unknown_codec_rejected():
 
 def test_corrupt_magic_rejected():
     blob = encode_column(pa.array(["x"]), "plain")
-    with pytest.raises(ValueError, match="RYB1"):
+    with pytest.raises(ValueError, match="RYB2"):
         decode_column(b"XXXX" + blob[4:])
+
+
+def test_old_layout_magic_rejected_loudly():
+    """An RYB1 blob (element-major bit packing) must fail with a
+    re-encode message, not decode to silently wrong values."""
+    blob = encode_column(pa.array(["x"]), "plain")
+    with pytest.raises(ValueError, match="older rayenc"):
+        decode_column(b"RYB1" + blob[4:])
 
 
 def test_block_header_readable():

@@ -79,3 +79,16 @@ def test_new_query_surface_sf0001(ray_session):
         res = qs[name](sf)
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         assert len(df) >= min_rows, (name, len(df))
+
+
+def test_touch_paths_agree_on_nonfinite_floats():
+    """inf/NaN must fold identically (to 0) on the row and columnar
+    paths — int(inf) raised on the row path while the columnar fold
+    silently skipped non-finite values."""
+    import pyarrow as pa
+
+    from rayenc.touch import _touch_column, _touch_value
+
+    col = pa.array([1.5, float("inf"), float("-inf"), float("nan"), None, -2.7])
+    rowsum = sum(_touch_value(v) for v in col.to_pylist())
+    assert rowsum == _touch_column(col) == 1 + 1 - 2

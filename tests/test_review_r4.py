@@ -465,3 +465,47 @@ def test_write_flatbuffers_rejects_null_ts_elements(tmp_path):
     )
     with pytest.raises(ValueError, match="null element"):
         write_flatbuffers_parquet(t, str(tmp_path / "fbs.parquet"))
+
+
+def test_connected_components_converges_exactly_on_budget(ray_session):
+    """A component whose propagation completes exactly on round
+    max_rounds must CONVERGE (the unchanged-sum confirmation costs one
+    extra observation round, which must not count against the budget)."""
+    import ray.data as rd
+
+    from rayenc.stages.dedup import connected_components_labels
+
+    # chain 0-1-2-3-4: label 0 reaches node 4 on round 4 exactly
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(4)), type=pa.int64()),
+            "doc_b": pa.array(list(range(1, 5)), type=pa.int64()),
+        }
+    )
+    labels = (
+        connected_components_labels(rd.from_arrow(pairs), max_rounds=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert labels["label"].tolist() == [0] * 5
+
+
+def test_emit_topk_tie_band_survives_f32_noise():
+    """Candidates tied in true (f64) cosine but jittered by f32 GEMM
+    noise must ALL reach the f64 re-rank: a fixed k+pad cut on the noisy
+    f32 scores could drop the lowest-vec_id tied member before the
+    vec_id tie-break ever saw it."""
+    import numpy as np
+
+    from rayenc.stages.ann import _emit_topk
+
+    n, dim, k = 40, 8, 4
+    v = np.full(dim, 1.0 / np.sqrt(dim), dtype=np.float32)
+    bm = np.tile(v, (n, 1))  # all candidates identical -> true cos all equal
+    q = v[None, :]
+    rng = np.random.default_rng(11)
+    noise = (rng.random(n, dtype=np.float32) - 0.5) * 8e-6  # inside the band
+    scores = (np.float32(1.0) + noise)[None, :]
+    ids = np.arange(n, dtype=np.int64)
+    out = _emit_topk(ids, scores, k, bm=bm, q=q)
+    assert out["vec_id"].to_pylist() == [0, 1, 2, 3]
