@@ -28,6 +28,16 @@ SAMPLE_BYTES = 2 << 20       # cap trial sample at 2 MiB of string payload
 FSST_SAMPLE_BYTES = 128 << 10  # fsst trials are costlier; train on less
 FSST_MAX_AVG_LEN = 1024      # fsst targets short/medium strings
 RUNOFF_PAYLOAD_BYTES = 12 << 20  # past ~1.5 zstd windows, sample trials lie
+RUNOFF_SLICE_BYTES = 24 << 20  # 3 zstd windows: the fsst-vs-plain winner is
+# stable from here on (measured on the bench corpus: winner flips at
+# 16->24 MiB and never again through 64 MiB — the window-stretch
+# advantage only grows with payload), so a jumbo payload's runoff can be
+# judged on a slice this size instead of a full double encode
+RUNOFF_SLICE_ENGAGE = 2.5  # cap only when payload >= 2.5x the slice:
+# capped cost is 2*slice + payload vs 2*payload full, so below ~2x the
+# cap is a net loss; 2.5x keeps a clear win
+RUNOFF_TIE_BAND = 0.03  # a capped verdict inside this relative margin is
+# too close to trust at reduced size; re-run the full-payload runoff
 
 
 @dataclass
@@ -286,6 +296,49 @@ def select_codec(
     return Choice(best_name, stats, trials, reason, dec_mbps, all_ratios, enc_mbps)
 
 
+def _capped_runoff_verdict(
+    arr: pa.Array, a: str, b: str, level: int, w: float
+) -> tuple[str, dict[str, int], dict[str, float], float] | None:
+    """Judge the runoff finalists on a RUNOFF_SLICE_BYTES head slice.
+
+    Returns (winner, slice_sizes, slice_dec_mbps, margin), or None when
+    the slice verdict cannot be trusted: a finalist failed to encode the
+    slice (let the full runoff's failure handling decide), or the margin
+    sits inside RUNOFF_TIE_BAND (near-tie at reduced size — fsst's ratio
+    still improves past the slice while plain's is flat, so a thin slice
+    margin can invert at full size; re-run the full runoff)."""
+    import time as _time
+
+    from .blocks import decode_column as _dc
+
+    avg = max(arr.nbytes // max(len(arr), 1), 1)
+    sl = arr.slice(0, max(16, int(RUNOFF_SLICE_BYTES // avg)))
+    blobs: dict[str, bytes] = {}
+    for name in (a, b):
+        try:
+            blobs[name] = encode_column(sl, name, level)
+        except Exception:
+            return None
+    nb = max(sl.nbytes, 1)
+    ratios = {k: len(v) / nb for k, v in blobs.items()}
+    speeds: dict[str, float] = {}
+    if w > 0:
+        for k, blob in blobs.items():
+            _dc(blob)  # warm pass (cold setup over-charges fsst, see trials)
+            t0 = _time.perf_counter()
+            _dc(blob)
+            speeds[k] = round(nb / max(_time.perf_counter() - t0, 1e-9) / 1e6, 1)
+        scores = _decode_weighted(ratios, speeds, w)
+    else:
+        scores = dict(ratios)
+    winner = min(scores, key=scores.get)  # type: ignore[arg-type]
+    loser = b if winner == a else a
+    margin = (scores[loser] - scores[winner]) / max(scores[loser], 1e-12)
+    if margin < RUNOFF_TIE_BAND:
+        return None
+    return winner, {k: len(v) for k, v in blobs.items()}, speeds, margin
+
+
 def _decode_weighted(
     ratios: dict[str, float], dec_mbps: dict[str, float], w: float
 ) -> dict[str, float]:
@@ -460,6 +513,53 @@ def encode_column_auto(
                         choice.ratios,
                         choice.enc_mbps,
                     )
+        if arr.nbytes >= RUNOFF_SLICE_ENGAGE * RUNOFF_SLICE_BYTES:
+            # jumbo payload: judge the finalists on a 3-window slice and
+            # encode only the winner at full size (2*slice + payload vs
+            # 2*payload) — the ROADMAP #3 first-runoff cost model. The
+            # tie band falls back to the full runoff, and a slice-encode
+            # failure falls through to the full path's failure handling.
+            verdict = _capped_runoff_verdict(
+                arr, choice.codec, rival, level, decode_weight
+            )
+            if verdict is not None:
+                winner, sizes, speeds, margin = verdict
+                try:
+                    blob = encode_column(
+                        arr, winner, level, page_rows, page_zones, page_blooms
+                    )
+                except Exception:
+                    choice = Choice(
+                        "plain",
+                        choice.stats,
+                        choice.trials,
+                        f"{winner} failed on full data; zstd backstop",
+                    )
+                    blob = encode_column(
+                        arr, "plain", level, page_rows, page_zones, page_blooms
+                    )
+                    return blob, choice
+                sr = {k: choice.ratios[k] for k in pair if k in choice.ratios}
+                if runoff_cache is not None and sr:
+                    runoff_cache.clear()
+                    runoff_cache.update({"pair": pair, "sr": sr, "winner": winner})
+                trials = dict(choice.trials)
+                for k, v in sizes.items():
+                    trials[f"runoff24:{k}"] = v
+                dec = dict(choice.dec_mbps)
+                dec.update({f"runoff24:{k}": v for k, v in speeds.items()})
+                loser = rival if winner == choice.codec else choice.codec
+                return blob, Choice(
+                    winner,
+                    choice.stats,
+                    trials,
+                    f"capped runoff ({RUNOFF_SLICE_BYTES >> 20}MiB slice) "
+                    f"chose {winner} over {loser} (margin {margin:.1%})"
+                    + (f" at decode_weight={decode_weight}" if decode_weight else ""),
+                    dec,
+                    choice.ratios,
+                    choice.enc_mbps,
+                )
         degraded = False
         try:
             blob_a = encode_column(arr, choice.codec, level, page_rows, page_zones, page_blooms)

@@ -204,3 +204,70 @@ def test_preselect_sample_deterministic_and_stratified(ray_session, tmp_path):
     # with the transform applied (source files no longer match its rows)
     proj = ds.select_columns(["txt"])
     assert _preselect_sample(proj, 100).column_names == ["txt"]
+
+
+def _word_soup(n_rows: int = 3600, seed: int = 5) -> pa.Array:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{i:03d}" for i in range(200)]
+    return pa.array(
+        [
+            " ".join(words[j] for j in rng.integers(0, 200, size=800))
+            for _ in range(n_rows)
+        ]
+    )  # ~13.7 MiB > RUNOFF_PAYLOAD_BYTES
+
+
+def test_capped_runoff_verdict_matches_full_payload_winner(monkeypatch):
+    """ROADMAP #3 first-runoff cost model: the slice verdict must agree
+    with the full double-encode's winner (measured property: the
+    fsst-vs-plain inversion is fully expressed past ~3 zstd windows and
+    only grows, so a multi-window slice predicts the full payload)."""
+    from rayenc import selector as sel
+    from rayenc.blocks import encode_column
+
+    arr = _word_soup()
+    monkeypatch.setattr(sel, "RUNOFF_SLICE_BYTES", 1 << 20)
+    v = sel._capped_runoff_verdict(arr, "plain@9", "fsst@9", 3, 0.0)
+    assert v is not None, "margin must be decisive on this corpus"
+    winner, sizes, _, margin = v
+    assert set(sizes) == {"plain@9", "fsst@9"}
+    assert margin >= sel.RUNOFF_TIE_BAND
+    fa = len(encode_column(arr, "plain@9", 3))
+    fb = len(encode_column(arr, "fsst@9", 3))
+    assert winner == ("plain@9" if fa < fb else "fsst@9")
+
+
+def test_capped_runoff_path_encodes_loser_on_slice_only(monkeypatch):
+    """A jumbo payload takes the capped path: lineage says so, the blob
+    round-trips, and the verdict seeds the runoff cache so the next
+    block skips even the slice encodes."""
+    from rayenc import selector as sel
+
+    arr = _word_soup()
+    monkeypatch.setattr(sel, "RUNOFF_SLICE_BYTES", 1 << 20)  # engage at 2.5 MiB
+    cache: dict = {}
+    blob, c = sel.encode_column_auto(arr, runoff_cache=cache)
+    assert c.reason.startswith("capped runoff (1MiB slice)")
+    assert any(k.startswith("runoff24:") for k in c.trials)
+    assert decode_column(blob).equals(arr)
+    assert cache and cache["winner"] == c.codec
+    blob2, c2 = sel.encode_column_auto(arr, runoff_cache=cache)
+    assert "runoff verdict reused" in c2.reason
+    assert c2.codec == c.codec
+
+
+def test_capped_runoff_tie_band_falls_back_to_full(monkeypatch):
+    """Inside the tie band the slice cannot be trusted (fsst's ratio
+    still improves past the slice while plain's is flat): the full
+    double-encode runoff must run instead."""
+    from rayenc import selector as sel
+
+    arr = _word_soup()
+    monkeypatch.setattr(sel, "RUNOFF_SLICE_BYTES", 1 << 20)
+    monkeypatch.setattr(sel, "RUNOFF_TIE_BAND", 1.0)  # every margin ties
+    blob, c = sel.encode_column_auto(arr)
+    assert "capped runoff" not in c.reason
+    assert any(k.startswith("runoff:") for k in c.trials)
+    assert decode_column(blob).equals(arr)
