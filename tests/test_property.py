@@ -226,3 +226,80 @@ def test_alp_roundtrip_property(values):
         arr.to_numpy(zero_copy_only=True).tobytes()
         == dec.to_numpy(zero_copy_only=True).tobytes()
     )
+
+
+# ---- whole-table fuzz: random schema through the full block container ----
+# (the per-column properties above can't catch cross-column container
+# bugs: zone/bloom map interactions, hash-chain coverage, page layouts
+# mixing with scalars, provenance typing on empty blocks)
+
+_COLUMN_KINDS = {
+    "str": (pa.string(), TEXT),
+    "int": (pa.int64(), INTS),
+    "float": (pa.float64(), FLOATS),
+    "bool": (pa.bool_(), st.one_of(st.none(), st.booleans())),
+    "list_int": (pa.list_(pa.int64()), st.one_of(st.none(), st.lists(INTS, max_size=6))),
+    "struct": (STRUCT_T, st.one_of(st.none(), st.fixed_dictionaries({"a": INTS, "b": TEXT}))),
+    "decimal": (
+        pa.decimal128(12, 2),
+        st.one_of(st.none(), st.decimals(min_value=-(10**9), max_value=10**9, places=2)),
+    ),
+}
+
+
+@st.composite
+def _random_table(draw):
+    kinds = draw(
+        st.lists(st.sampled_from(sorted(_COLUMN_KINDS)), min_size=1, max_size=4)
+    )
+    n = draw(st.integers(min_value=0, max_value=40))
+    cols, names = {}, []
+    for i, kind in enumerate(kinds):
+        typ, vals = _COLUMN_KINDS[kind]
+        name = f"c{i}_{kind}"
+        names.append(name)
+        cols[name] = pa.array([draw(vals) for _ in range(n)], type=typ)
+    return pa.table(cols)
+
+
+def _tables_agree(got: pa.Table, want: pa.Table):
+    assert got.schema.equals(want.schema), (got.schema, want.schema)
+    for name in want.column_names:
+        for g, w in zip(got[name].to_pylist(), want[name].to_pylist()):
+            if isinstance(w, float) and isinstance(g, float) and np.isnan(w):
+                assert np.isnan(g), name
+            else:
+                assert g == w, (name, g, w)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    _random_table(),
+    st.sampled_from(["none", "block", "page"]),
+    st.integers(min_value=2, max_value=9),
+)
+def test_table_roundtrip_fuzz(table, stats, page_rows):
+    """Any generated schema must round-trip bit-identically through
+    BlockEncoder -> BlockDecoder at every stats level, with projection
+    decode agreeing and provenance columns typed even on empty blocks."""
+    from rayenc.decode import BlockDecoder
+    from rayenc.encode import BlockEncoder
+
+    enc = BlockEncoder(
+        hash_column=None,
+        stats=stats,
+        page_rows=page_rows if stats == "page" else None,
+        retrial_blocks=0,
+    )
+    blocks = enc.encode_table(table)
+    assert blocks.num_rows == 1
+    got = BlockDecoder()(blocks)
+    _tables_agree(got.select(table.column_names), table)
+    # projection decode: first column only
+    first = table.column_names[0]
+    proj = BlockDecoder(columns=[first])(blocks)
+    _tables_agree(proj.select([first]), table.select([first]))
+    # provenance columns present and typed
+    prov = BlockDecoder(with_provenance=True)(blocks)
+    assert prov["_row_in_block"].type == pa.int64()
+    assert prov.num_rows == table.num_rows
