@@ -311,8 +311,13 @@ def _capped_runoff_verdict(
 
     from .blocks import decode_column as _dc
 
-    avg = max(arr.nbytes // max(len(arr), 1), 1)
-    sl = arr.slice(0, max(16, int(RUNOFF_SLICE_BYTES // avg)))
+    # row count from EXACT cumulative payload lengths, not the column
+    # average: a head of short rows sliced by average yields a
+    # sub-window slice — precisely the regime where samples lie
+    lens = pc.fill_null(pc.binary_length(arr), 0).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(lens, dtype=np.int64)
+    rows = int(np.searchsorted(cum, RUNOFF_SLICE_BYTES, side="left")) + 1
+    sl = arr.slice(0, max(16, min(rows, len(arr))))
     blobs: dict[str, bytes] = {}
     for name in (a, b):
         try:
@@ -545,9 +550,9 @@ def encode_column_auto(
                     runoff_cache.update({"pair": pair, "sr": sr, "winner": winner})
                 trials = dict(choice.trials)
                 for k, v in sizes.items():
-                    trials[f"runoff24:{k}"] = v
+                    trials[f"runoff_slice:{k}"] = v
                 dec = dict(choice.dec_mbps)
-                dec.update({f"runoff24:{k}": v for k, v in speeds.items()})
+                dec.update({f"runoff_slice:{k}": v for k, v in speeds.items()})
                 loser = rival if winner == choice.codec else choice.codec
                 return blob, Choice(
                     winner,

@@ -250,7 +250,7 @@ def test_capped_runoff_path_encodes_loser_on_slice_only(monkeypatch):
     cache: dict = {}
     blob, c = sel.encode_column_auto(arr, runoff_cache=cache)
     assert c.reason.startswith("capped runoff (1MiB slice)")
-    assert any(k.startswith("runoff24:") for k in c.trials)
+    assert any(k.startswith("runoff_slice:") for k in c.trials)
     assert decode_column(blob).equals(arr)
     assert cache and cache["winner"] == c.codec
     blob2, c2 = sel.encode_column_auto(arr, runoff_cache=cache)
