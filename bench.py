@@ -86,8 +86,35 @@ def ensure_corpus() -> tuple[str, dict]:
         return out_dir, json.load(f)
 
 
+def vm_fault_probe(mb: int = 192) -> dict:
+    """First-touch page-fault throughput of a fresh anonymous mapping —
+    the measured root cause of the ~3x cross-session variance band
+    (BASELINE round-4: degraded host states fault at ~20-75 MB/s while
+    warm memcpy stays at multi-GB/s). Reported in every bench JSON so a
+    sample is self-describing: read size_vs_ref as the state-immune
+    metric when fault_mbps is low."""
+    import numpy as np
+
+    n = mb << 20
+    t0 = time.perf_counter()
+    a = np.zeros(n, dtype=np.uint8)  # calloc is lazy; the touch faults
+    a[::4096] = 1
+    fault_s = max(time.perf_counter() - t0, 1e-9)
+    b = np.empty(n, dtype=np.uint8)
+    b[::4096] = 1  # pre-fault the copy destination (untimed)
+    t0 = time.perf_counter()
+    np.copyto(b, a)
+    copy_s = max(time.perf_counter() - t0, 1e-9)
+    return {
+        "fault_mbps": round(mb / fault_s, 1),
+        "warm_copy_mbps": round(mb / copy_s, 1),
+    }
+
+
 def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray
+
+    vm_state = vm_fault_probe()
 
     ray.init(
         address="local",
@@ -289,6 +316,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "queries": query_times,
         "query_bands": query_bands,
         "query_runs": q_runs,
+        "vm_state": vm_state,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "corpus_rows": meta["rows"],

@@ -170,10 +170,20 @@ class BlockDecoder:
         columns: list[str] | None = None,
         with_provenance: bool = False,
         filter: list[Predicate] | None = None,
+        fill_missing: "pa.Schema | dict[str, pa.DataType] | None" = None,
     ):
         self.columns = columns
         self.with_provenance = with_provenance
         self.filter = filter
+        # schema evolution: a union of block tables written across
+        # pipeline versions carries null col_* cells for columns a block
+        # predates (parquet schema unification null-fills them). With
+        # `fill_missing` giving the arrow type, such a column decodes as
+        # all-null rows; without it the decoder raises a named error
+        # instead of dying on a null blob cell inside a Ray worker.
+        if isinstance(fill_missing, pa.Schema):
+            fill_missing = {f.name: f.type for f in fill_missing}
+        self.fill_missing = fill_missing
         self._cur_partition_seq = 0
 
     def _page_keep(self, names: list[str], blobs: list):
@@ -209,16 +219,36 @@ class BlockDecoder:
         block_id: str,
         block_seq: int,
         partition_id: str = "",
+        n_rows: int | None = None,
     ) -> pa.Table:
         from .blocks import decode_rows as _decode_rows
 
-        keep = self._page_keep(names, blobs)
-        cols: dict[str, pa.Array] = {}
+        present = [(nm, bl) for nm, bl in zip(names, blobs) if bl is not None]
+        # page pruning consults present columns only: a column this block
+        # predates has no pages to prune on (its rows are all null here)
+        keep = self._page_keep([p[0] for p in present], [p[1] for p in present])
+        decoded: dict[str, pa.Array] = {}
         n = None
-        for name, blob in zip(names, blobs):
+        for name, blob in present:
             arr = decode_column(blob) if keep is None else _decode_rows(blob, keep)
-            cols[name] = arr
+            decoded[name] = arr
             n = len(arr)
+        if n is None:  # every selected column is missing from this block
+            n = len(keep) if keep is not None else int(n_rows or 0)
+        cols: dict[str, pa.Array] = {}
+        for name in names:
+            if name in decoded:
+                cols[name] = decoded[name]
+                continue
+            t = (self.fill_missing or {}).get(name)
+            if t is None:
+                raise ValueError(
+                    f"block {block_id} has no column {name!r} (schema "
+                    "evolution across encodes); pass fill_missing={name: "
+                    "arrow_type} / a schema to decode to nulls, or select "
+                    "columns= present in every block"
+                )
+            cols[name] = pa.nulls(n, type=t)
         if self.with_provenance:
             rib = range(n or 0) if keep is None else keep
             # explicit types: a fully-page-pruned block has n == 0, and an
@@ -244,7 +274,19 @@ class BlockDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = [c[4:] for c in batch.column_names if c.startswith("col_")]
-        if self.columns:
+        if self.fill_missing:
+            # raw Dataset.union of mixed-version block tables can drop a
+            # col_* from a batch entirely (no parquet schema unification);
+            # fillable columns still decode as nulls. Order must not
+            # depend on which columns a given batch happens to carry, so
+            # pin it to `columns` (or sorted) under fill_missing.
+            names += [c for c in self.fill_missing if c not in names]
+            names = (
+                [c for c in self.columns if c in names]
+                if self.columns
+                else sorted(names)
+            )
+        elif self.columns:
             names = [c for c in names if c in self.columns]
         tables = []
         ids = batch["block_id"].to_pylist()
@@ -264,15 +306,31 @@ class BlockDecoder:
             if "row_start" in batch.column_names
             else [None] * len(ids)
         )
+        nrows_col = (
+            batch["n_rows"].to_pylist()
+            if "n_rows" in batch.column_names
+            else [None] * len(ids)
+        )
+        batch_cols = set(batch.column_names)
         for i in range(batch.num_rows):
-            # as_buffer(): zero-copy view of the (multi-MB) block blob
-            blobs = [
-                memoryview(batch[f"col_{name}"][i].as_buffer()) for name in names
-            ]
+            # as_buffer(): zero-copy view of the (multi-MB) block blob;
+            # a null cell (column absent when this block was encoded)
+            # passes None so decode_block_row can null-fill it
+            blobs = []
+            for name in names:
+                key = f"col_{name}"
+                cell = batch[key][i] if key in batch_cols else None
+                blobs.append(
+                    memoryview(cell.as_buffer())
+                    if cell is not None and cell.is_valid
+                    else None
+                )
             self._cur_partition_seq = pseqs[i]
             self._cur_row_start = rstarts[i]
             tables.append(
-                self.decode_block_row(names, blobs, ids[i], seqs[i], pids[i])
+                self.decode_block_row(
+                    names, blobs, ids[i], seqs[i], pids[i], nrows_col[i]
+                )
             )
         if not tables:
             # zero block rows in this batch (or no col_* survived the
@@ -288,6 +346,7 @@ def decode_dataset(
     with_provenance: bool = False,
     concurrency: int | tuple[int, int] | None = None,
     filter: list[Predicate] | None = None,
+    fill_missing: "pa.Schema | dict[str, pa.DataType] | None" = None,
 ) -> "ray.data.Dataset":
     """Streaming decode: block rows -> Dataset of original source rows.
 
@@ -296,7 +355,12 @@ def decode_dataset(
     their blobs ship (strictly fewer blocks decoded — measurable via
     count_decoded_blocks), page-zone pruning inside surviving blocks
     decodes only matchable pages (stats="page" encodes), then the exact
-    row filter runs after decode."""
+    row filter runs after decode.
+
+    `fill_missing` enables schema-evolution reads: a union of block
+    tables written across pipeline versions (read_blocks([dir_v1,
+    dir_v2])) null-fills columns a block predates, using the given
+    {column: arrow type} map (or schema) for the null arrays."""
     if filter:
         validate_predicates(blocks, filter)
         blocks = prune_blocks(blocks, filter)
@@ -328,6 +392,7 @@ def decode_dataset(
             "columns": decode_cols,
             "with_provenance": with_provenance,
             "filter": filter,
+            "fill_missing": fill_missing,
         },
         batch_format="pyarrow",
         batch_size=4,  # a few blocks per call; each expands to thousands of rows

@@ -485,8 +485,40 @@ def write_blocks(blocks: "ray.data.Dataset", out_dir: str) -> None:
     blocks.write_parquet(out_dir, compression="none")
 
 
-def read_blocks(path: str) -> "ray.data.Dataset":
-    """Open a block table written by write_blocks / the encode job."""
+def read_blocks(path: "str | list[str]") -> "ray.data.Dataset":
+    """Open a block table written by write_blocks / the encode job.
+
+    A LIST of paths unions block tables from several job dirs in one
+    read (schema evolution across pipeline versions: parquet schema
+    unification null-fills col_* columns a dir predates — decode them
+    with decode_dataset(..., fill_missing={col: type}))."""
+    if isinstance(path, (list, tuple)):
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        for p in path:
+            if _os.path.isdir(p):
+                found = sorted(_glob.glob(_os.path.join(p, "*.parquet")))
+                if not found:
+                    raise FileNotFoundError(f"no .parquet block files in {p!r}")
+                files += found
+            else:
+                files.append(p)
+        # Ray's read_parquet reports the FIRST file's schema and lets each
+        # file's batches keep their own — a projection of a column only
+        # later files carry then fails mid-pipeline. Unify the footer
+        # schemas on the driver (metadata-only reads, threaded: planning
+        # cost is O(n_files) footer fetches) and pin the read to the
+        # union; the scanner null-fills columns a file predates.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(files))) as ex:
+            schemas = list(ex.map(pq.read_schema, files))
+        unified = pa.unify_schemas(schemas)
+        return ray.data.read_parquet(files, schema=unified)
     return ray.data.read_parquet(path)
 
 
