@@ -213,7 +213,9 @@ def cmd_verify(args: argparse.Namespace) -> int:
     from rayenc.verify import verify_blocks
 
     blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
-    v = verify_blocks(blocks, hash_column=args.hash_column)
+    v = verify_blocks(
+        blocks, hash_column=args.hash_column, check_zones=args.check_zones
+    )
     print(json.dumps(v))
     return 0 if v["ok"] else 1
 
@@ -373,6 +375,13 @@ def main() -> int:
     cp.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")
+    v.add_argument(
+        "--check-zones",
+        action="store_true",
+        help="paranoid stats audit: re-derive every stored zone from the "
+        "decoded columns and probe each bloom filter with its own values "
+        "(catches silent-row-loss metadata corruption the hash cannot see)",
+    )
     v.add_argument("blocks", help="encode job output root")
     v.add_argument("--hash-column", default="content")
     v.set_defaults(fn=cmd_verify)

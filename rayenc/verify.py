@@ -24,18 +24,75 @@ from .decode import BlockDecoder
 from .rowhash import chain_hash
 
 
-def verify_blocks(blocks: "ray.data.Dataset", hash_column: str = "content") -> dict:
+def _zone_mismatches(batch: pa.Table, i: int, names: list[str]) -> int:
+    """Paranoid stats audit for one block row: re-derive every stored
+    column zone from the DECODED data and recompute a Bloom probe sample
+    — a wrong zone or a bloom false negative silently drops rows on
+    every future filtered decode, which no hash check can see (the hash
+    only proves the unfiltered path). Returns the mismatch count."""
+    import json as _json
+
+    from .bloom import bloom_may_contain
+    from .encode import column_zone
+
+    zm = _json.loads(batch["zonemap"][i].as_py() or "{}")
+    bad = 0
+    decoded: dict[str, pa.Array] = {}
+    dec = BlockDecoder()
+
+    def col(name: str) -> pa.Array:
+        if name not in decoded:
+            blob = memoryview(batch[f"col_{name}"][i].as_buffer())
+            decoded[name] = dec.decode_block_row([name], [blob], "", 0)[name]
+        return decoded[name]
+
+    for name in names:
+        stored = zm.get(name)
+        if stored is None:
+            continue
+        want = column_zone(col(name))
+        keys = ("min", "max", "null_count")
+        if want is None or any(want.get(k) != stored.get(k) for k in keys):
+            bad += 1
+    for name, bf in (zm.get("__bloom__") or {}).items():
+        if name not in names:
+            bad += 1  # bloom for a column the block doesn't carry
+            continue
+        # no-false-negative audit on a bounded sample (full scan would be
+        # a per-value python probe; 256 spread values catch systematic
+        # hash drift, which is the realistic failure mode)
+        vals = col(name).drop_null()
+        step = max(1, len(vals) // 256)
+        for v in vals.to_pylist()[::step]:
+            if not bloom_may_contain(bf, v):
+                bad += 1
+                break
+    return bad
+
+
+def verify_blocks(
+    blocks: "ray.data.Dataset",
+    hash_column: str = "content",
+    check_zones: bool = False,
+) -> dict:
     """Decode every block, recompute the content chain hash, compare.
 
     Distributed map over block rows; the driver only sees per-block
     booleans (the streaming analog of the reference's positional
     round-trip asserts, /root/reference/src/vec_pq_reader.rs:828-831).
-    """
+
+    `check_zones=True` additionally audits the pruning metadata: every
+    stored zone's min/max/null_count is re-derived from the decoded
+    columns and each Bloom filter is probed with a sample of its own
+    values — corrupt stats silently drop rows on FILTERED decodes, a
+    failure class the content hash cannot observe."""
 
     def check(batch: pa.Table) -> pa.Table:
         dec = BlockDecoder(columns=[hash_column])
+        all_names = [c[4:] for c in batch.column_names if c.startswith("col_")]
         ok = []
         rows = []
+        zone_bad = []
         for i in range(batch.num_rows):
             try:
                 blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
@@ -47,11 +104,19 @@ def verify_blocks(blocks: "ray.data.Dataset", hash_column: str = "content") -> d
                 # crash: report the block and keep checking the rest
                 ok.append(False)
                 rows.append(0)
+            zb = 0
+            if check_zones and "zonemap" in batch.column_names:
+                try:
+                    zb = _zone_mismatches(batch, i, all_names)
+                except Exception:
+                    zb = 1  # an unparseable zonemap is itself a mismatch
+            zone_bad.append(zb)
         return pa.table(
             {
                 "block_id": batch["block_id"],
                 "ok": pa.array(ok, type=pa.bool_()),
                 "rows": pa.array(rows, type=pa.int64()),
+                "zone_bad": pa.array(zone_bad, type=pa.int64()),
             }
         )
 
@@ -62,16 +127,21 @@ def verify_blocks(blocks: "ray.data.Dataset", hash_column: str = "content") -> d
                 "blocks": [t.num_rows],
                 "bad": [t.num_rows - int(pa.compute.sum(t["ok"]).as_py() or 0)],
                 "rows": [int(pa.compute.sum(t["rows"]).as_py() or 0)],
+                "zone_bad": [int(pa.compute.sum(t["zone_bad"]).as_py() or 0)],
             }
         ),
         batch_format="pyarrow",
     ).to_pandas()
-    return {
+    out = {
         "blocks": int(agg["blocks"].sum()),
         "rows": int(agg["rows"].sum()),
         "bad_blocks": int(agg["bad"].sum()),
         "ok": bool(agg["bad"].sum() == 0),
     }
+    if check_zones:
+        out["zone_mismatches"] = int(agg["zone_bad"].sum())
+        out["ok"] = out["ok"] and out["zone_mismatches"] == 0
+    return out
 
 
 def reference_parquet_bytes(table: pa.Table) -> int:

@@ -152,3 +152,40 @@ def test_take_rows_rejects_unordered_blocks(ray_session):
     ).materialize()
     with _pytest.raises(ValueError, match="total order"):
         take_rows(blocks, [0])
+
+
+def test_verify_check_zones_clean_and_corrupt(ray_session):
+    """Paranoid stats audit: a clean encode passes check_zones; a block
+    whose stored zone lies about max (the silent-row-loss class: filtered
+    decode would prune rows the block actually holds) or whose bloom is
+    zeroed (false negatives on every probe) is reported — failures the
+    content hash can never see."""
+    import json
+
+    import ray.data as rd
+
+    from rayenc.encode import BlockEncoder
+    from rayenc.verify import verify_blocks
+
+    t = pa.table(
+        {
+            "a": pa.array(list(range(100)), type=pa.int64()),
+            "content": pa.array([f"row {i}" for i in range(100)]),
+        }
+    )
+    blocks = BlockEncoder().encode_table(t)
+    v = verify_blocks(rd.from_arrow(blocks), check_zones=True)
+    assert v["ok"] and v["zone_mismatches"] == 0
+
+    zm = json.loads(blocks["zonemap"][0].as_py())
+    zm["a"]["max"] = 10  # lie: rows 11..99 would be pruned by a > filter
+    zm["__bloom__"]["a"] = "00" * len(zm["__bloom__"]["a"][::2])  # all-zero filter
+    corrupt = blocks.set_column(
+        blocks.column_names.index("zonemap"),
+        "zonemap",
+        pa.array([json.dumps(zm)], type=pa.string()),
+    )
+    v2 = verify_blocks(rd.from_arrow(corrupt), check_zones=True)
+    assert not v2["ok"]
+    assert v2["zone_mismatches"] >= 2  # the zone lie AND the dead bloom
+    assert v2["bad_blocks"] == 0  # content hash is blind to both
