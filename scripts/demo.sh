@@ -21,8 +21,8 @@ python -m rayenc encode "$D/layout" "$D/job" --block-rows 1000
 echo "== 5. manifest summary (codec lineage) =="
 python -m rayenc manifest "$D/job"
 
-echo "== 6. sha256 verification =="
-python -m rayenc verify "$D/job"
+echo "== 6. sha256 verification (+ paranoid pruning-metadata audit) =="
+python -m rayenc verify "$D/job" --check-zones
 
 echo "== 7. ordered decode back to parquet =="
 python -m rayenc decode "$D/job" "$D/decoded" --ordered
@@ -40,6 +40,29 @@ python -m rayenc decode "$D/pjob" "$D/pdecoded_filtered" --filter "lang:==:pytho
 
 echo "== 7e. compaction: re-block under-sized commits =="
 python -m rayenc compact "$D/job" "$D/compacted" --block-rows 2500
+
+echo "== 7f. schema evolution: decode a union of mixed-version block tables =="
+python - <<'PY'
+import pyarrow as pa, ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+import ray.data as rd
+from rayenc.decode import decode_dataset
+from rayenc.encode import BlockEncoder, read_blocks, write_blocks
+D = "/tmp/rayenc_demo"
+v1 = pa.table({"a": pa.array([1, 2], type=pa.int64()), "b": pa.array(["x", "y"])})
+v2 = pa.table({"a": pa.array([3], type=pa.int64()), "c": pa.array([9.5], type=pa.float64())})
+write_blocks(rd.from_arrow(BlockEncoder(hash_column=None).encode_table(v1)), f"{D}/sev1")
+write_blocks(rd.from_arrow(BlockEncoder(hash_column=None).encode_table(v2)), f"{D}/sev2")
+out = pa.concat_tables(
+    decode_dataset(
+        read_blocks([f"{D}/sev1", f"{D}/sev2"]),
+        fill_missing={"b": pa.string(), "c": pa.float64()},
+    ).iter_batches(batch_size=None, batch_format="pyarrow")
+).sort_by("a")
+assert out["b"].to_pylist() == ["x", "y", None] and out["c"].to_pylist() == [None, None, 9.5]
+print({"schema_evolution_rows": out.num_rows, "columns": out.column_names})
+ray.shutdown()
+PY
 
 echo "== 8. read benchmark (row-by-row vs columnar, touch counter) =="
 python -m rayenc bench-read "$D/corpus.parquet" --iterations 1
