@@ -233,8 +233,11 @@ class BlockDecoder:
             arr = decode_column(blob) if keep is None else _decode_rows(blob, keep)
             decoded[name] = arr
             n = len(arr)
-        if n is None:  # every selected column is missing from this block
-            n = len(keep) if keep is not None else int(n_rows or 0)
+        if n is None:
+            # every selected column is missing from this block; `keep` is
+            # necessarily None here (page pruning saw no columns), so the
+            # stored n_rows is the only source of the block's row count
+            n = int(n_rows or 0)
         cols: dict[str, pa.Array] = {}
         for name in names:
             if name in decoded:

@@ -493,20 +493,39 @@ def read_blocks(path: "str | list[str]") -> "ray.data.Dataset":
     unification null-fills col_* columns a dir predates — decode them
     with decode_dataset(..., fill_missing={col: type}))."""
     if isinstance(path, (list, tuple)):
-        import glob as _glob
-        import os as _os
+        if not path:
+            raise ValueError("read_blocks: empty path list")
 
         import pyarrow.parquet as pq
+        from pyarrow.fs import FileSelector, FileSystem, FileType, LocalFileSystem
 
+        # resolve dirs/files through pyarrow.fs so object-store URIs
+        # (s3://...) work the same as local paths; one filesystem must
+        # serve every path (mixed schemes can't share one Ray read op)
+        fs = None
         files: list[str] = []
         for p in path:
-            if _os.path.isdir(p):
-                found = sorted(_glob.glob(_os.path.join(p, "*.parquet")))
+            p_fs, rel = (
+                FileSystem.from_uri(p) if "://" in p else (LocalFileSystem(), p)
+            )
+            if fs is None:
+                fs = p_fs
+            elif not fs.equals(p_fs):
+                raise ValueError(f"read_blocks: mixed filesystems in {path!r}")
+            info = fs.get_file_info(rel)
+            if info.type == FileType.Directory:
+                found = sorted(
+                    fi.path
+                    for fi in fs.get_file_info(FileSelector(rel))
+                    if fi.is_file and fi.path.endswith(".parquet")
+                )
                 if not found:
                     raise FileNotFoundError(f"no .parquet block files in {p!r}")
                 files += found
+            elif info.type == FileType.File:
+                files.append(rel)
             else:
-                files.append(p)
+                raise FileNotFoundError(f"read_blocks: no such path {p!r}")
         # Ray's read_parquet reports the FIRST file's schema and lets each
         # file's batches keep their own — a projection of a column only
         # later files carry then fails mid-pipeline. Unify the footer
@@ -516,9 +535,9 @@ def read_blocks(path: "str | list[str]") -> "ray.data.Dataset":
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(16, len(files))) as ex:
-            schemas = list(ex.map(pq.read_schema, files))
+            schemas = list(ex.map(lambda f: pq.read_schema(f, filesystem=fs), files))
         unified = pa.unify_schemas(schemas)
-        return ray.data.read_parquet(files, schema=unified)
+        return ray.data.read_parquet(files, schema=unified, filesystem=fs)
     return ray.data.read_parquet(path)
 
 

@@ -235,14 +235,7 @@ def select_codec(
         if decode_weight > 0:  # only pay the decode passes when the
             # measurement can influence the ranking (hot-path economy)
             try:
-                from .blocks import decode_column
-
-                decode_column(blob)  # warm pass: a cold first decode over-
-                # charges codecs with per-call setup (measured 5x on fsst)
-                t0 = _time.perf_counter()
-                decode_column(blob)
-                dt = _time.perf_counter() - t0
-                dec_mbps[name] = round(trial_sample.nbytes / max(dt, 1e-9) / 1e6, 1)
+                dec_mbps[name] = _timed_decode_mbps(blob, trial_sample.nbytes)
             except Exception:
                 dec_mbps[name] = 0.0
     if not trials:
@@ -296,6 +289,23 @@ def select_codec(
     return Choice(best_name, stats, trials, reason, dec_mbps, all_ratios, enc_mbps)
 
 
+def _timed_decode_mbps(blob: bytes, nbytes: int, warm: bool = True) -> float:
+    """Measured decode speed of one encoded blob in MB/s — the shared
+    methodology for every decode-weighted comparison in this module.
+    `warm=True` runs an untimed first decode so per-call setup does not
+    over-charge a codec (measured 5x on fsst cold); full-size runoff
+    blobs are already warm-scale, so that path passes warm=False."""
+    import time as _time
+
+    from .blocks import decode_column as _dc
+
+    if warm:
+        _dc(blob)
+    t0 = _time.perf_counter()
+    _dc(blob)
+    return round(nbytes / max(_time.perf_counter() - t0, 1e-9) / 1e6, 1)
+
+
 def _capped_runoff_verdict(
     arr: pa.Array, a: str, b: str, level: int, w: float
 ) -> tuple[str, dict[str, int], dict[str, float], float] | None:
@@ -303,14 +313,13 @@ def _capped_runoff_verdict(
 
     Returns (winner, slice_sizes, slice_dec_mbps, margin), or None when
     the slice verdict cannot be trusted: a finalist failed to encode the
-    slice (let the full runoff's failure handling decide), or the margin
+    slice (let the full runoff's failure handling decide), the margin
     sits inside RUNOFF_TIE_BAND (near-tie at reduced size — fsst's ratio
     still improves past the slice while plain's is flat, so a thin slice
-    margin can invert at full size; re-run the full runoff)."""
-    import time as _time
-
-    from .blocks import decode_column as _dc
-
+    margin can invert at full size; re-run the full runoff), or the
+    computed slice covers most of the payload anyway (short/mostly-null
+    rows where offsets dominate nbytes: the cap would then pay ~3x one
+    encode instead of the full runoff's 2x)."""
     # row count from EXACT cumulative payload lengths, not the column
     # average: a head of short rows sliced by average yields a
     # sub-window slice — precisely the regime where samples lie
@@ -318,6 +327,8 @@ def _capped_runoff_verdict(
     cum = np.cumsum(lens, dtype=np.int64)
     rows = int(np.searchsorted(cum, RUNOFF_SLICE_BYTES, side="left")) + 1
     sl = arr.slice(0, max(16, min(rows, len(arr))))
+    if sl.nbytes * RUNOFF_SLICE_ENGAGE > arr.nbytes:
+        return None  # slice too close to full size for the cap to pay
     blobs: dict[str, bytes] = {}
     for name in (a, b):
         try:
@@ -329,10 +340,7 @@ def _capped_runoff_verdict(
     speeds: dict[str, float] = {}
     if w > 0:
         for k, blob in blobs.items():
-            _dc(blob)  # warm pass (cold setup over-charges fsst, see trials)
-            t0 = _time.perf_counter()
-            _dc(blob)
-            speeds[k] = round(nb / max(_time.perf_counter() - t0, 1e-9) / 1e6, 1)
+            speeds[k] = _timed_decode_mbps(blob, nb)
         scores = _decode_weighted(ratios, speeds, w)
     else:
         scores = dict(ratios)
@@ -590,16 +598,11 @@ def encode_column_auto(
             # same weighted score the trials use, on MEASURED full-blob
             # decode speed (decode is cheap next to the double encode the
             # runoff already paid)
-            import time as _time
-
-            from .blocks import decode_column as _dc
-
             nb = max(arr.nbytes, 1)
             speeds = {}
             for key, blob in (("a", blob_a), ("b", blob_b)):
-                t0 = _time.perf_counter()
-                _dc(blob)  # full blobs are already warm-scale: one pass
-                speeds[key] = round(nb / max(_time.perf_counter() - t0, 1e-9) / 1e6, 1)
+                # full blobs are already warm-scale: one pass
+                speeds[key] = _timed_decode_mbps(blob, nb, warm=False)
             scores = _decode_weighted(
                 {"a": len(blob_a) / nb, "b": len(blob_b) / nb}, speeds, decode_weight
             )

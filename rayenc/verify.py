@@ -24,12 +24,43 @@ from .decode import BlockDecoder
 from .rowhash import chain_hash
 
 
-def _zone_mismatches(batch: pa.Table, i: int, names: list[str]) -> int:
+def _bloom_probe_sample(arr: pa.Array) -> list:
+    """~256 spread non-null values of `arr`, normalized the way the
+    filter build normalized them (bloom._column_hashes): timestamp/date
+    columns become their epoch ints — zone_may_match probes those blooms
+    with the predicate's epoch-int, so auditing with datetime objects
+    would vacuously pass (bloom_may_contain keeps non-int/str types)."""
+    import numpy as np
+
+    vals = arr.drop_null()
+    if len(vals) == 0:
+        return []
+    t = vals.type
+    if pa.types.is_date32(t):
+        vals = vals.cast(pa.int32()).cast(pa.int64())
+    elif pa.types.is_date64(t) or pa.types.is_timestamp(t):
+        vals = vals.cast(pa.int64())
+    step = max(1, len(vals) // 256)
+    # take() the spread indices: a full to_pylist would materialize every
+    # value as a Python object just to keep 1 in `step`
+    return vals.take(np.arange(0, len(vals), step)).to_pylist()
+
+
+def _zone_mismatches(
+    batch: pa.Table,
+    i: int,
+    names: list[str],
+    predecoded: dict[str, pa.Array] | None = None,
+) -> int:
     """Paranoid stats audit for one block row: re-derive every stored
     column zone from the DECODED data and recompute a Bloom probe sample
     — a wrong zone or a bloom false negative silently drops rows on
     every future filtered decode, which no hash check can see (the hash
-    only proves the unfiltered path). Returns the mismatch count."""
+    only proves the unfiltered path). Returns the mismatch count.
+
+    `predecoded` carries columns the caller already decoded (the chain-
+    hash check decodes the hash column — usually the block's largest
+    blob — so the audit must not pay that decode twice)."""
     import json as _json
 
     from .bloom import bloom_may_contain
@@ -37,7 +68,7 @@ def _zone_mismatches(batch: pa.Table, i: int, names: list[str]) -> int:
 
     zm = _json.loads(batch["zonemap"][i].as_py() or "{}")
     bad = 0
-    decoded: dict[str, pa.Array] = {}
+    decoded: dict[str, pa.Array] = dict(predecoded or {})
     dec = BlockDecoder()
 
     def col(name: str) -> pa.Array:
@@ -61,9 +92,7 @@ def _zone_mismatches(batch: pa.Table, i: int, names: list[str]) -> int:
         # no-false-negative audit on a bounded sample (full scan would be
         # a per-value python probe; 256 spread values catch systematic
         # hash drift, which is the realistic failure mode)
-        vals = col(name).drop_null()
-        step = max(1, len(vals) // 256)
-        for v in vals.to_pylist()[::step]:
+        for v in _bloom_probe_sample(col(name)):
             if not bloom_may_contain(bf, v):
                 bad += 1
                 break
@@ -94,6 +123,7 @@ def verify_blocks(
         rows = []
         zone_bad = []
         for i in range(batch.num_rows):
+            arr = None
             try:
                 blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
                 arr = dec.decode_block_row([hash_column], [blob], "", 0)[hash_column]
@@ -107,7 +137,8 @@ def verify_blocks(
             zb = 0
             if check_zones and "zonemap" in batch.column_names:
                 try:
-                    zb = _zone_mismatches(batch, i, all_names)
+                    pre = {hash_column: arr} if arr is not None else None
+                    zb = _zone_mismatches(batch, i, all_names, pre)
                 except Exception:
                     zb = 1  # an unparseable zonemap is itself a mismatch
             zone_bad.append(zb)

@@ -108,3 +108,20 @@ def test_read_blocks_accepts_file_list(ray_session, tmp_path):
         glob.glob(os.path.join(d2, "*.parquet"))
     )
     assert read_blocks(files).count() == 2
+
+def test_read_blocks_rejects_empty_list():
+    import pytest as _pytest
+
+    from rayenc.encode import read_blocks
+
+    with _pytest.raises(ValueError, match="empty path list"):
+        read_blocks([])
+
+
+def test_read_blocks_rejects_missing_path(tmp_path):
+    import pytest as _pytest
+
+    from rayenc.encode import read_blocks
+
+    with _pytest.raises(FileNotFoundError, match="no such path"):
+        read_blocks([str(tmp_path / "nope")])

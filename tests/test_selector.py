@@ -271,3 +271,16 @@ def test_capped_runoff_tie_band_falls_back_to_full(monkeypatch):
     assert "capped runoff" not in c.reason
     assert any(k.startswith("runoff:") for k in c.trials)
     assert decode_column(blob).equals(arr)
+
+def test_capped_runoff_declines_when_slice_covers_payload(monkeypatch):
+    """Offsets-dominated jumbo columns (short rows) can put nbytes past
+    the engage bar while cumulative DATA bytes never reach the slice
+    size — the computed slice is then ~the whole array and the cap would
+    pay 3x one encode instead of the full runoff's 2x. The verdict must
+    decline (return None) so the full path runs."""
+    from rayenc import selector as sel
+
+    arr = _word_soup()
+    # slice bytes beyond the column's total data: slice == whole array
+    monkeypatch.setattr(sel, "RUNOFF_SLICE_BYTES", arr.nbytes * 2)
+    assert sel._capped_runoff_verdict(arr, "plain@9", "fsst@9", 3, 0.0) is None

@@ -189,3 +189,34 @@ def test_verify_check_zones_clean_and_corrupt(ray_session):
     assert not v2["ok"]
     assert v2["zone_mismatches"] >= 2  # the zone lie AND the dead bloom
     assert v2["bad_blocks"] == 0  # content hash is blind to both
+
+def test_verify_check_zones_catches_timestamp_bloom_corruption(ray_session):
+    """Blooms over timestamp/date columns are built on epoch ints and
+    probed by filters with epoch ints — the audit must probe with the
+    same normalization, or a dead timestamp bloom passes vacuously
+    (bloom_may_contain keeps any non-int/str probe value)."""
+    import json
+
+    import ray.data as rd
+
+    from rayenc.encode import BlockEncoder
+    from rayenc.verify import verify_blocks
+
+    ts = pa.array(
+        [1_000_000 + i * 60_000_000 for i in range(100)], type=pa.int64()
+    ).cast(pa.timestamp("us"))
+    t = pa.table({"ts": ts, "content": pa.array([f"row {i}" for i in range(100)])})
+    blocks = BlockEncoder().encode_table(t)
+    zm = json.loads(blocks["zonemap"][0].as_py())
+    assert "ts" in zm.get("__bloom__", {}), "timestamp column must carry a bloom"
+    v = verify_blocks(rd.from_arrow(blocks), check_zones=True)
+    assert v["ok"] and v["zone_mismatches"] == 0
+
+    zm["__bloom__"]["ts"] = "00" * (len(zm["__bloom__"]["ts"]) // 2)
+    corrupt = blocks.set_column(
+        blocks.column_names.index("zonemap"),
+        "zonemap",
+        pa.array([json.dumps(zm)], type=pa.string()),
+    )
+    v2 = verify_blocks(rd.from_arrow(corrupt), check_zones=True)
+    assert v2["zone_mismatches"] >= 1 and not v2["ok"]
