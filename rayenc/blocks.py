@@ -158,7 +158,7 @@ def encode_column(
     header = {
         "codec": codec_name,
         "n": len(filled),
-        "type": type_to_str(arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type),
+        "type": type_to_str(arr.type),
         "null_count": int(null_count),
         "params": params,
         "sections": {k: len(v) for k, v in sections.items()},
@@ -283,11 +283,11 @@ def page_prune_indices(blob: bytes | memoryview, predicates) -> np.ndarray | Non
     n_pages = len(header["params"]["rows"])
     starts = _page_starts(header["params"])
     col = "__self__"
+    preds = [(col, op, val) for (_, op, val) in predicates]
     keep: list[np.ndarray] = []
     for p in range(n_pages):
         z = zones[p] if zones else None
         zmap = {col: z} if z is not None else {}
-        preds = [(col, op, val) for (_, op, val) in predicates]
         ok = zone_may_match(zmap, preds)
         if ok and blooms and blooms[p] is not None:
             ok = all(
@@ -323,9 +323,13 @@ def _parse_block(blob: bytes | memoryview) -> tuple[dict, np.ndarray | None, dic
         vbits = np.frombuffer(blob[pos : pos + vlen], dtype=np.uint8)
         validity = np.unpackbits(vbits, count=n, bitorder="little").astype(bool)
         pos += vlen
-    sections: dict[str, bytes] = {}
+    # zero-copy memoryview slices: a page-pruned decode_rows must not
+    # memcpy every untouched page's section just to pick one page (every
+    # consumer — zstd, unpack_bits_z, recursive decode_column — takes any
+    # buffer object)
+    sections: dict[str, memoryview] = {}
     for name, length in header["sections"].items():
-        sections[name] = bytes(blob[pos : pos + length])
+        sections[name] = blob[pos : pos + length]
         pos += length
     return header, validity, sections
 
@@ -672,15 +676,11 @@ def _scatter_child(child: pa.Array, validity: np.ndarray, n: int, size: int) -> 
     positions = np.flatnonzero(np.repeat(validity, size))
     take_idx = np.full(n * size, -1, dtype=np.int64)
     take_idx[positions] = np.arange(len(child))
-    # index -1 -> null in take; fill after
-    idx = pa.array(
-        np.where(take_idx >= 0, take_idx, 0), type=pa.int64()
-    )
-    dense = pc.take(child, idx)
-    mask = pa.array(take_idx >= 0, type=pa.bool_())
-    filler = _fill_value(child.type) if not _is_list(child.type) else None
-    dense = pc.if_else(mask, dense, pa.scalar(filler, type=child.type))
-    return dense
+    # a masked (null) index makes take emit null at that slot — works for
+    # EVERY child type (struct/map scalars have no zero filler), and the
+    # filler slots sit under the list-level null bitmap anyway
+    idx = pa.array(take_idx, mask=take_idx < 0)
+    return pc.take(child, idx)
 
 
 def block_codec(blob: bytes | memoryview) -> dict:

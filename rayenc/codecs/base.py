@@ -33,29 +33,46 @@ def is_stringlike(t: pa.DataType) -> bool:
 
 
 def is_intlike(t: pa.DataType) -> bool:
-    return pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t)
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+        or pa.types.is_duration(t)
+    )
 
 
 def is_floatlike(t: pa.DataType) -> bool:
     return pa.types.is_floating(t)
 
 
+def _int_storage(t: pa.DataType) -> pa.DataType | None:
+    """Physical integer type a temporal type views as (None = already
+    integer). Covers every is_intlike temporal: timestamp/date64/time64/
+    duration are 8-byte, date32/time32 are 4-byte."""
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+        return pa.int64()
+    if pa.types.is_time64(t) or pa.types.is_duration(t):
+        return pa.int64()
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return pa.int32()
+    return None
+
+
 def int_view(arr: pa.Array) -> np.ndarray:
     """Zero-copy int64/int32/... numpy view of a null-free int-like array."""
-    t = arr.type
-    if pa.types.is_timestamp(t):
-        arr = arr.view(pa.int64())
-    elif pa.types.is_date32(t):
-        arr = arr.view(pa.int32())
+    st = _int_storage(arr.type)
+    if st is not None:
+        arr = arr.view(st)
     return arr.to_numpy(zero_copy_only=True)
 
 
 def int_array_from(values: np.ndarray, typ: pa.DataType) -> pa.Array:
-    """Rebuild an int-like arrow array (incl. timestamp/date) from int64 numpy."""
-    if pa.types.is_timestamp(typ):
-        return pa.array(values.astype(np.int64), type=pa.int64()).view(typ)
-    if pa.types.is_date32(typ):
-        return pa.array(values.astype(np.int32), type=pa.int32()).view(typ)
+    """Rebuild an int-like arrow array (incl. temporal types) from int64 numpy."""
+    st = _int_storage(typ)
+    if st is not None:
+        np_dtype = np.int64 if st == pa.int64() else np.int32
+        return pa.array(values.astype(np_dtype), type=st).view(typ)
     return pa.array(values.astype(typ.to_pandas_dtype()), type=typ)
 
 

@@ -178,6 +178,7 @@ _SIMPLE_TYPES = {
     "double": pa.float64(),
     "bool": pa.bool_(),
     "date32[day]": pa.date32(),
+    "date64[ms]": pa.date64(),
 }
 
 
@@ -198,6 +199,12 @@ def type_from_str(s: str) -> pa.DataType:
             tz = tz.strip().removeprefix("tz=")
             return pa.timestamp(unit.strip(), tz=tz)
         return pa.timestamp(inner.strip())
+    if s.startswith("time32["):
+        return pa.time32(s[len("time32[") : -1])
+    if s.startswith("time64["):
+        return pa.time64(s[len("time64[") : -1])
+    if s.startswith("duration["):
+        return pa.duration(s[len("duration[") : -1])
     if s.startswith("decimal128(") or s.startswith("decimal256("):
         ctor = pa.decimal128 if s.startswith("decimal128") else pa.decimal256
         prec, scale = s[s.index("(") + 1 : -1].split(",")

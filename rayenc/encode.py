@@ -93,7 +93,13 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
     if len(arr) - nc == 0:
         return {"min": None, "max": None, "null_count": int(nc)}
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        view = arr.cast(pa.int64())
+        # date32 has no direct int64 cast (ArrowNotImplementedError):
+        # hop through int32, same normalization bloom._column_hashes uses
+        view = (
+            arr.cast(pa.int32()).cast(pa.int64())
+            if pa.types.is_date32(t)
+            else arr.cast(pa.int64())
+        )
         mm = pc.min_max(view)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
     else:
@@ -105,18 +111,23 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
     return {"min": _zone_jsonable(lo), "max": _zone_jsonable(hi), "null_count": int(nc)}
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count with a safe fallback — the one shared probe
+    behind every pool-size default (encode pool, job actor pools)."""
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def default_pool_size() -> int:
     """Encode-pool size: ~3/4 of cluster CPUs, the rest left for the read
     stage. A pool that reserves every CPU starves the upstream read tasks
     and serializes the pipeline (measured: 32 actors on 32 CPUs ran 2.4x
     SLOWER than 24 on the same input)."""
-    try:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    return max(2, (ncpu * 3) // 4)
+    return max(2, (cluster_cpus() * 3) // 4)
 
 
 class BlockEncoder:

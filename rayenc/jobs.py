@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from .encode import BlockEncoder
+from .encode import BlockEncoder, cluster_cpus
 from .manifest import Manifest
 
 DEFAULT_MAX_PARTITION_BYTES = 256 << 20
@@ -82,6 +82,26 @@ def _rg_zone(
     return zone
 
 
+def resolve_input_paths(input_paths: list[str] | str) -> list[str]:
+    """Expand the job's input spec to the concrete parquet file list.
+    Directories expand for list elements too (round-4 self-review: the
+    list form used to treat a directory as a literal file and crash
+    inside pq.ParquetFile with no hint). This resolved list IS the job's
+    input identity: it is recorded in the job record and strict-checked
+    on resume, because partition_seq ordinals are plan-order — resuming
+    with added/reordered inputs would reuse ordinals already committed
+    under other files and corrupt the reconstructible total order."""
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    paths: list[str] = []
+    for raw in input_paths:
+        p = Path(raw)
+        paths.extend(
+            sorted(str(q) for q in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+        )
+    return paths
+
+
 def plan_partitions(
     input_paths: list[str] | str,
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
@@ -98,17 +118,7 @@ def plan_partitions(
     partitions match the unfiltered plan's ids for the ranges kept."""
     from .decode import zone_may_match
 
-    if isinstance(input_paths, str):
-        input_paths = [input_paths]
-    paths = []
-    for raw in input_paths:
-        p = Path(raw)
-        # directories expand for list elements too (round-4 self-review:
-        # the list form used to treat a directory as a literal file and
-        # crash inside pq.ParquetFile with no hint)
-        paths.extend(
-            sorted(str(q) for q in p.glob("*.parquet")) if p.is_dir() else [str(p)]
-        )
+    paths = resolve_input_paths(input_paths)
     fcols = [c for c, _, _ in filter] if filter else []
     parts: list[dict] = []
     for path in paths:
@@ -129,46 +139,37 @@ def plan_partitions(
         n_rg = md.num_row_groups
         start = 0
         acc = 0
+
+        def flush(rg_end: int, acc: int) -> None:
+            # full path in the id: two inputs named part-00000.parquet
+            # in different directories must NOT collide (a collision
+            # silently overwrites one partition's blocks and marks the
+            # other committed on resume)
+            pid = hashlib.sha256(f"{path}:{start}-{rg_end}".encode()).hexdigest()[:16]
+            parts.append(
+                {
+                    "partition_id": pid,
+                    "partition_seq": len(parts),  # plan-order ordinal
+                    "path": path,
+                    "rg_start": start,
+                    "rg_end": rg_end,  # inclusive
+                    "est_bytes": acc,
+                }
+            )
+
         for rg in range(n_rg):
             if filter and not zone_may_match(
                 _rg_zone(md.row_group(rg), col_idx, fcols, col_types), filter
             ):
                 # flush the open range, then skip this row-group entirely
                 if acc > 0:
-                    pid = hashlib.sha256(
-                        f"{path}:{start}-{rg - 1}".encode()
-                    ).hexdigest()[:16]
-                    parts.append(
-                        {
-                            "partition_id": pid,
-                            "partition_seq": len(parts),
-                            "path": path,
-                            "rg_start": start,
-                            "rg_end": rg - 1,
-                            "est_bytes": acc,
-                        }
-                    )
+                    flush(rg - 1, acc)
                 start = rg + 1
                 acc = 0
                 continue
             acc += md.row_group(rg).total_byte_size
-            last = rg == n_rg - 1
-            if acc >= max_partition_bytes or last:
-                # full path in the id: two inputs named part-00000.parquet
-                # in different directories must NOT collide (a collision
-                # silently overwrites one partition's blocks and marks the
-                # other committed on resume)
-                pid = hashlib.sha256(f"{path}:{start}-{rg}".encode()).hexdigest()[:16]
-                parts.append(
-                    {
-                        "partition_id": pid,
-                        "partition_seq": len(parts),  # plan-order ordinal
-                        "path": path,
-                        "rg_start": start,
-                        "rg_end": rg,  # inclusive
-                        "est_bytes": acc,
-                    }
-                )
+            if acc >= max_partition_bytes or rg == n_rg - 1:
+                flush(rg, acc)
                 start = rg + 1
                 acc = 0
     return parts
@@ -197,45 +198,63 @@ def iter_blocks(table: pa.Table, block_rows: int, max_block_bytes: int):
             .astype(np.int64)
         )
 
-    row_bytes = np.zeros(n, dtype=np.int64)
-    for name in table.column_names:
-        col = table[name]
-        t = col.type
+    def _row_sizes(ca) -> "np.ndarray":
+        """Per-row payload bytes, recursing through EVERY nesting level —
+        a megabyte string inside a struct, map or fixed-size list must
+        count (round-4 reviews, twice: first the 8-bytes-per-element list
+        estimate, then a flat 8-bytes-per-row fallback for struct and
+        fixed_size_list, each let one giant blob blow past
+        max_block_bytes unnoticed — the stall/OOM this cap exists to
+        stop)."""
+        if isinstance(ca, pa.ChunkedArray):
+            ca = ca.combine_chunks()
+        t = ca.type
         if (
             pa.types.is_string(t)
             or pa.types.is_large_string(t)
             or pa.types.is_binary(t)
             or pa.types.is_large_binary(t)
         ):
-            row_bytes += _var_lens(col)
-        elif pa.types.is_list(t) or pa.types.is_large_list(t):
-            ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return _var_lens(ca)
+        if pa.types.is_map(t):
+            # measure a map by its physical layout: list of entry structs
+            ca = ca.cast(
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("key", t.key_type, nullable=False),
+                            pa.field("value", t.item_type),
+                        ]
+                    )
+                )
+            )
+            t = ca.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
             counts = (
                 pc.fill_null(pc.list_value_length(ca), 0)
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            vt = t.value_type
-            if (
-                pa.types.is_string(vt)
-                or pa.types.is_large_string(vt)
-                or pa.types.is_binary(vt)
-                or pa.types.is_large_binary(vt)
-            ):
-                # exact bytes: inner value lengths segment-summed per
-                # outer row (round-4 self-review: the old 8-bytes-per-
-                # element estimate let one list of multi-MB strings blow
-                # past max_block_bytes unnoticed — the giant-blob stall
-                # this cap exists to stop)
-                inner = _var_lens(pc.list_flatten(ca))
-                c_in = np.concatenate(([0], np.cumsum(inner)))
-                ends = np.cumsum(counts)
-                row_bytes += c_in[ends] - c_in[ends - counts]
-            else:
-                # fixed-width (or deeper-nested: width-8 floor) elements
-                row_bytes += counts * _width_or(vt, 8)
-        else:
-            row_bytes += _width_or(t, 8)
+            inner = _row_sizes(pc.list_flatten(ca))
+            c_in = np.concatenate(([0], np.cumsum(inner)))
+            ends = np.cumsum(counts)
+            return c_in[ends] - c_in[ends - counts]
+        if pa.types.is_fixed_size_list(t):
+            size = t.list_size
+            # .values covers every slot of the UNSLICED child (incl. slots
+            # under null rows) — window it to this array's offset/length
+            inner = _row_sizes(ca.values.slice(ca.offset * size, len(ca) * size))
+            return inner.reshape(len(ca), size).sum(axis=1)
+        if pa.types.is_struct(t):
+            out = np.zeros(len(ca), dtype=np.int64)
+            for j in range(t.num_fields):
+                out += _row_sizes(ca.field(j))
+            return out
+        return np.full(len(ca), _width_or(t, 8), dtype=np.int64)
+
+    row_bytes = np.zeros(n, dtype=np.int64)
+    for name in table.column_names:
+        row_bytes += _row_sizes(table[name])
     cum = np.cumsum(row_bytes)
     pos = 0
     while pos < n:
@@ -505,11 +524,7 @@ def encode_dataset_ordered(
     an actor pool that reads + encodes its own row-groups. Use
     decode_ordered / attach_global_row_numbers on the result."""
     if concurrency is None:
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
-        concurrency = (1, max(2, ncpu - 2))
+        concurrency = (1, max(2, cluster_cpus() - 2))
     parts = plan_partitions(input_paths, max_partition_bytes)
     ds = ray.data.from_items(parts)
     return ds.map_batches(
@@ -545,13 +560,17 @@ def job_params(
     decode_weight: float = 0.0,
     enc_cap: float | None = None,
     forced_codecs: dict | None = None,
+    inputs: list[str] | None = None,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
-    Manifest.check_job records and compares on resume."""
+    Manifest.check_job records and compares on resume. `inputs` is the
+    RESOLVED parquet file list (resolve_input_paths), the job's input
+    identity."""
     return {
         "filter": [list(p) for p in filter] if filter else None,
         "columns": list(columns) if columns else None,
         "hash_column": hash_column,
+        "inputs": list(inputs) if inputs else None,
         "block_rows": block_rows,
         "level": level,
         "stats": stats,
@@ -599,11 +618,7 @@ def run_encode_job(
     if concurrency is None:
         # unlike the streaming path, the partition actor reads its own
         # input (no separate read stage to starve): use nearly all CPUs
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
-        concurrency = (1, max(2, ncpu - 2))
+        concurrency = (1, max(2, cluster_cpus() - 2))
     if filter:
         # fail fast on the driver (same class as decode.validate_predicates):
         # an unknown op or missing column would otherwise die inside an
@@ -624,6 +639,7 @@ def run_encode_job(
             except Exception:
                 pass  # unreadable yet: the planner will raise with context
         validate_predicate_shapes(filter, schema_names, "input schema")
+    resolved = resolve_input_paths(input_paths)
     manifest = Manifest(out_root)
     manifest.check_job(
         job_params(
@@ -639,9 +655,10 @@ def run_encode_job(
             decode_weight=decode_weight,
             enc_cap=enc_cap,
             forced_codecs=forced_codecs,
+            inputs=resolved,
         )
     )
-    parts = plan_partitions(input_paths, max_partition_bytes, filter=filter)
+    parts = plan_partitions(resolved, max_partition_bytes, filter=filter)
     committed = manifest.committed_ids()
     pending = [p for p in parts if p["partition_id"] not in committed]
     summary = {

@@ -39,7 +39,19 @@ FORMAT_VERSION = 3
 # Job parameters that change WHICH ROWS a partition contains (or how they
 # verify); resuming with a different value would mix rows from different
 # predicates/projections in one block table (ADVICE r2).
-STRICT_JOB_KEYS = ("filter", "columns", "hash_column")
+# max_partition_bytes and the resolved input list are strict because they
+# change the PARTITION PLAN itself: different row-group ranges hash to
+# all-new partition ids (old committed {pid}.parquet files would sit
+# beside the re-encoded ones — every row read twice), and a changed input
+# list reuses partition_seq ordinals already committed under other files
+# (decode_ordered would interleave rows at the tied sort keys).
+STRICT_JOB_KEYS = (
+    "filter",
+    "columns",
+    "hash_column",
+    "max_partition_bytes",
+    "inputs",
+)
 
 
 class Manifest:
@@ -105,10 +117,13 @@ class Manifest:
                 "(stale block files under the old id scheme would duplicate rows)"
             )
         old = rec.get("params", {})
+        # keys absent from the record predate the strict check (e.g.
+        # `inputs` on round-3 job dirs): nothing recorded to compare, so
+        # accept and let the rewrite below backfill them
         mismatched = {
             k: {"recorded": old.get(k), "requested": params.get(k)}
             for k in STRICT_JOB_KEYS
-            if old.get(k) != params.get(k)
+            if k in old and old.get(k) != params.get(k)
         }
         if mismatched and self.committed_ids():
             raise ValueError(

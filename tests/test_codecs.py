@@ -219,3 +219,38 @@ def test_fsst_native_and_fallback_agree(monkeypatch):
     # native decode reads fallback blocks after the patch is lifted
     monkeypatch.undo()
     assert decode_column(fallback_blob).equals(arr)
+
+
+def test_temporal_types_roundtrip_all_codecs():
+    """date64/time32/time64/duration are is_intlike but used to die in
+    int_view (no direct int64 view) or type_from_str (no duration
+    parser); date32 zones crashed on the unsupported direct int64 cast.
+    Every temporal type must round-trip through every int codec and the
+    auto selector, nulls included."""
+    import numpy as np
+
+    from rayenc.blocks import decode_column, decode_rows, encode_column
+    from rayenc.encode import column_zone
+    from rayenc.selector import encode_column_auto
+
+    cases = [
+        (pa.date32(), [18000, 18001, None]),
+        (pa.date64(), [1555200000000, 1555286400000, None]),
+        (pa.time32("s"), [3600, 7200, None]),
+        (pa.time32("ms"), [3600000, 7200000, None]),
+        (pa.time64("us"), [3600000000, 7200000000, None]),
+        (pa.time64("ns"), [3600000000000, 7200000000000, None]),
+        (pa.duration("us"), [1000, 2000, None]),
+        (pa.duration("s"), [1, 2, None]),
+    ]
+    for t, vals in cases:
+        arr = pa.array(vals, type=t)
+        for codec in ("plain", "rle", "dict", "foref"):
+            blob = encode_column(arr, codec)
+            assert decode_column(blob).equals(arr), (t, codec)
+            idx = np.array([1, 0])
+            assert decode_rows(blob, idx).equals(arr.take(pa.array(idx))), (t, codec)
+        blob, choice = encode_column_auto(arr)
+        assert decode_column(blob).equals(arr), (t, choice.codec)
+    z = column_zone(pa.array([18000, 18001], type=pa.date32()))
+    assert z == {"min": 18000, "max": 18001, "null_count": 0}

@@ -96,3 +96,31 @@ def test_list_boundary_sweep():
             if hi > lo
         ]
         assert pa.concat_arrays(pieces).equals(col), n_blocks
+
+
+def test_fixed_size_list_nested_child_null_rows_roundtrip():
+    """fixed_size_list with struct/map/list children AND null rows: the
+    scatter filler for null rows' slots must work for every child type
+    (struct scalars have no zero filler — round-4 review found encode
+    succeeded but decode raised, leaving written data unreadable)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayenc.blocks import decode_column, decode_rows, encode_column
+
+    cases = [
+        pa.array(
+            [[{"a": 1}, {"a": 2}], None],
+            type=pa.list_(pa.struct([("a", pa.int64())]), 2),
+        ),
+        pa.array(
+            [[[("k", 1)]], None], type=pa.list_(pa.map_(pa.string(), pa.int64()), 1)
+        ),
+        pa.array([[[1], [2, 3]], None], type=pa.list_(pa.list_(pa.int64()), 2)),
+        pa.array([["x", "y"], None, ["z", "w"]], type=pa.list_(pa.string(), 2)),
+    ]
+    for arr in cases:
+        blob = encode_column(arr, "plain")
+        assert decode_column(blob).equals(arr), arr.type
+        idx = np.arange(len(arr))[::-1]
+        assert decode_rows(blob, idx).equals(arr.take(pa.array(idx))), arr.type

@@ -54,7 +54,11 @@ def test_partial_completion_resumes_rest(ray_session, corpus_parquet, tmp_path):
     k = len(parts) // 2
     assert k >= 1
     m = Manifest(out)
-    m.check_job(job_params(block_rows=500, max_partition_bytes=1 << 20))
+    m.check_job(
+        job_params(
+            block_rows=500, max_partition_bytes=1 << 20, inputs=[corpus_parquet]
+        )
+    )
     for p in parts[:k]:
         m.commit(
             {
@@ -308,3 +312,99 @@ def test_job_accepts_enc_cap_and_forced_codecs(ray_session, corpus_parquet, tmp_
     row = read_blocks(out + "/blocks").take(1)[0]
     assert block_codec(memoryview(row["col_content"]))["codec"].startswith("plain")
     assert verify_blocks(read_blocks(out + "/blocks"))["ok"]
+
+
+def test_resume_refuses_changed_partition_bytes(ray_session, corpus_parquet, tmp_path):
+    """max_partition_bytes changes the partition plan: every pid hashes to
+    a new value, committed {old_pid}.parquet files stay in blocks/, and
+    read_blocks would return every row twice. Resume must refuse."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "job")
+    s = run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    assert s["partitions_encoded"] > 0
+    with _pytest.raises(ValueError, match="max_partition_bytes"):
+        run_encode_job(
+            corpus_parquet,
+            out,
+            block_rows=500,
+            max_partition_bytes=1 << 19,
+            concurrency=2,
+        )
+
+
+def test_resume_refuses_changed_inputs(ray_session, corpus_parquet, tmp_path):
+    """partition_seq ordinals are plan-order: resuming with an extra (or
+    reordered) input reuses ordinals already committed under other files
+    and silently corrupts decode_ordered's total order. Resume must
+    refuse a changed resolved input list."""
+    import shutil
+
+    import pytest as _pytest
+
+    out = str(tmp_path / "job")
+    other = str(tmp_path / "other.parquet")
+    shutil.copyfile(corpus_parquet, other)
+    s = run_encode_job(corpus_parquet, out, block_rows=500, concurrency=2)
+    assert s["partitions_encoded"] > 0
+    with _pytest.raises(ValueError, match="inputs"):
+        run_encode_job([other, corpus_parquet], out, block_rows=500, concurrency=2)
+
+
+def test_resume_accepts_record_predating_inputs_key(
+    ray_session, corpus_parquet, tmp_path
+):
+    """A job record written before the inputs/max_partition_bytes keys
+    existed has nothing recorded to compare: resume must accept and
+    backfill, not permanently lock the root."""
+    import json as _json
+
+    out = str(tmp_path / "job")
+    s = run_encode_job(corpus_parquet, out, block_rows=500, concurrency=2)
+    assert s["partitions_encoded"] > 0
+    rec_path = tmp_path / "job" / "job.json"
+    rec = _json.loads(rec_path.read_text())
+    del rec["params"]["inputs"]
+    del rec["params"]["max_partition_bytes"]
+    rec_path.write_text(_json.dumps(rec))
+    s2 = run_encode_job(corpus_parquet, out, block_rows=500, concurrency=2)
+    assert s2["partitions_encoded"] == 0  # all committed; no refusal
+    rec2 = _json.loads(rec_path.read_text())
+    assert rec2["params"]["inputs"]  # backfilled on the rewrite
+
+
+def test_block_byte_cap_counts_nested_payloads():
+    """iter_blocks' byte cap must see string payload at EVERY nesting
+    level: struct<body>, fixed_size_list<string> and map values used to
+    count 8 bytes/row, letting giant blobs hide from max_block_bytes."""
+    import pyarrow as pa
+
+    from rayenc.jobs import iter_blocks
+
+    mb = 1 << 20
+    cases = [
+        pa.table({"s": pa.array([{"body": "x" * mb} for _ in range(16)])}),
+        pa.table(
+            {
+                "f": pa.array(
+                    [["x" * (mb // 2)] * 2 for _ in range(16)],
+                    type=pa.list_(pa.string(), 2),
+                )
+            }
+        ),
+        pa.table(
+            {
+                "m": pa.array(
+                    [[("k", "v" * mb)] for _ in range(16)],
+                    type=pa.map_(pa.string(), pa.string()),
+                )
+            }
+        ),
+    ]
+    for t in cases:
+        blocks = list(iter_blocks(t, 8192, mb))
+        assert len(blocks) == 16, t.schema  # 1 MiB rows under a 1 MiB cap
+    # small flat table still yields one block
+    assert len(list(iter_blocks(pa.table({"i": list(range(100))}), 8192, mb))) == 1
