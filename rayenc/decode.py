@@ -132,12 +132,26 @@ def prune_blocks(
 
 def filter_table(batch: pa.Table, predicates: list[Predicate]) -> pa.Table:
     """Exact (col, op, value) conjunction filter on one Arrow table
-    (timestamps/dates compare on their epoch-int view, like zone maps)."""
+    (temporal columns compare on their epoch-int view, like zone maps)."""
     mask = None
     for col, op, val in predicates:
         arr = batch[col]
-        if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
-            arr = arr.cast(pa.int64())
+        t = arr.type
+        if (
+            pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+            or pa.types.is_time(t)
+            or pa.types.is_duration(t)
+        ):
+            # date32 has no direct int64 cast (same Arrow gap column_zone
+            # works around); time/duration have no compare kernel against
+            # int64 at all — normalize every temporal to its epoch ints
+            if pa.types.is_date32(t) or (
+                pa.types.is_time32(t)
+            ):
+                arr = arr.cast(pa.int32()).cast(pa.int64())
+            else:
+                arr = arr.cast(pa.int64())
         m = _OPS[op](arr, val)
         mask = m if mask is None else pc.and_kleene(mask, m)
     if mask is None:
@@ -456,17 +470,24 @@ def _partition_bases(blocks: "ray.data.Dataset") -> tuple[dict, int]:
     the partition's row_start span — duplicated blocks from unioned
     encodes, or a filtered blocks dataset, inflate/deflate the sum and
     raise instead of silently mis-addressing rows)."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     def _meta(t: pa.Table) -> pa.Table:
         rs = t["row_start"]
+        rs64 = pc.fill_null(pc.cast(rs, pa.int64()), 0)
+        n64 = pc.cast(t["n_rows"], pa.int64())
+        end = pc.add(rs64, n64)
         return pa.table(
             {
                 "partition_seq": t["partition_seq"],
-                "n_rows": t["n_rows"],
+                "n_rows": n64,
                 "rs_null": pc.cast(pc.is_null(rs), pa.int64()),
-                "rs_end": pc.add(
-                    pc.fill_null(pc.cast(rs, pa.int64()), 0), t["n_rows"]
+                "rs_start": rs64,
+                "rs_end": end,
+                # telescoping term: end^2 - start^2; for blocks exactly
+                # tiling [0, total) these sum to total^2
+                "rs_tel": pc.subtract(
+                    pc.multiply(end, end), pc.multiply(rs64, rs64)
                 ),
             }
         )
@@ -475,7 +496,10 @@ def _partition_bases(blocks: "ray.data.Dataset") -> tuple[dict, int]:
         blocks.select_columns(["partition_seq", "n_rows", "row_start"])
         .map_batches(_meta, batch_format="pyarrow")
         .groupby("partition_seq")
-        .aggregate(Sum("n_rows"), Sum("rs_null"), Max("rs_end"))
+        .aggregate(
+            Sum("n_rows"), Sum("rs_null"), Min("rs_start"), Max("rs_end"),
+            Sum("rs_tel"),
+        )
         .take_all()
     )
     if any(int(r["sum(rs_null)"] or 0) > 0 for r in rows):
@@ -484,17 +508,30 @@ def _partition_bases(blocks: "ray.data.Dataset") -> tuple[dict, int]:
     bases: dict = {}
     acc = 0
     for r in rows:
-        if int(r["sum(n_rows)"]) != int(r["max(rs_end)"]):
+        total = int(r["sum(n_rows)"])
+        # three necessary tiling conditions over [0, total): row counts
+        # sum to the span end, the span starts at 0, and the telescoping
+        # sum of end^2 - start^2 equals total^2. The first alone misses
+        # COMPENSATING corruption (a missing prefix block plus a
+        # duplicated later block of equal size keeps the sum), which the
+        # telescoping sum catches (duplicated high spans over-weigh).
+        if (
+            total != int(r["max(rs_end)"])
+            or int(r["min(rs_start)"]) != 0
+            or int(r["sum(rs_tel)"]) != total * total
+        ):
             raise ValueError(
                 "blocks lack a total order (partition "
                 f"{int(r['partition_seq'])}: block rows sum to "
-                f"{int(r['sum(n_rows)'])} but row_start spans "
-                f"{int(r['max(rs_end)'])} — duplicated or missing blocks, "
-                "e.g. a union of two encodes); re-encode with "
+                f"{total} but row_start spans "
+                f"[{int(r['min(rs_start)'])}, {int(r['max(rs_end)'])}) with "
+                f"telescoping sum {int(r['sum(rs_tel)'])} != {total * total} "
+                "— duplicated or missing blocks, e.g. a union of two "
+                "encodes or a filtered blocks dataset); re-encode with "
                 "encode_dataset_ordered or the resumable job"
             )
         bases[int(r["partition_seq"])] = acc
-        acc += int(r["sum(n_rows)"])
+        acc += total
     return bases, acc
 
 
@@ -527,8 +564,13 @@ def take_rows(
 
     if not isinstance(blocks, MaterializedDataset):
         blocks = blocks.materialize()
+    schema = blocks.schema()
+    if schema is None:  # empty block table (e.g. everything filtered away)
+        if len(idx) == 0:
+            return pa.table({})
+        raise IndexError("row index out of range: block table is empty")
     bases = total = None
-    if "row_start" in blocks.schema().names:
+    if "row_start" in schema.names:
         try:
             bases, total = _partition_bases(blocks)
         except _RowStartUnavailable:
@@ -538,36 +580,23 @@ def take_rows(
             raise IndexError(f"row index out of range 0..{total - 1}")
         state = _ray.put((idx, bases))
 
-        def pick(batch: pa.Table) -> pa.Table:
-            from .blocks import decode_rows as _dr
-
+        def locate_fast(batch: pa.Table, i: int):
             w_idx, bs = _ray.get(state)
-            names = [c[4:] for c in batch.column_names if c.startswith("col_")]
-            if columns:
-                names = [c for c in names if c in columns]
-            out = []
-            pseqs = batch["partition_seq"].to_pylist()
-            rstarts = batch["row_start"].to_pylist()
-            nrows = batch["n_rows"].to_pylist()
-            for i in range(batch.num_rows):
-                gs = bs[int(pseqs[i])] + int(rstarts[i])
-                m = (w_idx >= gs) & (w_idx < gs + int(nrows[i]))
-                if not m.any():
-                    continue
-                li = w_idx[m] - gs
-                cols = {
-                    name: _dr(
-                        memoryview(batch[f"col_{name}"][i].as_buffer()), li
-                    )
-                    for name in names
-                }
-                cols["_pos"] = pa.array(np.nonzero(m)[0], type=pa.int64())
-                out.append(pa.table(cols))
-            if not out:
-                return pa.table({})
-            return pa.concat_tables(out)
+            gs = bs[int(batch["partition_seq"][i].as_py())] + int(
+                batch["row_start"][i].as_py()
+            )
+            m = (w_idx >= gs) & (w_idx < gs + int(batch["n_rows"][i].as_py()))
+            if not m.any():
+                return None
+            return w_idx[m] - gs, np.nonzero(m)[0]
 
-        return _finish_take_rows(blocks, idx, columns, pick)
+        return _finish_take_rows(
+            blocks,
+            idx,
+            columns,
+            locate_fast,
+            meta_cols=["partition_seq", "row_start", "n_rows"],
+        )
 
     meta = blocks.select_columns(["partition_seq", "block_seq", "n_rows"]).take_all()
     meta.sort(key=lambda r: (r["partition_seq"], r["block_seq"]))
@@ -589,59 +618,94 @@ def take_rows(
         wanted.setdefault(key, []).append((int(g - starts[b]), pos))
     ref = _ray.put(wanted)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        from .blocks import decode_rows as _dr
-
+    def locate_legacy(batch: pa.Table, i: int):
         w = _ray.get(ref)
-        names = [c[4:] for c in batch.column_names if c.startswith("col_")]
-        if columns:
-            names = [c for c in names if c in columns]
-        out = []
-        pseqs = batch["partition_seq"].to_pylist()
-        bseqs = batch["block_seq"].to_pylist()
-        for i in range(batch.num_rows):
-            sel = w.get((pseqs[i], bseqs[i]))
-            if not sel:
-                continue
-            locals_, poss = zip(*sel)
-            li = np.asarray(locals_, dtype=np.int64)
-            cols = {
-                name: _dr(
-                    memoryview(batch[f"col_{name}"][i].as_buffer()), li
-                )
-                for name in names
-            }
-            cols["_pos"] = pa.array(poss, type=pa.int64())
-            out.append(pa.table(cols))
-        if not out:
-            return pa.table({})
-        return pa.concat_tables(out)
+        sel = w.get(
+            (batch["partition_seq"][i].as_py(), batch["block_seq"][i].as_py())
+        )
+        if not sel:
+            return None
+        locals_, poss = zip(*sel)
+        return np.asarray(locals_, dtype=np.int64), np.asarray(poss, np.int64)
 
-    return _finish_take_rows(blocks, idx, columns, pick)
+    return _finish_take_rows(
+        blocks,
+        idx,
+        columns,
+        locate_legacy,
+        meta_cols=["partition_seq", "block_seq"],
+    )
+
 
 def _finish_take_rows(
-    blocks: "ray.data.Dataset", idx, columns: list[str] | None, pick
+    blocks: "ray.data.Dataset",
+    idx,
+    columns: list[str] | None,
+    locate,
+    meta_cols: list[str],
 ) -> pa.Table:
+    """Shared tail of take_rows: one pick closure for both layouts,
+    parameterized by `locate(batch, i) -> (local_indices, positions) |
+    None`. Projects the block table to the requested col_* plus
+    `meta_cols` BEFORE the map, so unrequested multi-MB blobs never ship
+    to the pick tasks (the decode_dataset pruning rule applied here)."""
     import numpy as np
 
+    schema_names = blocks.schema().names
+    all_names = [c[4:] for c in schema_names if c.startswith("col_")]
+    names = [c for c in all_names if c in columns] if columns else all_names
+    if columns:
+        missing = sorted(set(columns) - set(all_names))
+        if missing:
+            raise ValueError(f"columns not in the block table: {missing}")
     if len(idx) == 0:
         # empty selection: decode zero rows of the first block so the
         # caller still gets a correctly-typed empty table
         from .blocks import decode_rows as _dr
 
-        first = blocks.take(1)[0]
-        names = [c[4:] for c in first if c.startswith("col_")]
-        if columns:
-            names = [c for c in names if c in columns]
-        return pa.table(
-            {
-                name: _dr(memoryview(first[f"col_{name}"]), np.empty(0, np.int64))
+        first_rows = blocks.select_columns(
+            [f"col_{n}" for n in names]
+        ).take(1)
+        if not first_rows:
+            return pa.table({})  # empty block table: nothing to type
+        first = first_rows[0]
+        cols = {}
+        for name in names:
+            cell = first.get(f"col_{name}")
+            if cell is None:
+                raise ValueError(
+                    f"block table's first block has no column {name!r} "
+                    "(schema-evolution union); pass columns= present in "
+                    "every block"
+                )
+            cols[name] = _dr(memoryview(cell), np.empty(0, np.int64))
+        return pa.table(cols)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        from .blocks import decode_rows as _dr
+
+        out = []
+        for i in range(batch.num_rows):
+            hit = locate(batch, i)
+            if hit is None:
+                continue
+            li, poss = hit
+            cols = {
+                name: _dr(memoryview(batch[f"col_{name}"][i].as_buffer()), li)
                 for name in names
             }
-        )
+            cols["_pos"] = pa.array(np.asarray(poss, np.int64), type=pa.int64())
+            out.append(pa.table(cols))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out)
+
+    projected = blocks.select_columns(
+        meta_cols + [f"col_{n}" for n in names]
+    )
     parts = [
         t
-        for t in blocks.map_batches(pick, batch_format="pyarrow").iter_batches(
+        for t in projected.map_batches(pick, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow"
         )
         if t.num_rows

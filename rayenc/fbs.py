@@ -76,6 +76,16 @@ def histogram_to_flatbuffers(
     the reference, callers must pre-drop null elements). Forward layout:
     root u32 | table | vtable | four [len|elems] vectors, all offsets
     conforming to the spec so any FlatBuffers reader accepts it."""
+    for fname, seq in (("ts", ts), ("count", count)):
+        if any(v is None for v in seq):
+            # a None element would die as an opaque numpy TypeError deep
+            # below; name the field and the remedy at the shared layer
+            # (the reference drops nulls, flatbuffers.rs:14-30)
+            raise ValueError(
+                f"histogram field {fname!r} contains null elements; drop "
+                "them before serializing (the reference wire format has "
+                "no null representation)"
+            )
     vals = [
         np.asarray(ts, dtype="<i8"),
         np.asarray(count, dtype="<i8"),

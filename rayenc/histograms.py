@@ -179,7 +179,10 @@ def write_policy_parquet(table: pa.Table, path: str) -> None:
             use_byte_stream_split=["sums_double.list.element"],
             **kwargs,
         )
-    except Exception:  # older pyarrow without list-valued byte_stream_split
+    except (TypeError, ValueError):
+        # older pyarrow rejecting list-valued use_byte_stream_split — the
+        # only failure this fallback is for; I/O or data errors propagate
+        # (a bare except here silently dropped the policy on ANY error)
         pq.write_table(table, path, **kwargs)
 
 

@@ -26,19 +26,28 @@ try:  # ships with ray; guard per the import-try rule
     _HAS_MSGPACK = True
 except Exception:  # pragma: no cover
     _HAS_MSGPACK = False
-    import json as _json
+
+
+def _require_msgpack() -> None:
+    if not _HAS_MSGPACK:  # pragma: no cover
+        # no silent JSON fallback: json cannot represent bytes values or
+        # non-string map keys, so it would break this module's documented
+        # lossless contract — fail loudly instead
+        raise ImportError(
+            "rayenc.opaque requires msgpack (ships with ray); the JSON "
+            "fallback was removed because it cannot losslessly represent "
+            "bytes values or int/float map keys"
+        )
 
 
 def _packb(obj) -> bytes:
-    if _HAS_MSGPACK:
-        return msgpack.packb(obj, use_bin_type=True)
-    return _json.dumps(obj, separators=(",", ":")).encode()  # pragma: no cover
+    _require_msgpack()
+    return msgpack.packb(obj, use_bin_type=True)
 
 
 def _unpackb(b: bytes):
-    if _HAS_MSGPACK:
-        return msgpack.unpackb(b, raw=False, strict_map_key=False)
-    return _json.loads(b)  # pragma: no cover
+    _require_msgpack()
+    return msgpack.unpackb(b, raw=False, strict_map_key=False)
 
 
 def pack_opaque(

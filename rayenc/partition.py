@@ -106,7 +106,11 @@ def salted_partition(
             keys_arr = batch[key]
             h = None
             for giant, n_salts in smap.items():  # few giants; vectorized each
-                mask = pc.equal(keys_arr, giant).to_numpy(zero_copy_only=False)
+                # fill_null: a null key compares to null, and an object-
+                # dtype (True/None) numpy array is rejected as a bool mask
+                mask = pc.fill_null(pc.equal(keys_arr, giant), False).to_numpy(
+                    zero_copy_only=False
+                )
                 if mask.any():
                     if h is None:
                         h = _stable_hash(batch[salt_col])

@@ -174,3 +174,16 @@ def test_parser_accepts_vtable_before_table_layout():
     assert got["count"].tolist() == count
     assert got["sums_double"].tolist() == sd
     assert got["sums_long"].tolist() == sl
+
+
+def test_series_null_elements_named_error():
+    """Null ts/count elements used to die as an opaque numpy TypeError
+    deep inside serialization; the shared layer must name the field."""
+    import pytest as _pytest
+
+    from rayenc.fbs import series_to_flatbuffers
+
+    with _pytest.raises(ValueError, match="'ts'"):
+        series_to_flatbuffers({"ts": [1, None, 3], "count": [1, 1, 1]})
+    with _pytest.raises(ValueError, match="'count'"):
+        series_to_flatbuffers({"ts": [1, 2], "count": [None, 1]})

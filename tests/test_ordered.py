@@ -101,3 +101,52 @@ def test_take_rows_and_row_numbers_legacy_blocks(ray_session, corpus_parquet):
     ).sort_by("rn")
     assert rn_slow["rn"].to_pylist() == list(range(src.num_rows))
     assert rn_slow.select(src.column_names).equals(src)
+
+
+def test_partition_bases_catch_compensating_corruption(ray_session, corpus_parquet):
+    """sum(n_rows) == max(row_start + n_rows) alone misses a missing
+    prefix block compensated by a duplicated later block of equal size;
+    the telescoping end^2 - start^2 sum (and min(row_start) == 0) must
+    catch it instead of silently mis-addressing rows."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rayenc.decode import take_rows
+    from rayenc.jobs import encode_dataset_ordered
+
+    blocks = encode_dataset_ordered(
+        corpus_parquet, block_rows=500, concurrency=2
+    ).materialize()
+    tbl = pa.concat_tables(
+        blocks.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    tbl = tbl.sort_by([("partition_seq", "ascending"), ("block_seq", "ascending")])
+    # drop the first block of partition 0 and duplicate its second block
+    # (same n_rows at this block_rows setting): counts and max-end agree
+    first_two = tbl.slice(0, 2)
+    assert first_two["n_rows"][0].as_py() == first_two["n_rows"][1].as_py()
+    corrupt = pa.concat_tables([tbl.slice(1), tbl.slice(1, 1)])
+    with _pytest.raises(ValueError, match="total order"):
+        take_rows(rd.from_arrow(corrupt), [0])
+
+
+def test_take_rows_empty_table_and_bad_column(ray_session, corpus_parquet):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rayenc.decode import take_rows
+    from rayenc.jobs import encode_dataset_ordered
+
+    blocks = encode_dataset_ordered(
+        corpus_parquet, block_rows=500, concurrency=2
+    ).materialize()
+    # empty selection still types the result; unknown columns are named
+    empty = take_rows(blocks, [], columns=["path"])
+    assert empty.num_rows == 0 and empty.column_names == ["path"]
+    with _pytest.raises(ValueError, match="columns not in the block table"):
+        take_rows(blocks, [0], columns=["nope"])
+    # empty block table: typed-empty result, not IndexError
+    none = blocks.filter(lambda r: False).materialize()
+    assert take_rows(none, []).num_rows == 0

@@ -68,3 +68,30 @@ def test_locality_improves_compression(ray_session, shuffled_corpus):
         r["encoded_bytes"] for r in laid.select_columns(["encoded_bytes"]).take_all()
     )
     assert laid_bytes < base_bytes, (laid_bytes, base_bytes)
+
+
+def test_salted_partition_tolerates_null_keys(ray_session):
+    """A null key row in a batch containing a salted giant used to make
+    pc.equal return an object-dtype (True/None) mask that numpy rejects
+    as an index — IndexError inside the worker."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayenc.partition import salted_partition
+
+    n = 4000
+    t = pa.table(
+        {
+            "repo": pa.array(
+                ["giant"] * (n - 4) + [None, "small", None, "small"]
+            ),
+            "path": pa.array([f"p{i:05d}" for i in range(n)]),
+        }
+    )
+    out = salted_partition(
+        rd.from_arrow(t), key="repo", salt_col="path",
+        sort_within=("path",), target_rows=500
+    )
+    got = out.to_pandas()
+    assert len(got) == n
+    assert got["repo"].isna().sum() == 2

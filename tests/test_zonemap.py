@@ -220,3 +220,31 @@ def test_verify_check_zones_catches_timestamp_bloom_corruption(ray_session):
     )
     v2 = verify_blocks(rd.from_arrow(corrupt), check_zones=True)
     assert v2["zone_mismatches"] >= 1 and not v2["ok"]
+
+def test_filtered_decode_on_temporal_columns(ray_session):
+    """Predicates on date32/time/duration columns: zone pruning stores
+    epoch ints, but the exact row filter used to crash on date32 (no
+    direct int64 cast) and on time/duration (no compare kernel against
+    int64 at all). The whole filtered-decode path must work."""
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+    from rayenc.encode import BlockEncoder
+
+    t = pa.table(
+        {
+            "d32": pa.array([18000 + i for i in range(100)], type=pa.date32()),
+            "t64": pa.array(
+                [1_000_000 * i for i in range(100)], type=pa.time64("us")
+            ),
+            "dur": pa.array([10 * i for i in range(100)], type=pa.duration("ms")),
+            "content": pa.array([f"row {i}" for i in range(100)]),
+        }
+    )
+    blocks = rd.from_arrow(BlockEncoder().encode_table(t))
+    got = decode_dataset(blocks, filter=[("d32", ">=", 18090)]).to_pandas()
+    assert len(got) == 10
+    got2 = decode_dataset(blocks, filter=[("t64", "<", 5_000_000)]).to_pandas()
+    assert len(got2) == 5
+    got3 = decode_dataset(blocks, filter=[("dur", "==", 500)]).to_pandas()
+    assert len(got3) == 1 and got3["content"][0] == "row 50"
