@@ -120,8 +120,9 @@ def _emit_topk(
     scores: np.ndarray,
     k: int,
     finite_only: bool = False,
-    bm: np.ndarray | None = None,
-    q: np.ndarray | None = None,
+    *,
+    bm: np.ndarray,
+    q: np.ndarray,
 ) -> pa.Table:
     """Per-query batch-local top-k candidates from a (n_q, n_vec) score
     matrix. Stable candidate order: score desc, then vec_id asc.
@@ -145,23 +146,17 @@ def _emit_topk(
         s = scores[qi]
         if kk == 0:
             break
-        if bm is not None:
-            slack = max(1e-5, bm.shape[1] * 2.4e-7)
-            kth = np.partition(s, len(s) - kk)[len(s) - kk]
-            cand = np.flatnonzero(s >= kth - slack)
-            if finite_only:
-                cand = cand[np.isfinite(s[cand])]
-            cos = (bm[cand].astype(np.float64) * q[qi].astype(np.float64)).sum(
-                axis=1
-            )
-            sub = np.lexsort((ids[cand], -cos))[:kk]
-            order = cand[sub]
-            svals = cos[sub]
-        else:
-            order = np.lexsort((ids, -s))[:kk]
-            if finite_only:
-                order = order[np.isfinite(s[order])]
-            svals = s[order]
+        slack = max(1e-5, bm.shape[1] * 2.4e-7)
+        kth = np.partition(s, len(s) - kk)[len(s) - kk]
+        cand = np.flatnonzero(s >= kth - slack)
+        if finite_only:
+            cand = cand[np.isfinite(s[cand])]
+        cos = (bm[cand].astype(np.float64) * q[qi].astype(np.float64)).sum(
+            axis=1
+        )
+        sub = np.lexsort((ids[cand], -cos))[:kk]
+        order = cand[sub]
+        svals = cos[sub]
         out_q.extend([qi] * len(order))
         out_v.extend(ids[order].tolist())
         out_s.extend(svals.tolist())
@@ -266,10 +261,13 @@ def knn_ivf(
     from .hashing import splitmix64
 
     seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-    # per-batch cap: bounds driver-side sample volume at cap*n_batches;
-    # if every batch maxes the cap the kept sample is still uniform,
-    # just smaller than train_rows (fine for centroid training)
-    cap = int(max(4 * n_centroids, min(train_rows, 1024)))
+    # per-batch cap = train_rows: any row in the GLOBAL bottom-train_rows
+    # is necessarily in its own batch's bottom-train_rows, so the kept
+    # sample is the exact uniform bottom-k. A smaller cap (the old 1024)
+    # under-sampled rows in big batches relative to small ones — the
+    # sorted-corpus centroid bias this hash sampling exists to eliminate,
+    # reintroduced whenever block sizes were mixed.
+    cap = int(max(4 * n_centroids, train_rows))
 
     def sample_batch(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[vec_col]))
@@ -286,20 +284,24 @@ def knn_ivf(
             "__score", pa.array(score[take], type=pa.uint64())
         )
 
-    parts = [
-        b
-        for b in ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-        if b.num_rows
-    ]
-    if not parts:
+    # fold a RUNNING bottom-k while streaming: driver memory stays
+    # O(train_rows + one batch) instead of cap * n_batches (at the 100-TB
+    # design point the old accumulate-then-sort held every batch's sample
+    # simultaneously — a driver OOM)
+    acc: pa.Table | None = None
+    for b in ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        if not b.num_rows:
+            continue
+        acc = b if acc is None else pa.concat_tables([acc, b])
+        if acc.num_rows > train_rows:
+            sc = acc["__score"].to_numpy(zero_copy_only=False)
+            keep = np.sort(np.argsort(sc, kind="stable")[:train_rows])
+            acc = acc.take(pa.array(keep)).combine_chunks()
+    if acc is None:
         return _TOPK_SCHEMA.empty_table()
-    st = pa.concat_tables(parts)
-    keep = np.argsort(
-        st["__score"].to_numpy(zero_copy_only=False), kind="stable"
-    )[:train_rows]
-    train = st.select([vec_col]).take(pa.array(np.sort(keep)))
+    train = acc.select([vec_col])
     cent = kmeans_centroids(
         _batch_matrix(train, vec_col), n_centroids, seed=seed
     )

@@ -281,6 +281,24 @@ class MinHasher:
         )
 
 
+def _band_hash(mat: np.ndarray, b: int, rows_per_band: int) -> np.ndarray:
+    """Vectorized band-segment hash: a splitmix chain over the band's
+    signature columns (equal segments -> equal hash; false collisions
+    are filtered by the downstream full-signature verify; the round-1
+    per-row blake2b loop was the band-stage hot spot). This is the ONE
+    definition shared by the emission side (_band_rows) and the
+    exactly-once earlier-band check (pairs_in_hash_bucket) — if the two
+    chains drifted, pairs whose first collision is mis-attributed would
+    be suppressed in every later band and emitted NOWHERE."""
+    from .hashing import splitmix64
+
+    seg = mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+    bh = np.full(len(mat), np.uint64(b) + np.uint64(0x9E37), dtype=np.uint64)
+    for c in range(seg.shape[1]):
+        bh = splitmix64(bh ^ seg[:, c])
+    return bh
+
+
 def _band_rows(
     batch: pa.Table, n_bands: int, id_col: str = "doc_id"
 ) -> pa.Table:
@@ -302,19 +320,9 @@ def _band_rows(
     mat = np.asarray(arr.values.to_numpy(zero_copy_only=False)).reshape(n, n_perm)
     rows_per_band = n_perm // n_bands
     out_band, out_hash, out_idx = [], [], []
-    from .hashing import splitmix64
-
     for b in range(n_bands):
-        seg = mat[:, b * rows_per_band : (b + 1) * rows_per_band]
-        # vectorized segment hash: splitmix chain over the band columns
-        # (equal segments -> equal hash; false collisions are filtered by
-        # the downstream full-signature verify). The round-1 per-row
-        # blake2b loop was the band-stage hot spot.
-        bh = np.full(n, np.uint64(b) + np.uint64(0x9E37), dtype=np.uint64)
-        for c in range(seg.shape[1]):
-            bh = splitmix64(bh ^ seg[:, c])
         out_band.append(np.full(n, b, dtype=np.int32))
-        out_hash.append(bh)
+        out_hash.append(_band_hash(mat, b, rows_per_band))
         out_idx.append(np.arange(n))
     idx = np.concatenate(out_idx)
     return pa.table(
@@ -375,18 +383,12 @@ def minhash_candidate_pairs(
     rows_per_band = n_perm // n_bands
 
     def _band_hashes(mats: np.ndarray, upto: int) -> np.ndarray:
-        """(n, upto) band-hash matrix — the same splitmix chain
-        _band_rows uses, recomputed from the signatures so a group can
-        tell whether a pair ALREADY collided in an earlier band."""
-        from .hashing import splitmix64
-
+        """(n, upto) band-hash matrix — _band_hash recomputed from the
+        signatures so a group can tell whether a pair ALREADY collided
+        in an earlier band (the SAME helper the emission side uses)."""
         out = np.empty((len(mats), upto), dtype=np.uint64)
         for bb in range(upto):
-            seg = mats[:, bb * rows_per_band : (bb + 1) * rows_per_band]
-            bh = np.full(len(mats), np.uint64(bb) + np.uint64(0x9E37), dtype=np.uint64)
-            for c in range(seg.shape[1]):
-                bh = splitmix64(bh ^ seg[:, c])
-            out[:, bb] = bh
+            out[:, bb] = _band_hash(mats, bb, rows_per_band)
         return out
 
     def pairs_in_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -599,6 +601,7 @@ def anti_join_ids(
     id_col: str = "doc_id",
     drop_col: str = "node",
     num_partitions: int | None = None,
+    schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Shuffle-native anti-join: keep `ds` rows whose ``id_col`` does NOT
     appear in ``drop_ids[drop_col]``. Implemented with the repo's own
@@ -613,9 +616,15 @@ def anti_join_ids(
     empty blocks are a normal output of the upstream CC label filter.
     Every output table here carries an explicit schema, and the sort
     shuffle tolerates empty blocks regardless. ``ds`` may not itself use
-    the two reserved internal names."""
+    the two reserved internal names.
+
+    Pass ``schema`` when you know it: ``Dataset.schema()`` on a dataset
+    downstream of transforms EXECUTES the plan just to learn the schema,
+    so an unknowing caller pays the input scan twice (the asof_join
+    lesson, stages/asof.py)."""
     kind_col, bucket_col = "__aj_kind", "__aj_b"
-    schema = ds.schema()
+    if schema is None:
+        schema = ds.schema()
     names = list(schema.names)
     clash = {kind_col, bucket_col} & set(names)
     if clash:
@@ -678,6 +687,7 @@ def dedup_minhash(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
+    schema: "pa.Schema | None" = None,
     **kw,
 ) -> "ray.data.Dataset":
     """Near-dup removal with TRANSITIVE closure: candidate pairs form a
@@ -696,7 +706,9 @@ def dedup_minhash(
     ).materialize()
     if losers.count() == 0:
         return ds
-    return anti_join_ids(ds, losers, id_col=id_col, drop_col="node")
+    # pass `schema` for inputs downstream of transforms: without it the
+    # anti-join's ds.schema() probe executes the upstream plan once more
+    return anti_join_ids(ds, losers, id_col=id_col, drop_col="node", schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -999,11 +1011,28 @@ def exact_jaccard_pairs(
 
 
 def _pairs_from_scores(
-    ids_a: np.ndarray, ids_b: np.ndarray, scores: np.ndarray, threshold: float
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    scores: np.ndarray,
+    threshold: float,
+    mat_a: np.ndarray | None = None,
+    mat_b: np.ndarray | None = None,
 ):
     """Vectorized (i, j) extraction with cos >= threshold and id_a < id_b
-    (self-pairs excluded by the id inequality)."""
-    ii, jj = np.nonzero(scores >= threshold)
+    (self-pairs excluded by the id inequality).
+
+    With `mat_a`/`mat_b` given, `scores` is treated as a float32 GEMM
+    whose error grows with dim (BLAS accumulation order also varies with
+    matrix shape): candidates are gated at threshold - dim-scaled slack,
+    then RE-SCORED in fixed-order float64 for the actual threshold
+    decision and the emitted cos — the same determinism discipline as
+    ann._emit_topk and the LSH verify stage. Without matrices the raw
+    scores are trusted (callers that already computed float64)."""
+    if mat_a is not None and mat_b is not None:
+        slack = max(1e-4, mat_a.shape[1] * 2e-7)
+        ii, jj = np.nonzero(scores >= threshold - slack)
+    else:
+        ii, jj = np.nonzero(scores >= threshold)
     if len(ii) == 0:
         return (
             np.empty(0, np.int64),
@@ -1013,10 +1042,21 @@ def _pairs_from_scores(
     a = ids_a[ii]
     b = ids_b[jj]
     keep = a < b
+    ii, jj, a, b = ii[keep], jj[keep], a[keep], b[keep]
+    if mat_a is not None and mat_b is not None:
+        cos = (
+            mat_a[ii].astype(np.float64) * mat_b[jj].astype(np.float64)
+        ).sum(axis=1)
+        final = cos >= threshold
+        return (
+            a[final].astype(np.int64),
+            b[final].astype(np.int64),
+            cos[final],
+        )
     return (
-        a[keep].astype(np.int64),
-        b[keep].astype(np.int64),
-        scores[ii[keep], jj[keep]].astype(np.float64),
+        a.astype(np.int64),
+        b.astype(np.int64),
+        scores[ii, jj].astype(np.float64),
     )
 
 
@@ -1092,19 +1132,26 @@ def embedding_near_dup_pairs(
             ids_a, mat_a = _table_mat(ray.get(refs[i]))
             ids_b, mat_b = _table_mat(ray.get(refs[j]))
             for r0 in range(0, len(ids_a), tile):
-                for c0 in range(0, len(ids_b), tile):
+                # diagonal chunk-pairs (i == j) take only the tile upper
+                # triangle: the mirrored (c0, r0) tile would recompute the
+                # same GEMM transposed — a 2x waste of the dominant cost
+                # when the corpus fits one chunk
+                c_start = r0 if i == j else 0
+                for c0 in range(c_start, len(ids_b), tile):
                     sa = slice(r0, r0 + tile)
                     sb = slice(c0, c0 + tile)
                     scores = mat_a[sa] @ mat_b[sb].T
                     a, b, c = _pairs_from_scores(
-                        ids_a[sa], ids_b[sb], scores, threshold
+                        ids_a[sa], ids_b[sb], scores, threshold,
+                        mat_a[sa], mat_b[sb],
                     )
-                    if i != j:
-                        # the (j, i) direction: ids_b-side may hold the
-                        # smaller id (i == j needs no transpose: a < b
-                        # covers the whole triangle within one block)
+                    if i != j or c0 > r0:
+                        # the (j, i) direction: the b side may hold the
+                        # smaller id (a same-chunk DIAGONAL tile needs no
+                        # transpose: a < b covers its full square)
                         a2, b2, c2 = _pairs_from_scores(
-                            ids_b[sb], ids_a[sa], scores.T, threshold
+                            ids_b[sb], ids_a[sa], scores.T, threshold,
+                            mat_b[sb], mat_a[sa],
                         )
                         a = np.concatenate([a, a2])
                         b = np.concatenate([b, b2])
