@@ -334,11 +334,18 @@ def gen_histograms(
 
 
 def write_histogram_json(path: str, metric: dict) -> str:
+    """Atomic write (tmp + rename): callers gate fixture regeneration on
+    os.path.exists, so a crash mid-write must not pin a truncated file
+    at the final path forever."""
+    import os
+
     payload = json.dumps(metric).encode()
+    tmp = f"{path}.tmp.{os.getpid()}"
     if path.endswith(".gz"):
-        with gzip.open(path, "wb") as f:
+        with gzip.open(tmp, "wb") as f:
             f.write(payload)
     else:
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             f.write(payload)
+    os.replace(tmp, path)
     return path

@@ -59,12 +59,9 @@ def q_roundtrip_structs(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
 
     def pack(b: pa.Table) -> pa.Table:
+        # pa.Table columns are always ChunkedArray: combine unconditionally
         meta = pa.StructArray.from_arrays(
-            [
-                b["lang"].combine_chunks() if isinstance(b["lang"], pa.ChunkedArray) else b["lang"],
-                b["source"].combine_chunks() if isinstance(b["source"], pa.ChunkedArray) else b["source"],
-                b["n_chars"].combine_chunks() if isinstance(b["n_chars"], pa.ChunkedArray) else b["n_chars"],
-            ],
+            [b[c].combine_chunks() for c in ("lang", "source", "n_chars")],
             ["lang", "source", "n_chars"],
         )
         return pa.table({"doc_id": b["doc_id"], "meta": meta})
@@ -503,12 +500,14 @@ def q_events_windowed(sf_dir: str) -> pa.Table:
     )
 
     def add_window(b: pa.Table) -> pa.Table:
-        us = b["ts"].cast(pa.int64())
-        hour = pc.divide(us, 3_600_000_000)
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # FLOOR division (numpy), not pc.divide's truncation toward zero:
+        # the oracle's floor(epoch/3600) differs on pre-1970 timestamps
+        hour = np.floor_divide(us, 3_600_000_000)
         return pa.table(
             {
                 "event_type": b["event_type"],
-                "window_hour": hour.cast(pa.int64()),
+                "window_hour": pa.array(hour, type=pa.int64()),
                 "value": b["value"],
             }
         )
@@ -599,7 +598,13 @@ def q_events_props_stats(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
-        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        # anchored to an object boundary ({ or ,) so a '"k":' inside a
+        # nested object's tail or a string value is less likely to match.
+        # DOCUMENTED ASSUMPTION vs the oracle's json_extract('$.k'): the
+        # fixture's props are flat one-level JSON, where the regex and a
+        # real JSON parser agree; deeply nested props would need a parser
+        # stage instead of a vectorized kernel.
+        m = pc.extract_regex(b["props"], r'[{,]\s*"k":\s*(?P<k>\d+)')
         k = pc.struct_field(m, "k").cast(pa.int64())
         return pa.table({"event_type": b["event_type"], "k": k})
 
@@ -1340,7 +1345,14 @@ def q_jsonl_source(sf_dir: str) -> pa.Table:
 
     from ..stages.agg import grouped_agg_lowcard
 
-    key = _hl.sha256(sf_dir.encode()).hexdigest()[:12]
+    # key on source-file IDENTITY (path + mtime + size), not path alone:
+    # regenerated testdata at the same path must not silently reuse the
+    # old derived fixture while the oracle reads the new parquet
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    key = _hl.sha256(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     d = f"/tmp/rayenc_jsonl_{key}"
     path = _os.path.join(d, "docs.jsonl")
     if not _os.path.exists(path):

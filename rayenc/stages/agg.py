@@ -29,21 +29,31 @@ def grouped_agg_lowcard(
     (None, 'count') counts rows. Returns a combined pandas frame sorted
     by keys."""
 
+    def _agg(g, src, op):
+        if op == "count":
+            return g.size()  # COUNT(*): rows, null aggregands included
+        if op == "sum":
+            # SQL parity: SUM over an all-NULL group is NULL, not 0
+            # (pandas sum() defaults to 0 on empty/all-NaN)
+            return g[src].sum(min_count=1)
+        return getattr(g[src], op)()
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False)
-        out = {}
-        for out_col, (src, op) in aggs.items():
-            if op == "count":
-                out[out_col] = g.size()
-            else:
-                out[out_col] = getattr(g[src], op)()
+        # dropna=False: SQL GROUP BY emits a NULL-key group; pandas'
+        # default silently drops those rows
+        g = batch.groupby(keys, sort=False, dropna=False)
+        out = {out_col: _agg(g, src, op) for out_col, (src, op) in aggs.items()}
         return pd.DataFrame(out).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
     if partials.empty:
         return partials
-    g = partials.groupby(keys, sort=True)
+    g = partials.groupby(keys, sort=True, dropna=False)
     combined = {}
     for out_col, (_, op) in aggs.items():
-        combined[out_col] = getattr(g[out_col], _COMBINE[op])()
+        op2 = _COMBINE[op]
+        col = g[out_col]
+        combined[out_col] = (
+            col.sum(min_count=1) if op2 == "sum" else getattr(col, op2)()
+        )
     return pd.DataFrame(combined).reset_index()

@@ -88,9 +88,17 @@ def arrow_schema_of(schema) -> pa.Schema:
         return base
     if isinstance(schema, pa.Schema):
         return schema
-    return pa.schema(
-        [(n, pa.from_numpy_dtype(t)) for n, t in zip(schema.names, schema.types)]
-    )
+
+    def _from_np(t) -> pa.DataType:
+        # pandas stores strings (and any python object) as dtype 'O',
+        # which pa.from_numpy_dtype rejects — map it to string, the
+        # overwhelmingly common pandas meaning (bytes/objects would need
+        # the caller to pass an explicit schema)
+        if getattr(t, "kind", None) == "O":
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    return pa.schema([(n, _from_np(t)) for n, t in zip(schema.names, schema.types)])
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:

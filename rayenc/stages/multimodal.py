@@ -273,23 +273,23 @@ class FrameSampler:
         self.use_ffmpeg = (not force_fake) and has_ffmpeg()
         self._fake = FakeFrameSampler(n_frames, feature_dim)
 
-    def _real_frame(self, payload: bytes, ts: float) -> np.ndarray | None:
+    def _real_frame(self, media_path: str, ts: float) -> np.ndarray | None:
+        """Extract one frame from an on-disk media file. The caller
+        writes each payload to disk ONCE and reuses the path across all
+        n_frames invocations — rewriting a tens-of-MB video per frame
+        multiplied the decode path's disk I/O by n_frames."""
         import subprocess
-        import tempfile
 
         try:  # pragma: no cover - ffmpeg absent in CI container
-            with tempfile.NamedTemporaryFile(suffix=".bin") as f:
-                f.write(payload)
-                f.flush()
-                out = subprocess.run(
-                    [
-                        "ffmpeg", "-v", "error", "-ss", str(ts), "-i", f.name,
-                        "-frames:v", "1", "-f", "rawvideo", "-pix_fmt", "gray",
-                        "-s", "16x16", "pipe:1",
-                    ],
-                    capture_output=True,
-                    timeout=30,
-                )
+            out = subprocess.run(
+                [
+                    "ffmpeg", "-v", "error", "-ss", str(ts), "-i", media_path,
+                    "-frames:v", "1", "-f", "rawvideo", "-pix_fmt", "gray",
+                    "-s", "16x16", "pipe:1",
+                ],
+                capture_output=True,
+                timeout=30,
+            )
             if out.returncode != 0 or len(out.stdout) < 256:
                 return None
             flat = np.frombuffer(out.stdout[:256], dtype=np.uint8).astype(np.float32) / 255.0
@@ -307,14 +307,23 @@ class FrameSampler:
         # the fake provides the row explosion and sampled timestamps;
         # only the feature vectors are replaced with real frame decodes
         out = self._fake(batch)  # pragma: no cover - ffmpeg absent in CI
+        import tempfile
+
         feats = []
         ts_list = out["ts_s"].to_pylist()
         pos = 0
         for payload in batch["payload"].to_pylist():
-            for i in range(self.n_frames):
-                real = self._real_frame(payload, ts_list[pos])
-                feats.append(real if real is not None else self._fake._frame_features(payload, i))
-                pos += 1
+            with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+                f.write(payload)
+                f.flush()
+                for i in range(self.n_frames):
+                    real = self._real_frame(f.name, ts_list[pos])
+                    feats.append(
+                        real
+                        if real is not None
+                        else self._fake._frame_features(payload, i)
+                    )
+                    pos += 1
         mat = np.vstack(feats) if feats else np.empty((0, self.feature_dim), np.float32)
         return out.set_column(
             out.column_names.index("features"),

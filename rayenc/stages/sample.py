@@ -41,16 +41,12 @@ def hash_sample(
     cut = np.uint64(int(fraction * float(_MOD)))
 
     def pick(b: pa.Table) -> pa.Table:
-        col = b[id_col]
+        # pa.Table columns are always ChunkedArray: combine unconditionally
+        col = b[id_col].combine_chunks()
         valid = np.ones(b.num_rows, dtype=bool)
         if col.null_count:
-            valid = np.asarray(
-                col.is_valid() if not isinstance(col, pa.ChunkedArray)
-                else col.combine_chunks().is_valid()
-            )
-            col = col.combine_chunks().fill_null(0) if isinstance(
-                col, pa.ChunkedArray
-            ) else col.fill_null(0)
+            valid = np.asarray(col.is_valid())
+            col = col.fill_null(0)
         ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         fold = ((ids >> np.uint64(32)) ^ ids) & _M32
         h = (fold * _KNUTH) % _MOD

@@ -201,11 +201,15 @@ def fingerprint_batch(
             out[i] = hashes[lo:hi].min()
         else:  # shorter than k: FNV over the raw bytes
             out[i] = _short_hash(data[offsets[i] : offsets[i + 1]])
-    fp = np.array([f"{v:016x}" for v in out], dtype=object)
+    fp = [f"{v:016x}" for v in out]
+    if validity is not None:
+        # NULL text must not fingerprint like empty text (prepare_array
+        # null-fills with ""): emit null for null input
+        fp = [s if ok else None for s, ok in zip(fp, validity)]
     return pa.table(
         {
             id_col: batch[id_col],
-            "fingerprint": pa.array(fp.tolist(), type=pa.string()),
+            "fingerprint": pa.array(fp, type=pa.string()),
         }
     )
 
