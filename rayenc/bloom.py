@@ -105,6 +105,57 @@ def _column_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray] | None:
     return None
 
 
+def array_probe_hashes(
+    arr: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """PER-ROW (h1, h2, valid) probe hashes for a whole array — the
+    vectorized companion to the scalar `_probe_hash`, using the same
+    value normalization (int64 negatives wrap to their uint64 bit
+    pattern; strings/binary hash per DISTINCT value via blake2b and
+    gather back through dictionary indices). `valid` is False for null
+    rows (a null never equals any key). Returns None for unsupported
+    types — callers must treat that as "no filter, never prune"."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    t = arr.type
+    valid = np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False), dtype=bool)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64), valid
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_integer(t):
+        try:
+            if pa.types.is_date32(t):
+                ints = arr.cast(pa.int32()).cast(pa.int64())
+            elif pa.types.is_date64(t) or pa.types.is_timestamp(t):
+                ints = arr.cast(pa.int64())
+            elif pa.types.is_uint64(t):
+                ints = arr
+            else:
+                ints = arr.cast(pa.int64())
+            np_vals = pc.fill_null(ints, 0).to_numpy(zero_copy_only=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError):
+            return None
+        h1, h2 = _int_hashes(np.asarray(np_vals))
+        return h1, h2, valid
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        d = pc.dictionary_encode(arr)
+        uniq = d.dictionary.to_pylist()
+        if not uniq:
+            return np.zeros(n, np.uint64), np.zeros(n, np.uint64), valid
+        uh1, uh2 = _str_hashes(uniq)
+        idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False)
+        idx = np.asarray(idx, dtype=np.int64)
+        return uh1[idx], uh2[idx], valid
+    return None
+
+
 def bloom_build(
     arr: pa.Array | pa.ChunkedArray, bits_per_key: int = _DEFAULT_BITS_PER_KEY
 ) -> str | None:

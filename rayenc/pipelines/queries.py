@@ -809,31 +809,42 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
 
 
 def q_orders_semi_join(sf_dir: str) -> pa.Table:
-    """Broadcast semi-join: keep orders whose customer has acctbal >
-    5000 — the key SET ships once via ray.put; the fact table never
-    shuffles (Bloom-filter-shaped membership at scale)."""
-    import pyarrow.parquet as pq_mod
+    """Bloom-sideband semi-join: keep orders whose customer has
+    acctbal > 5000. The key side stays a DATASET (at 100 TB the
+    qualifying-customer set doesn't broadcast exactly); a distributed
+    Bloom build OR-merges per-batch partials, the packed filter ships
+    once via ray.put, definite non-members drop inside the fact table's
+    own map_batches BEFORE the shuffle, and the surviving ~matches (+
+    ~1% false positives) go through ONE exact bucketed membership
+    shuffle — SQL-identical output regardless of filter quality
+    (stages/joinprune.py)."""
+    from ..stages.joinprune import membership_join
 
-    import ray as _ray
-
-    cust = pq_mod.read_table(
+    keys = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], 5000.0)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
     )
-    keys = cust.filter(pc.greater(cust["c_acctbal"], 5000.0))[
-        "c_custkey"
-    ].combine_chunks()
-    ref = _ray.put(keys)
-
-    ds = rd.read_parquet(
+    orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
+    import pyarrow.parquet as pq_mod
 
-    def semi(b: pa.Table) -> pa.Table:
-        ks = _ray.get(ref)
-        return b.filter(pc.is_in(b["o_custkey"], value_set=ks))
-
-    out = ds.map_batches(semi, batch_format="pyarrow")
-    return out
+    full = pq_mod.ParquetFile(f"{sf_dir}/orders.parquet").schema_arrow
+    schema = pa.schema([full.field(n) for n in ("o_orderkey", "o_custkey")])
+    n_cust = pq_mod.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    return membership_join(
+        orders,
+        keys,
+        id_col="o_custkey",
+        key_col="c_custkey",
+        mode="semi",
+        schema=schema,
+        bloom_expected_keys=max(64, n_cust),  # row count bounds the key count
+    )
 
 
 def q_approx_distinct_users(sf_dir: str) -> pa.Table:

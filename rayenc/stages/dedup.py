@@ -621,66 +621,29 @@ def anti_join_ids(
     Pass ``schema`` when you know it: ``Dataset.schema()`` on a dataset
     downstream of transforms EXECUTES the plan just to learn the schema,
     so an unknowing caller pays the input scan twice (the asof_join
-    lesson, stages/asof.py)."""
-    kind_col, bucket_col = "__aj_kind", "__aj_b"
+    lesson, stages/asof.py).
+
+    The bucketed core now lives in ``stages.joinprune.membership_join``
+    (one implementation behind the semi AND anti variants); this wrapper
+    keeps the historical signature and the ``__aj_*`` reserved-name
+    contract."""
     if schema is None:
         schema = ds.schema()
     names = list(schema.names)
-    clash = {kind_col, bucket_col} & set(names)
+    clash = {"__aj_kind", "__aj_b"} & set(names)
     if clash:
         raise ValueError(f"anti_join_ids reserved column names in input: {clash}")
-    if id_col not in names:
-        raise ValueError(f"anti_join_ids: id column {id_col!r} not in input schema")
-    from .hashing import arrow_schema_of
+    from .joinprune import membership_join
 
-    arrow_schema = arrow_schema_of(schema)
-    tagged_schema = arrow_schema.append(pa.field(kind_col, pa.int8())).append(
-        pa.field(bucket_col, pa.int32())
+    return membership_join(
+        ds,
+        drop_ids,
+        id_col=id_col,
+        key_col=drop_col,
+        mode="anti",
+        num_partitions=num_partitions,
+        schema=schema,
     )
-    id_type = arrow_schema.field(id_col).type
-    if num_partitions is None:
-        num_partitions = max(
-            2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2)
-        )
-    n_buckets = int(num_partitions)
-
-    from .hashing import key_buckets
-
-    def _buckets(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
-        return key_buckets(ids, n_buckets)
-
-    def tag(b: pa.Table) -> pa.Table:
-        b = b.select(names)
-        b = b.append_column(kind_col, pa.array(np.zeros(len(b), dtype=np.int8)))
-        b = b.append_column(bucket_col, _buckets(b[id_col]))
-        return b.cast(tagged_schema)
-
-    def pad(b: pa.Table) -> pa.Table:
-        ids = b[drop_col].cast(id_type)
-        n = len(b)
-        cols = [
-            ids if nm == id_col else pa.nulls(n, type=arrow_schema.field(nm).type)
-            for nm in names
-        ]
-        cols.append(pa.array(np.ones(n, dtype=np.int8)))
-        cols.append(_buckets(ids))
-        return pa.Table.from_arrays(cols, schema=tagged_schema)
-
-    unioned = ds.map_batches(tag, batch_format="pyarrow").union(
-        drop_ids.map_batches(pad, batch_format="pyarrow")
-    )
-
-    def anti(g: pa.Table) -> pa.Table:
-        g = g.cast(tagged_schema)  # pandas round-trips in groupby can widen types
-        drop_vals = g.filter(pc.equal(g[kind_col], 1))[id_col].combine_chunks()
-        keep = g.filter(pc.equal(g[kind_col], 0))
-        if len(drop_vals):
-            keep = keep.filter(
-                pc.invert(pc.is_in(keep[id_col], value_set=drop_vals))
-            )
-        return keep.select(names).cast(arrow_schema)
-
-    return unioned.groupby(bucket_col).map_groups(anti, batch_format="pyarrow")
 
 
 def dedup_minhash(

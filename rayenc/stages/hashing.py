@@ -66,17 +66,25 @@ def bucket_column(
 
 
 def key_buckets(ids: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
-    """splitmix64 shuffle-bucket id (int32) per integer key — the ONE
-    bucketing used by every keyed custom shuffle in this repo
-    (dedup.anti_join_ids, asof.asof_join) so the pattern cannot drift.
-    Nulls bucket with key 0 (callers decide null-key semantics)."""
+    """Shuffle-bucket id (int32) per key — the ONE bucketing used by
+    every keyed custom shuffle in this repo (dedup.anti_join_ids,
+    joinprune.membership_join, asof.asof_join) so the pattern cannot
+    drift. Integer-like keys bucket via splitmix64 on their int64 bit
+    pattern; string/binary keys via the batched 64-bit hash kernel
+    (run-internal — bucket ids are never persisted). Nulls bucket with
+    key 0 (callers decide null-key semantics)."""
     import pyarrow.compute as pc
 
-    filled = pc.fill_null(ids.cast(pa.int64()), 0)
-    u = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
-    return pa.array(
-        (splitmix64(u) % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
-    )
+    t = ids.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        u = hash_array_64(ids, seed=5)
+    else:
+        filled = pc.fill_null(ids.cast(pa.int64()), 0)
+        u = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = splitmix64(u)
+    return pa.array((u % np.uint64(n_buckets)).astype(np.int32), type=pa.int32())
 
 
 def arrow_schema_of(schema) -> pa.Schema:

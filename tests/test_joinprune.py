@@ -1,0 +1,176 @@
+"""Bloom-sideband membership join: exactness regardless of filter
+quality, no false negatives, pre-shuffle pruning effectiveness, and the
+anti_join_ids delegation staying green."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data as rd
+
+from rayenc.bloom import array_probe_hashes, _probe_positions
+from rayenc.stages.joinprune import (
+    bloom_member_mask,
+    bloom_size_bits,
+    build_key_bloom,
+    membership_join,
+)
+
+
+def _ref_semi(data: pa.Table, keys: pa.Array, col: str) -> list:
+    kept = data.filter(pc.is_in(data[col], value_set=keys.drop_null()))
+    return sorted(kept[col].drop_null().to_pylist())
+
+
+def test_bloom_mask_no_false_negatives(ray_session):
+    rng = np.random.default_rng(7)
+    keys = rng.choice(100_000, size=500, replace=False).astype(np.int64)
+    kd = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+    packed_bytes = build_key_bloom(kd, "k", expected_keys=500)
+    assert packed_bytes is not None
+    packed = np.frombuffer(packed_bytes, dtype=np.uint8)
+    # every true key passes
+    mask = bloom_member_mask(pa.array(keys), packed)
+    assert mask.all()
+    # non-keys mostly fail (fp rate ~1% at 10 bits/key)
+    non = np.setdiff1d(np.arange(100_000, 200_000, dtype=np.int64), keys)[:5000]
+    fp = bloom_member_mask(pa.array(non), packed).mean()
+    assert fp < 0.05, fp
+    # nulls never pass
+    assert not bloom_member_mask(pa.array([None], type=pa.int64()), packed).any()
+
+
+def test_bloom_build_string_keys_and_unsupported(ray_session):
+    kd = rd.from_arrow(pa.table({"k": pa.array(["a", "b", None, "c"])}))
+    packed = build_key_bloom(kd, "k", expected_keys=3)
+    assert packed is not None
+    arr = np.frombuffer(packed, dtype=np.uint8)
+    assert bloom_member_mask(pa.array(["a", "c"]), arr).all()
+    assert not bloom_member_mask(pa.array(["zzz-not-a-key"]), arr).all()
+    # unsupported key type (list) -> None -> callers skip pruning
+    ld = rd.from_arrow(pa.table({"k": pa.array([[1], [2]], type=pa.list_(pa.int64()))}))
+    assert build_key_bloom(ld, "k", expected_keys=2) is None
+
+
+def test_semi_join_exact_with_forced_false_positives(ray_session):
+    """A deliberately undersized filter (expected_keys=1 for 200 keys)
+    floods the sideband with false positives — the exact bucketed pass
+    must still produce the SQL-identical result."""
+    rng = np.random.default_rng(11)
+    ids = pa.table(
+        {
+            "id": pa.array(np.arange(2000, dtype=np.int64)),
+            "v": pa.array(rng.standard_normal(2000)),
+        }
+    )
+    keys = pa.array(rng.choice(4000, size=200, replace=False).astype(np.int64))
+    ds = rd.from_arrow(ids).repartition(5)
+    kd = rd.from_arrow(pa.table({"key": keys})).repartition(3)
+    for expected in (1, 200):  # undersized (fp-flooded) and right-sized
+        out = membership_join(
+            ds, kd, id_col="id", key_col="key", mode="semi",
+            schema=ids.schema, bloom_expected_keys=expected,
+        ).to_pandas()
+        assert sorted(out["id"]) == _ref_semi(ids, keys, "id")
+    # no bloom at all: same answer
+    out = membership_join(
+        ds, kd, id_col="id", key_col="key", mode="semi", schema=ids.schema
+    ).to_pandas()
+    assert sorted(out["id"]) == _ref_semi(ids, keys, "id")
+
+
+def test_semi_join_nulls_and_empty_shapes(ray_session):
+    data = pa.table(
+        {
+            "id": pa.array([1, 2, None, 4, 5], type=pa.int64()),
+            "t": pa.array(list("abcde")),
+        }
+    )
+    ds = rd.from_arrow(data).repartition(3)
+    # keys with a null: null matches nothing
+    kd = rd.from_arrow(pa.table({"key": pa.array([2, None, 5], type=pa.int64())}))
+    out = membership_join(
+        ds, kd, id_col="id", key_col="key", mode="semi",
+        schema=data.schema, bloom_expected_keys=3,
+    ).to_pandas()
+    assert sorted(out["id"]) == [2, 5]
+    # empty key side: empty result, schema intact (or columnless frame)
+    empty = rd.from_arrow(pa.table({"key": pa.array([], type=pa.int64())}))
+    out = membership_join(
+        ds, empty, id_col="id", key_col="key", mode="semi",
+        schema=data.schema, bloom_expected_keys=1,
+    ).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) in (["id", "t"], [])
+    # reserved-name guard
+    bad = rd.from_arrow(pa.table({"id": pa.array([1]), "__mj_b": pa.array([0])}))
+    with pytest.raises(ValueError, match="reserved"):
+        membership_join(bad, kd, id_col="id", key_col="key")
+
+
+def test_semi_join_string_keys(ray_session):
+    data = pa.table(
+        {
+            "name": pa.array(["alpha", "beta", "gamma", "delta", None]),
+            "x": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(data).repartition(2)
+    kd = rd.from_arrow(pa.table({"k": pa.array(["beta", "delta", "nope"])}))
+    out = membership_join(
+        ds, kd, id_col="name", key_col="k", mode="semi",
+        schema=data.schema, bloom_expected_keys=3,
+    ).to_pandas()
+    assert sorted(out["name"]) == ["beta", "delta"]
+
+
+def test_bloom_prunes_before_shuffle(ray_session):
+    """The point of the sideband: with sparse keys, the mask removes the
+    bulk of the fact rows before they would shuffle."""
+    keys = np.arange(0, 10_000, 100, dtype=np.int64)  # 1% of ids
+    kd = rd.from_arrow(pa.table({"k": pa.array(keys)}))
+    packed_bytes = build_key_bloom(kd, "k", expected_keys=len(keys))
+    packed = np.frombuffer(packed_bytes, dtype=np.uint8)
+    facts = pa.array(np.arange(10_000, dtype=np.int64))
+    mask = bloom_member_mask(facts, packed)
+    assert mask.sum() < 10_000 * 0.05  # >=95% of rows never shuffle
+    assert mask[keys].all()  # and zero false negatives
+
+
+def test_anti_mode_matches_wrapper(ray_session):
+    """membership_join(mode=anti) and the historical anti_join_ids
+    wrapper agree (one shared implementation)."""
+    from rayenc.stages.dedup import anti_join_ids
+
+    data = pa.table(
+        {
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": pa.array([f"d{i}" for i in range(50)]),
+        }
+    )
+    drop = pa.table({"node": pa.array([3, 9, 33], type=pa.int64())})
+    ds = rd.from_arrow(data).repartition(4)
+    dd = rd.from_arrow(drop)
+    a = sorted(anti_join_ids(ds, dd, schema=data.schema).to_pandas()["doc_id"])
+    b = sorted(
+        membership_join(
+            ds, dd, id_col="doc_id", key_col="node", mode="anti", schema=data.schema
+        ).to_pandas()["doc_id"]
+    )
+    expect = [i for i in range(50) if i not in (3, 9, 33)]
+    assert a == expect and b == expect
+
+
+def test_build_probe_hashes_agree_across_int_widths(ray_session):
+    """int32 keys and int64 probes (or vice versa) must hash identically
+    — both normalize to the int64 bit pattern."""
+    a32 = pa.array([1, -5, 2**31 - 1], type=pa.int32())
+    a64 = pa.array([1, -5, 2**31 - 1], type=pa.int64())
+    h32 = array_probe_hashes(a32)
+    h64 = array_probe_hashes(a64)
+    assert (h32[0] == h64[0]).all() and (h32[1] == h64[1]).all()
+    # and uint64 beyond int64's range still hashes (bit-pattern wrap)
+    u = pa.array([2**63 + 7], type=pa.uint64())
+    hu = array_probe_hashes(u)
+    assert hu is not None and hu[2].all()
