@@ -292,8 +292,10 @@ def page_prune_indices(blob: bytes | memoryview, predicates) -> np.ndarray | Non
         if ok and blooms and blooms[p] is not None:
             ok = all(
                 bloom_may_contain(blooms[p], val)
-                for (_, op, val) in predicates
                 if op in ("==", "=")
+                else any(bloom_may_contain(blooms[p], v) for v in val)
+                for (_, op, val) in predicates
+                if op in ("==", "=", "in")
             )
         if ok:
             keep.append(np.arange(starts[p], starts[p + 1], dtype=np.int64))

@@ -25,7 +25,10 @@ import ray.data
 
 from .blocks import decode_column
 
-# (column, op, value) conjunctions; op in {"==", ">=", "<=", ">", "<"}.
+# (column, op, value) predicates; op in {"==", ">=", "<=", ">", "<",
+# "!=", "in"} ("in" takes a list/tuple/set of values). A filter is a
+# CONJUNCTION (list of predicates) or, decode-side, a DISJUNCTION of
+# conjunctions (list of lists — DNF: [[a, b], [c]] = (a AND b) OR c).
 # Timestamp/date columns compare on their epoch-integer view (the zone
 # map stores them as ints; pass ints in predicates).
 Predicate = tuple[str, str, Any]
@@ -38,6 +41,21 @@ _OPS = {
     "<=": pc.less_equal,
     "<": pc.less,
 }
+_EXTRA_OPS = {"!=", "in"}  # handled out-of-table (no single compute kernel)
+
+
+def normalize_dnf(filter) -> list[list[Predicate]]:
+    """Normalize a filter to DNF (list of conjunctions). A flat
+    conjunction [(col, op, val), ...] becomes a one-disjunct DNF; a
+    list-of-lists passes through. Discriminated by the first element's
+    first item: a predicate starts with a column NAME, a conjunction
+    with another tuple."""
+    if not filter:
+        return []
+    first = filter[0]
+    if isinstance(first, (tuple, list)) and first and isinstance(first[0], str):
+        return [list(filter)]  # flat conjunction
+    return [list(conj) for conj in filter]
 
 
 def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
@@ -46,10 +64,14 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
     conjunction; missing stats never prune (safe default)."""
     blooms = zone.get("__bloom__") or {}
     for col, op, val in predicates:
-        if op in ("==", "=") and col in blooms:
+        if col in blooms:
             from .bloom import bloom_may_contain
 
-            if not bloom_may_contain(blooms[col], val):
+            if op in ("==", "=") and not bloom_may_contain(blooms[col], val):
+                return False
+            if op == "in" and not any(
+                bloom_may_contain(blooms[col], v) for v in val
+            ):
                 return False
         z = zone.get(col)
         if z is None:
@@ -60,6 +82,16 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
         try:
             if op in ("==", "="):
                 if (lo is not None and val < lo) or (hi is not None and val > hi):
+                    return False
+            elif op == "in":
+                if not any(
+                    not ((lo is not None and v < lo) or (hi is not None and v > hi))
+                    for v in val
+                ):
+                    return False  # every member provably outside [lo, hi]
+            elif op == "!=":
+                # only a CONSTANT block equal to val is provably empty
+                if lo is not None and lo == hi == val:
                     return False
             elif op == ">=":
                 if hi is not None and hi < val:
@@ -78,6 +110,11 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
     return True
 
 
+def zone_may_match_any(zone: dict, dnf: list[list[Predicate]]) -> bool:
+    """DNF zone check: the block survives if ANY disjunct may match."""
+    return any(zone_may_match(zone, conj) for conj in dnf)
+
+
 def validate_predicate_shapes(
     predicates: list[Predicate], cols: set[str], where: str
 ) -> None:
@@ -87,10 +124,18 @@ def validate_predicate_shapes(
     for p in predicates:
         if not (isinstance(p, (tuple, list)) and len(p) == 3):
             raise ValueError(f"predicate must be (column, op, value), got {p!r}")
-        col, op, _ = p
-        if op not in _OPS:
+        col, op, val = p
+        if op not in _OPS and op not in _EXTRA_OPS:
             raise ValueError(
-                f"unknown predicate op {op!r}; supported: {sorted(_OPS)}"
+                f"unknown predicate op {op!r}; supported: "
+                f"{sorted(_OPS) + sorted(_EXTRA_OPS)}"
+            )
+        if op == "in" and (
+            isinstance(val, (str, bytes)) or not hasattr(val, "__iter__")
+        ):
+            raise ValueError(
+                f"'in' predicate on {col!r} needs a list/tuple/set of "
+                f"values, got {type(val).__name__}"
             )
         if cols and col not in cols:
             raise ValueError(
@@ -107,7 +152,8 @@ def validate_predicates(
     an unknown op string would die on _OPS[op] mid-pipeline."""
     names = blocks.schema().names
     cols = {c[4:] for c in names if c.startswith("col_")}
-    validate_predicate_shapes(predicates, cols, "block table")
+    for conj in normalize_dnf(predicates):
+        validate_predicate_shapes(conj, cols, "block table")
 
 
 def prune_blocks(
@@ -118,11 +164,13 @@ def prune_blocks(
     stats-granularity axis applied at our block level). Block rows are
     control-plane-tiny, so the per-row JSON parse is not a hot path."""
 
+    dnf = normalize_dnf(predicates)
+
     def keep(batch: pa.Table) -> pa.Table:
         if "zonemap" not in batch.column_names:
             return batch
         mask = [
-            zone_may_match(json.loads(z) if z else {}, predicates)
+            zone_may_match_any(json.loads(z) if z else {}, dnf)
             for z in batch["zonemap"].to_pylist()
         ]
         return batch.filter(pa.array(mask, type=pa.bool_()))
@@ -130,9 +178,9 @@ def prune_blocks(
     return blocks.map_batches(keep, batch_format="pyarrow")
 
 
-def filter_table(batch: pa.Table, predicates: list[Predicate]) -> pa.Table:
-    """Exact (col, op, value) conjunction filter on one Arrow table
-    (temporal columns compare on their epoch-int view, like zone maps)."""
+def _conjunction_mask(batch: pa.Table, predicates: list[Predicate]):
+    """Kleene AND mask for one (col, op, value) conjunction, or None for
+    an empty conjunction (matches everything)."""
     mask = None
     for col, op, val in predicates:
         arr = batch[col]
@@ -152,19 +200,50 @@ def filter_table(batch: pa.Table, predicates: list[Predicate]) -> pa.Table:
                 arr = arr.cast(pa.int32()).cast(pa.int64())
             else:
                 arr = arr.cast(pa.int64())
-        m = _OPS[op](arr, val)
+        if op == "in":
+            try:  # build the set in the column's type (int32 col, python ints)
+                vs = pa.array(list(val), type=arr.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                vs = pa.array(list(val))
+            m = pc.is_in(arr, value_set=vs)
+        elif op == "!=":
+            m = pc.not_equal(arr, val)
+        else:
+            m = _OPS[op](arr, val)
         mask = m if mask is None else pc.and_kleene(mask, m)
+    return mask
+
+
+def filter_table(batch: pa.Table, predicates: list[Predicate]) -> pa.Table:
+    """Exact (col, op, value) conjunction filter on one Arrow table
+    (temporal columns compare on their epoch-int view, like zone maps)."""
+    mask = _conjunction_mask(batch, predicates)
     if mask is None:
         return batch
     return batch.filter(pc.fill_null(mask, False))
 
 
+def filter_table_dnf(batch: pa.Table, dnf: list[list[Predicate]]) -> pa.Table:
+    """Exact DNF filter: Kleene OR over the conjunction masks."""
+    if not dnf:
+        return batch
+    masks = [_conjunction_mask(batch, conj) for conj in dnf]
+    if any(m is None for m in masks):  # an empty conjunction matches all
+        return batch
+    out = masks[0]
+    for m in masks[1:]:
+        out = pc.or_kleene(out, m)
+    return batch.filter(pc.fill_null(out, False))
+
+
 def apply_row_filter(
     ds: "ray.data.Dataset", predicates: list[Predicate]
 ) -> "ray.data.Dataset":
-    """Exact row-level filter matching the prune predicates."""
+    """Exact row-level filter matching the prune predicates (flat
+    conjunction or DNF)."""
+    dnf = normalize_dnf(predicates)
     return ds.map_batches(
-        lambda b: filter_table(b, predicates), batch_format="pyarrow"
+        lambda b: filter_table_dnf(b, dnf), batch_format="pyarrow"
     )
 
 
@@ -188,7 +267,7 @@ class BlockDecoder:
     ):
         self.columns = columns
         self.with_provenance = with_provenance
-        self.filter = filter
+        self.filter = normalize_dnf(filter) if filter else None  # DNF form
         # schema evolution: a union of block tables written across
         # pipeline versions carries null col_* cells for columns a block
         # predates (parquet schema unification null-fills them). With
@@ -201,30 +280,40 @@ class BlockDecoder:
         self._cur_partition_seq = 0
 
     def _page_keep(self, names: list[str], blobs: list):
-        """Row indices the page zones allow, or None for full decode."""
+        """Row indices the page zones allow, or None for full decode.
+        DNF evaluation: within a disjunct, per-column page keeps
+        INTERSECT (all its predicates must hold); across disjuncts the
+        keeps UNION (any may hold). A disjunct whose columns carry no
+        page stats allows every row — the whole block decodes."""
         if not self.filter:
             return None
-        from .blocks import page_prune_indices
+        from .blocks import block_codec, page_prune_indices
 
-        by_col: dict[str, list] = {}
-        for col, op, val in self.filter:
-            by_col.setdefault(col, []).append((col, op, val))
-        keep = None
+        blob_by_name = dict(zip(names, blobs))
         n_rows = None
-        for name, blob in zip(names, blobs):
-            preds = by_col.get(name)
-            if not preds:
-                continue
-            k = page_prune_indices(blob, preds)
-            if k is None:
-                continue
-            from .blocks import block_codec
-
-            n_rows = block_codec(blob)["n"]
-            keep = k if keep is None else np.intersect1d(keep, k, assume_unique=True)
-        if keep is not None and n_rows is not None and len(keep) == n_rows:
+        union: np.ndarray | None = None
+        for conj in self.filter:
+            by_col: dict[str, list] = {}
+            for col, op, val in conj:
+                by_col.setdefault(col, []).append((col, op, val))
+            keep = None
+            for name, preds in by_col.items():
+                blob = blob_by_name.get(name)
+                if blob is None:
+                    continue
+                k = page_prune_indices(blob, preds)
+                if k is None:
+                    continue
+                n_rows = block_codec(blob)["n"]
+                keep = (
+                    k if keep is None else np.intersect1d(keep, k, assume_unique=True)
+                )
+            if keep is None:
+                return None  # this disjunct may match anywhere: no pruning
+            union = keep if union is None else np.union1d(union, keep)
+        if union is not None and n_rows is not None and len(union) == n_rows:
             return None  # nothing pruned: take the straight full-decode path
-        return keep
+        return union
 
     def decode_block_row(
         self,
@@ -367,12 +456,15 @@ def decode_dataset(
 ) -> "ray.data.Dataset":
     """Streaming decode: block rows -> Dataset of original source rows.
 
-    `filter` is a conjunction of (col, op, value) predicates applied in
-    three stages: zone-map pruning drops whole blocks by min/max before
-    their blobs ship (strictly fewer blocks decoded — measurable via
-    count_decoded_blocks), page-zone pruning inside surviving blocks
-    decodes only matchable pages (stats="page" encodes), then the exact
-    row filter runs after decode.
+    `filter` is a conjunction of (col, op, value) predicates — or a
+    DISJUNCTION of conjunctions (list of lists, DNF: [[a, b], [c]] =
+    (a AND b) OR c) — applied in three stages: zone-map pruning drops
+    whole blocks by min/max + Bloom before their blobs ship (strictly
+    fewer blocks decoded — measurable via count_decoded_blocks),
+    page-zone pruning inside surviving blocks decodes only matchable
+    pages (stats="page" encodes), then the exact row filter runs after
+    decode. Ops: ==, !=, <, <=, >, >=, and "in" (list of values; Bloom
+    and zone pruning both understand it).
 
     `fill_missing` enables schema-evolution reads: a union of block
     tables written across pipeline versions (read_blocks([dir_v1,
@@ -389,7 +481,8 @@ def decode_dataset(
     if columns and filter:
         # filter columns must decode even when projected out of the
         # result — widen the decode set, drop the extras after filtering
-        extra = [c for c, _, _ in filter if c not in columns]
+        flat = [p for conj in normalize_dnf(filter) for p in conj]
+        extra = [c for c, _, _ in flat if c not in columns]
         decode_cols = columns + sorted(set(extra))
     if decode_cols:
         # block-level projection pushdown: only the requested columns'

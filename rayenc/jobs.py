@@ -625,6 +625,15 @@ def run_encode_job(
         # encode actor mid-partition
         from .decode import validate_predicate_shapes
 
+        if any(
+            isinstance(p, (list, tuple)) and p and not isinstance(p[0], str)
+            for p in filter
+        ):
+            raise ValueError(
+                "encode-job filter must be a flat (col, op, value) "
+                "conjunction; DNF (OR-of-ANDs) filters are decode-side "
+                "only (decode_dataset)"
+            )
         schema_names: set[str] = set()
         probe = (
             input_paths

@@ -241,9 +241,15 @@ def test_job_filter_validated_on_driver(corpus_parquet, tmp_path):
     actor mid-partition (same class as decode.validate_predicates)."""
     out = str(tmp_path / "job")
     with pytest.raises(ValueError, match="unknown predicate op"):
-        run_encode_job(corpus_parquet, out, concurrency=2, filter=[("repo", "!=", "r1")])
+        run_encode_job(corpus_parquet, out, concurrency=2, filter=[("repo", "~", "r1")])
     with pytest.raises(ValueError, match="not in input schema"):
         run_encode_job(corpus_parquet, out, concurrency=2, filter=[("nope", "==", "x")])
+    with pytest.raises(ValueError, match="'in' predicate"):
+        run_encode_job(corpus_parquet, out, concurrency=2, filter=[("repo", "in", "r1")])
+    with pytest.raises(ValueError, match="flat"):
+        run_encode_job(
+            corpus_parquet, out, concurrency=2, filter=[[("repo", "==", "r1")]]
+        )
 
 
 def test_job_filter_on_column_outside_projection(ray_session, corpus_parquet, tmp_path):
@@ -278,8 +284,16 @@ def test_empty_input_list_with_filter(tmp_path):
     IndexError (round-3 review)."""
     out = str(tmp_path / "job")
     with pytest.raises(ValueError, match="unknown predicate op"):
-        run_encode_job([], out, concurrency=2, filter=[("x", "!=", 1)])
+        run_encode_job([], out, concurrency=2, filter=[("x", "~", 1)])
     s = run_encode_job([], out, concurrency=2, filter=[("x", "==", 1)])
+    assert s["partitions_total"] == 0
+    # the round-4 ops are valid encode-job predicates too (fresh roots:
+    # a different filter into the same root trips the strict identity gate)
+    s = run_encode_job([], str(tmp_path / "job_ne"), concurrency=2, filter=[("x", "!=", 1)])
+    assert s["partitions_total"] == 0
+    s = run_encode_job(
+        [], str(tmp_path / "job_in"), concurrency=2, filter=[("x", "in", [1, 2])]
+    )
     assert s["partitions_total"] == 0
 
 
