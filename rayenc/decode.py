@@ -538,6 +538,82 @@ def count_decoded_blocks(
     return {"total_blocks": total, "decoded_blocks": kept}
 
 
+def explain_decode(
+    blocks: "ray.data.Dataset", filter: list[Predicate] | None
+) -> dict:
+    """Prune-effectiveness report for a filtered decode, computed
+    DISTRIBUTED over the block table (the driver sees one summed row):
+    how many blocks survive zone+Bloom pruning, how many pages (and
+    rows) inside the survivors the page index would actually decode,
+    and the blob bytes each stage would ship. Run this before pointing
+    a selective decode at a 100 TB block table — a filter that prunes
+    nothing is a full-table scan wearing a WHERE clause."""
+    if not filter:
+        raise ValueError("explain_decode needs a filter to explain")
+    validate_predicates(blocks, filter)
+    dnf = normalize_dnf(filter)
+    pred_cols = sorted({c for conj in dnf for (c, _, _) in conj})
+    dec = BlockDecoder(filter=dnf)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from .blocks import block_codec
+
+        names = batch.column_names
+        col_names = [c for c in names if c.startswith("col_")]
+        # vectorized blob sizes — never copy payload bytes to Python here
+        blob_lens = np.zeros(len(batch), dtype=np.int64)
+        for c in col_names:
+            ln = pc.fill_null(pc.binary_length(batch[c]), 0)
+            blob_lens += ln.to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = kb = 0  # total / kept blocks
+        tbytes = kbytes = 0  # all-column blob bytes total / surviving blocks
+        trows = krows = 0  # rows total / page-kept within survivors
+        for i in range(len(batch)):
+            tb += 1
+            row_bytes = int(blob_lens[i])
+            tbytes += row_bytes
+            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
+            zone = json.loads(zm) if zm else {}
+            n = int(batch["n_rows"][i].as_py()) if "n_rows" in names else 0
+            trows += n
+            if not zone_may_match_any(zone, dnf):
+                continue
+            kb += 1
+            kbytes += row_bytes
+            pnames, pblobs = [], []
+            for c in pred_cols:
+                cell = batch.column(f"col_{c}")[i].as_py() if f"col_{c}" in names else None
+                if cell is not None:
+                    pnames.append(c)
+                    pblobs.append(cell)
+            if not n and pblobs:
+                n = block_codec(pblobs[0])["n"]
+            keep = dec._page_keep(pnames, pblobs)
+            krows += n if keep is None else len(keep)
+        return pa.table(
+            {
+                "total_blocks": pa.array([tb], type=pa.int64()),
+                "kept_blocks": pa.array([kb], type=pa.int64()),
+                "total_blob_bytes": pa.array([tbytes], type=pa.int64()),
+                "kept_blob_bytes": pa.array([kbytes], type=pa.int64()),
+                "total_rows": pa.array([trows], type=pa.int64()),
+                "page_kept_rows": pa.array([krows], type=pa.int64()),
+            }
+        )
+
+    cols = ["total_blocks", "kept_blocks", "total_blob_bytes",
+            "kept_blob_bytes", "total_rows", "page_kept_rows"]
+    summed = blocks.map_batches(stats, batch_format="pyarrow").sum(cols)
+    out = {c: int(summed[f"sum({c})"]) for c in cols}
+    out["block_prune_ratio"] = round(
+        1 - out["kept_blocks"] / max(out["total_blocks"], 1), 4
+    )
+    out["page_row_prune_ratio"] = round(
+        1 - out["page_kept_rows"] / max(out["total_rows"], 1), 4
+    )
+    return out
+
+
 class _RowStartUnavailable(Exception):
     """row_start is in the schema but null for some blocks (e.g. a
     pre-row_start job dir resumed with newer code: parquet schema

@@ -719,10 +719,16 @@ def q_code_token_stats(sf_dir: str) -> pa.Table:
 
 
 def q_order_lineitem_join(sf_dir: str) -> pa.Table:
-    """Both-sides-large join: Ray's hash-partitioned Dataset.join
-    (orders x lineitem on orderkey — neither side is broadcastable at
-    scale), then zero-shuffle low-card aggregation per priority."""
+    """Both-sides-large join: orders x lineitem on orderkey (neither
+    side is broadcastable at scale) via the repo's bucketed sort-shuffle
+    equi-join (one keyed shuffle, in-task Acero join per bucket — the
+    hash-shuffle Dataset.join degraded 4-5 s -> 18-42 s within long
+    sessions and died on schema-less empty blocks, VERDICT r3 #1), then
+    zero-shuffle low-card aggregation per priority."""
+    import pyarrow.parquet as pq_mod
+
     from ..stages.agg import grouped_agg_lowcard
+    from ..stages.joinprune import equi_join
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
@@ -730,17 +736,19 @@ def q_order_lineitem_join(sf_dir: str) -> pa.Table:
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
     )
-    import ray as _ray
-
-    # partition count scales with the cluster; a fixed 32 on a small test
-    # session would wait forever for aggregator resources
-    n_parts = max(2, min(32, int(_ray.cluster_resources().get("CPU", 8)) - 2))
-    joined = orders.join(
+    ofull = pq_mod.ParquetFile(f"{sf_dir}/orders.parquet").schema_arrow
+    lfull = pq_mod.ParquetFile(f"{sf_dir}/lineitem.parquet").schema_arrow
+    joined = equi_join(
+        orders,
         li,
-        join_type="inner",
-        num_partitions=n_parts,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema(
+            [ofull.field(n) for n in ("o_orderkey", "o_orderpriority")]
+        ),
+        right_schema=pa.schema(
+            [lfull.field(n) for n in ("l_orderkey", "l_extendedprice")]
+        ),
     )
     out = grouped_agg_lowcard(
         joined,
@@ -999,9 +1007,10 @@ def q_docs_anti_join(sf_dir: str) -> pa.Table:
     """Shuffle-native ANTI-JOIN (the dedup drop-filter primitive,
     round-3 replacement for the driver loser-set broadcast): documents
     minus a deterministic drop-id set, both sides Datasets, removed via
-    hash-partitioned Dataset.join(left_outer) + null filter — nothing
-    passes through the driver. Oracle: NOT IN over the same id rule
-    (doc_id % 7 == 3)."""
+    the bucketed sort-shuffle membership join (round-4 rebuild — the
+    hash-shuffle Dataset.join died on schema-less empty blocks, VERDICT
+    r3 #1) — nothing passes through the driver. Oracle: NOT IN over the
+    same id rule (doc_id % 7 == 3)."""
     ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
 
     def drop_rule(b: pa.Table) -> pa.Table:

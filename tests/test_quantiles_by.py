@@ -1,0 +1,62 @@
+"""Per-key approximate quantiles: rank error per group, exact counts,
+null-key group, and stability across repartitioning."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from rayenc.stages.sketch import approx_quantiles_by
+
+
+def _rank_of(vals: np.ndarray, est: float) -> float:
+    return (vals <= est).mean()
+
+
+def test_grouped_quantiles_rank_error(ray_session):
+    rng = np.random.default_rng(17)
+    keys = rng.choice(["a", "b", "c"], size=60_000, p=[0.6, 0.3, 0.1])
+    # per-key distinct distributions so a cross-key mixup is detectable
+    vals = np.where(
+        keys == "a",
+        rng.standard_normal(60_000) * 10,
+        np.where(keys == "b", rng.uniform(100, 200, 60_000), rng.exponential(5, 60_000)),
+    )
+    t = pa.table({"lang": pa.array(keys), "ms": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(8)
+    qs = [0.5, 0.95, 0.99]
+    out = approx_quantiles_by(ds, "lang", "ms", qs, k=256)
+    assert out.column_names == ["lang", "n", "p50", "p95", "p99"]
+    assert out["lang"].to_pylist() == ["a", "b", "c"]
+    for row in out.to_pylist():
+        grp = vals[keys == row["lang"]]
+        assert row["n"] == len(grp)
+        for q, name in zip(qs, ["p50", "p95", "p99"]):
+            assert abs(_rank_of(grp, row[name]) - q) < 0.02, (row["lang"], name)
+
+
+def test_grouped_quantiles_null_key_and_nan_values(ray_session):
+    keys = pa.array([None, "x", "x", None, "y"], type=pa.string())
+    vals = pa.array([1.0, 2.0, float("nan"), 3.0, 4.0], type=pa.float64())
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(2)
+    out = approx_quantiles_by(ds, "k", "v", [0.5])
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert set(rows) == {None, "x", "y"}
+    assert rows[None]["n"] == 2  # NaN value dropped; null key kept as a group
+    assert rows["x"]["n"] == 1 and rows["x"]["p50"] == 2.0
+    assert rows["y"]["p50"] == 4.0
+
+
+def test_grouped_quantiles_int_keys_schema_stable(ray_session):
+    # one partition carries a null int key (NaN in pandas) — the partial
+    # schema must stay int64, not drift to float64
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, None, 2, 1], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 9.0, 4.0, 3.0]),
+        }
+    )
+    out = approx_quantiles_by(rd.from_arrow(t).repartition(3), "k", "v", [0.5])
+    assert out.schema.field("k").type == pa.int64()
+    rows = {r["k"]: r["n"] for r in out.to_pylist()}
+    assert rows == {1: 3, 2: 2, None: 1}
