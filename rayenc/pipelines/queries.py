@@ -162,6 +162,15 @@ def q_pagezone_filtered_decode(sf_dir: str):
         None if keep is None else len(keep),
         first["n_rows"],
     )
+    # explain_decode (distributed prune report) must agree: zones prune
+    # blocks, the page index prunes rows within the survivor, and every
+    # matching row is still inside the planned decode set
+    from ..decode import explain_decode
+
+    rep = explain_decode(blocks, pred)
+    if rep["total_blocks"] > 1:  # sf0.01 fits one 500-row block
+        assert rep["kept_blocks"] < rep["total_blocks"], rep
+    assert 50 <= rep["page_kept_rows"] < rep["total_rows"], rep
     return decode_dataset(blocks, filter=pred)
 
 
@@ -1197,19 +1206,78 @@ def q_knn_brute(sf_dir: str) -> pa.Table:
     return res.select(["query_id", "rank", "vec_id"])
 
 
-def q_knn_lsh(sf_dir: str) -> pa.Table:
+def q_knn_approx(sf_dir: str) -> pa.Table:
+    """BOTH approximate ANN paths in one query (round-4 consolidation of
+    the former knn_lsh / knn_ivf entries so the registry fits the
+    driver's 50-row CORRECTNESS window with every entry checked):
+    sign-LSH banding and the IVF coarse quantizer (k-means centroids
+    broadcast, per-query probe sets), stacked under a ``method`` column.
+    Rows-only by design (approximate by construction), but STRONGER
+    than a rows check: each method's top-k is asserted >= 0.5 mean
+    recall against the exact brute-force top-k computed in-query."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    res = ann.knn_lsh(ds, _query_vectors(sf_dir), k=10)
-    return res.select(["query_id", "rank", "vec_id"])
+    qv = _query_vectors(sf_dir)
+    k = 10
+    brute = ann.knn_brute(ds, qv, k=k).to_pandas()
+    truth = {
+        int(q): set(g["vec_id"].astype("int64"))
+        for q, g in brute.groupby("query_id")
+    }
+    parts = []
+    # n_planes sized to the corpus: 2^planes buckets must stay well under
+    # n_vectors or probe sets go empty (recall collapses at toy scale)
+    n_vec = ds.count()
+    n_planes = max(6, min(12, int(np.log2(max(n_vec, 2)) - 3)))
+    for method, fn in (("lsh", ann.knn_lsh), ("ivf", ann.knn_ivf)):
+        kwargs = {"n_planes": n_planes, "probe_bits": 2} if method == "lsh" else {}
+        res = fn(ds, qv, k=k, **kwargs).to_pandas()
+        recalls = [
+            len(set(g["vec_id"].astype("int64")) & truth[int(q)]) / len(truth[int(q)])
+            for q, g in res.groupby("query_id")
+        ]
+        assert sum(recalls) / len(recalls) >= 0.5, (method, recalls)
+        res = res[["query_id", "rank", "vec_id"]].copy()
+        res.insert(0, "method", method)
+        parts.append(res)
+    import pandas as pd
+
+    out = pd.concat(parts, ignore_index=True).sort_values(
+        ["method", "query_id", "rank"]
+    )
+    return pa.table(
+        {
+            "method": pa.array(out["method"], type=pa.string()),
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "rank": pa.array(out["rank"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
 
 
-def q_knn_ivf(sf_dir: str) -> pa.Table:
-    """IVF coarse-quantizer ANN (k-means centroids broadcast, per-query
-    probe sets) — recall-tunable scale path; rows-only (approximate by
-    construction; recall asserted vs brute in tests/test_stages.py)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    res = ann.knn_ivf(ds, _query_vectors(sf_dir), k=10)
-    return res.select(["query_id", "rank", "vec_id"])
+def q_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """PER-KEY approximate quantiles (stages.sketch.approx_quantiles_by):
+    p50/p95/p99 of document length per language — KLL partials built per
+    (batch, key) inside map_batches, merged on a null-safe hash bucket;
+    the shuffle ships k-bounded sketches, never the value column.
+    Rows-only by design, but STRONGER than a rows check: every estimate's
+    rank inside its own group is asserted within 5% of the target (the
+    approx_quantiles_prices pattern; the exact check collects two small
+    columns, fine at contract scale and test-only by construction)."""
+    from ..stages.sketch import approx_quantiles_by
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    qs = [0.5, 0.95, 0.99]
+    out = approx_quantiles_by(ds, "lang", "n_chars", qs)
+    exact = pa.concat_tables(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    for row in out.to_pylist():
+        grp = exact.loc[exact["lang"] == row["lang"], "n_chars"].to_numpy()
+        assert row["n"] == len(grp)
+        for q, name in zip(qs, ["p50", "p95", "p99"]):
+            rank = (grp <= row[name]).mean()
+            assert abs(rank - q) < 0.05, (row["lang"], name, rank)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1449,8 +1517,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "knn_brute": q_knn_brute,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
+    "knn_approx": q_knn_approx,
+    "quantiles_by_lang": q_quantiles_by_lang,
     "codec_selection_documents": q_codec_selection_documents,
     "multimodal_features": q_multimodal_features,
     "histogram_ingest": q_histogram_ingest,
@@ -1655,6 +1723,8 @@ ORACLES = {
     # rows-only (non-SQL-expressible or heuristic/approximate):
     # quality_scores, lang_id_documents, doc_fingerprints,
     # dedup_minhash_survivors, near_dup_pairs_minhash, simhash_pairs,
-    # knn_lsh, codec_selection_documents (incl. compression totals),
+    # knn_approx (recall vs brute asserted in-query),
+    # quantiles_by_lang (per-group rank error asserted in-query),
+    # codec_selection_documents (incl. compression totals),
     # multimodal_features (incl. frame-sampling leg)
 }

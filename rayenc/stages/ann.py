@@ -351,23 +351,29 @@ def knn_lsh(
     queries: np.ndarray,
     k: int = 10,
     n_planes: int = 12,
+    probe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     concurrency=(1, 4),
 ) -> pa.Table:
     """Approximate top-k: each query scores only corpus vectors whose
-    LSH bucket matches ITS OWN bucket (or differs by one bit) — probe
-    sets are per query, so a query's result never depends on which
-    other queries share the call (VERDICT r4 self-review: the old
-    union-of-probes mask made recall batch-composition-dependent)."""
+    LSH bucket is within Hamming distance ``probe_bits`` of ITS OWN
+    bucket (multi-probe LSH — recall rises with probe_bits at
+    sum(C(n_planes, i)) probed buckets per query) — probe sets are per
+    query, so a query's result never depends on which other queries
+    share the call (VERDICT r4 self-review: the old union-of-probes
+    mask made recall batch-composition-dependent)."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     planes = lsh_plan(qn.shape[1], n_planes)
     # per-row so a query's bucket never shifts with the batch shape
     qb = _per_row(lambda m: _bucket_of(m, planes), qn)
-    # (n_q, n_planes+1) probe buckets per query: own + 1-bit flips
-    flips = np.concatenate(
-        ([0], (1 << np.arange(n_planes, dtype=np.int64)))
-    )
+    # (n_q, n_probe) probe buckets per query: all XOR masks of
+    # popcount <= probe_bits (own bucket = mask 0, 1-bit flips, ...)
+    if n_planes > 20:
+        raise ValueError("knn_lsh: n_planes > 20 makes the probe-mask table huge")
+    all_masks = np.arange(1 << n_planes, dtype=np.uint16 if n_planes <= 16 else np.uint32)
+    popcnt = np.unpackbits(all_masks.view(np.uint8).reshape(len(all_masks), -1), axis=1).sum(axis=1)
+    flips = all_masks[popcnt <= max(0, int(probe_bits))].astype(np.int64)
     probes = qb[:, None] ^ flips[None, :]
     probes = np.sort(probes, axis=1)
     state = ray.put((qn, planes, probes))
