@@ -287,6 +287,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "roundtrip_structs",
         "simhash_pairs",
         "events_asof_join",
+        "quantiles_by_lang",
     ]
     # each query runs RAYENC_QUERY_RUNS times (default 2): "queries" is
     # the best-of wall (steady state), "query_bands" is [best, worst] —

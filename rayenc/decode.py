@@ -115,6 +115,151 @@ def zone_may_match_any(zone: dict, dnf: list[list[Predicate]]) -> bool:
     return any(zone_may_match(zone, conj) for conj in dnf)
 
 
+def zone_must_match(zone: dict, predicates: list[Predicate]) -> bool:
+    """True only when the block's stats PROVE every row satisfies the
+    conjunction: each predicate column has a zone with null_count == 0
+    (a null row fails every comparison) and [min, max] entirely inside
+    the predicate's accepted range. Anything unprovable returns False —
+    the caller falls back to decoding, so a False here is never wrong,
+    only slower."""
+    for col, op, val in predicates:
+        z = zone.get(col)
+        if z is None:
+            return False
+        lo, hi = z.get("min"), z.get("max")
+        if lo is None or hi is None or z.get("null_count", 1) != 0:
+            return False
+        try:
+            if op in ("==", "="):
+                if not (lo == hi == val):
+                    return False
+            elif op == "!=":
+                if not (hi < val or lo > val):
+                    return False
+            elif op == ">=":
+                if not lo >= val:
+                    return False
+            elif op == ">":
+                if not lo > val:
+                    return False
+            elif op == "<=":
+                if not hi <= val:
+                    return False
+            elif op == "<":
+                if not hi < val:
+                    return False
+            elif op == "in":
+                if not (lo == hi and lo in val):
+                    return False
+            else:
+                return False
+        except TypeError:
+            return False  # incomparable types: never prove
+    return True
+
+
+def agg_count(
+    blocks: "ray.data.Dataset", filter: list[Predicate] | None = None
+) -> int:
+    """EXACT filtered row count with aggregate pushdown over the block
+    table: blocks whose zones prove NO row matches contribute 0, blocks
+    whose zones prove EVERY row matches contribute their stored n_rows —
+    neither ships or decodes a blob. Only boundary blocks decode, and
+    only their predicate columns (page-pruned on stats='page' encodes).
+    On a sorted 100 TB table a range count touches two boundary blocks'
+    worth of payload; everything else is metadata arithmetic. Unfiltered,
+    it is a pure n_rows sum."""
+    if not filter:
+        return int(blocks.sum("n_rows"))
+    validate_predicates(blocks, filter)
+    dnf = normalize_dnf(filter)
+    pred_cols = sorted({c for conj in dnf for (c, _, _) in conj})
+    # projection pushdown: only predicate-column blobs + stats travel —
+    # non-predicate payload (e.g. a multi-MB content column) never ships
+    keep = ["block_id", "zonemap", "n_rows"] + [f"col_{c}" for c in pred_cols]
+    blocks = blocks.select_columns(
+        [c for c in keep if c in blocks.schema().names]
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        dec = BlockDecoder(columns=pred_cols, filter=dnf)
+        names = set(batch.column_names)
+        total = 0
+        for i in range(len(batch)):
+            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
+            zone = json.loads(zm) if zm else {}
+            n = int(batch["n_rows"][i].as_py()) if "n_rows" in names else 0
+            if not zone_may_match_any(zone, dnf):
+                continue
+            if any(zone_must_match(zone, conj) for conj in dnf):
+                total += n
+                continue
+            # boundary block: decode predicate columns only, count exact
+            decoded = dec(batch.slice(i, 1))
+            total += len(filter_table_dnf(decoded, dnf))
+        return pa.table({"c": pa.array([total], type=pa.int64())})
+
+    return int(blocks.map_batches(part, batch_format="pyarrow").sum("c"))
+
+
+def agg_min_max(blocks: "ray.data.Dataset", col: str) -> dict:
+    """min/max/null_count/n_rows for one column from block ZONES alone —
+    zero blobs shipped or decoded (zones store the exact per-block
+    min/max, so the fold is exact, not approximate). Values are in zone
+    space: temporal columns come back as their int64 physical view (the
+    same normalization the filter path compares against). Raises when
+    any block lacks a zone for the column (stats='none' encode, nested/
+    binary type) — silently decoding there would defeat the contract."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        lo = hi = None
+        nulls = rows = 0
+        for i in range(len(batch)):
+            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
+            zone = json.loads(zm) if zm else {}
+            z = zone.get(col)
+            if z is None:
+                raise ValueError(
+                    f"agg_min_max: block {batch['block_id'][i].as_py()!r} has "
+                    f"no zone for column {col!r} (stats='none' encode or "
+                    "unordered type); decode_dataset + an exact aggregate "
+                    "is the fallback"
+                )
+            rows += int(batch["n_rows"][i].as_py()) if "n_rows" in names else 0
+            nulls += int(z.get("null_count", 0))
+            zlo, zhi = z.get("min"), z.get("max")
+            if zlo is not None:
+                lo = zlo if lo is None or zlo < lo else lo
+            if zhi is not None:
+                hi = zhi if hi is None or zhi > hi else hi
+        return pa.table(
+            {
+                "part": pa.array(
+                    [json.dumps({"min": lo, "max": hi, "nulls": nulls, "rows": rows})],
+                    type=pa.string(),
+                )
+            }
+        )
+
+    parts = [
+        json.loads(r["part"])
+        for r in blocks.map_batches(part, batch_format="pyarrow").take_all()
+    ]
+    lo = hi = None
+    for p in parts:
+        if p["min"] is not None:
+            lo = p["min"] if lo is None or p["min"] < lo else lo
+        if p["max"] is not None:
+            hi = p["max"] if hi is None or p["max"] > hi else hi
+    return {
+        "min": lo,
+        "max": hi,
+        "null_count": sum(p["nulls"] for p in parts),
+        "n_rows": sum(p["rows"] for p in parts),
+    }
+
+
 def validate_predicate_shapes(
     predicates: list[Predicate], cols: set[str], where: str
 ) -> None:

@@ -136,6 +136,12 @@ def q_zonemap_filtered_decode(sf_dir: str):
     pred = [("doc_id", "<", 100)]
     counts = count_decoded_blocks(blocks, pred)
     assert counts["decoded_blocks"] < counts["total_blocks"], counts
+    # aggregate pushdown cross-check: the zone-proven count (interior
+    # blocks never decode, only boundary blocks do) must equal the
+    # filtered decode's cardinality
+    from ..decode import agg_count
+
+    assert agg_count(blocks, pred) == 100
     return decode_dataset(blocks, filter=pred)
 
 

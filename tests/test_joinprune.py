@@ -220,6 +220,65 @@ def test_equi_join_matches_pandas_reference(ray_session):
         )
 
 
+def test_equi_join_left_outer_matches_pandas(ray_session):
+    """Left join: unmatched left rows (incl. the null-key row — SQL:
+    null matches nothing) survive with null right columns; matched rows
+    duplicate 1:N exactly as pandas merge(how='left')."""
+    rng = np.random.default_rng(31)
+    lk = rng.integers(0, 40, size=80)
+    left = pa.table(
+        {
+            "ok": pa.array(np.where(np.arange(80) == 3, None, lk), type=pa.int64()),
+            "pri": pa.array(rng.choice(["hi", "lo"], size=80)),
+        }
+    )
+    right = pa.table(
+        {
+            "lk": pa.array(rng.integers(20, 60, size=150), type=pa.int64()),
+            "price": pa.array(rng.uniform(1, 9, size=150).round(2)),
+        }
+    )
+    got = (
+        equi_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            left_on="ok",
+            right_on="lk",
+            left_schema=left.schema,
+            right_schema=right.schema,
+            how="left",
+        )
+        .to_pandas()
+        .sort_values(["ok", "pri", "lk", "price"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="ok", right_on="lk", how="left")
+        .sort_values(["ok", "pri", "lk", "price"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    # unmatched rows: null right columns, incl. the null-key left row
+    unmatched = got[got["lk"].isna()]
+    assert len(unmatched) == int(ref["lk"].isna().sum()) >= 1
+    assert unmatched["price"].isna().all()
+    # matched subset equals pandas (compare as float to absorb the
+    # nullable-int-to-float widening pandas applies on its side)
+    gm = got.dropna(subset=["lk"]).reset_index(drop=True)
+    rm = ref.dropna(subset=["lk"]).reset_index(drop=True)
+    assert np.allclose(gm["ok"].astype(float), rm["ok"].astype(float))
+    assert np.allclose(gm["lk"].astype(float), rm["lk"].astype(float))
+    assert np.allclose(gm["price"], rm["price"])
+    assert list(gm["pri"]) == list(rm["pri"])
+
+    with pytest.raises(ValueError, match="inner|left"):
+        equi_join(
+            rd.from_arrow(left), rd.from_arrow(right), left_on="ok", right_on="lk",
+            left_schema=left.schema, right_schema=right.schema, how="full",
+        )
+
+
 def test_build_probe_hashes_agree_across_int_widths(ray_session):
     """int32 keys and int64 probes (or vice versa) must hash identically
     — both normalize to the int64 bit pattern."""
