@@ -116,9 +116,20 @@ def cmd_layout(args: argparse.Namespace) -> int:
 def cmd_compact(args: argparse.Namespace) -> int:
     """Re-block an encoded block table at a new block size (decode ->
     re-encode, streaming) — the maintenance op for ingestion roots full
-    of under-sized commit blocks (rayenc.encode.compact_blocks)."""
+    of under-sized commit blocks (rayenc.encode.compact_blocks). With
+    --in-place, rewrite the job dir itself partition-by-partition with
+    manifest re-commits (rayenc.jobs.compact_job): atomic per partition,
+    idempotent, resume gates untouched."""
     _init_ray()
     import ray.data as rd
+
+    if args.in_place:
+        from rayenc.jobs import compact_job
+
+        print(json.dumps(compact_job(args.blocks, args.block_rows)))
+        return 0
+    if not args.out:
+        raise SystemExit("compact: pass an output dir, or --in-place")
 
     from rayenc.encode import compact_blocks, write_blocks
     from rayenc.verify import verify_blocks
@@ -368,10 +379,17 @@ def main() -> int:
         help="re-block an encoded block table at a new block size (streaming decode->encode)",
     )
     cp.add_argument("blocks", help="encode job output root")
-    cp.add_argument("out", help="output dir for the compacted block table")
+    cp.add_argument(
+        "out", nargs="?", default=None,
+        help="output dir for the compacted block table (omit with --in-place)",
+    )
     cp.add_argument("--block-rows", type=int, default=8000)
     cp.add_argument("--level", type=int, default=3)
     cp.add_argument("--hash-column", default="content")
+    cp.add_argument(
+        "--in-place", action="store_true",
+        help="rewrite the job dir itself (per-partition atomic swap + manifest re-commit)",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")

@@ -707,3 +707,170 @@ def run_encode_job(
         summary["encoded_bytes"] = sum(r["encoded_bytes"] for r in results)
     summary["manifest"] = manifest.summary()
     return summary
+
+
+class PartitionCompactor:
+    """Actor-pool stage for compact_job: one committed-partition manifest
+    entry in -> the same partition rewritten at target_block_rows."""
+
+    def __init__(
+        self,
+        out_root: str,
+        params: dict,
+        target_block_rows: int,
+        max_block_bytes: int,
+    ):
+        from .decode import BlockDecoder
+
+        self.out_root = Path(out_root)
+        self.blocks_dir = self.out_root / "blocks"
+        self.manifest = Manifest(out_root)
+        self.core = BlockEncoder(
+            columns=None,  # the decoded table already honors the job's projection
+            level=int(params.get("level", 3)),
+            hash_column=params.get("hash_column"),
+            stats=params.get("stats", "block"),
+            page_rows=params.get("page_rows"),
+            decode_weight=float(params.get("decode_weight", 0.0)),
+            enc_cap=params.get("enc_cap"),
+            forced_codecs=params.get("forced_codecs"),
+        )
+        self.dec = BlockDecoder()
+        self.target = int(target_block_rows)
+        self.max_block_bytes = int(max_block_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist(
+            [self._compact(e) for e in batch.to_pylist()]
+        )
+
+    def _compact(self, entry: dict) -> dict:
+        pid = entry["partition_id"]
+        old = pq.read_table(entry["output"]).sort_by("block_seq")
+        pseq = int(old["partition_seq"][0].as_py()) if "partition_seq" in old.column_names else 0
+        decoded = self.dec(old)  # one partition = one batch, row order = block_seq order
+        rows = 0
+        seq = 0
+        out_tables: list[pa.Table] = []
+        for block in iter_blocks(decoded, self.target, self.max_block_bytes):
+            out_tables.append(
+                self.core.encode_table(
+                    block,
+                    block_seq=seq,
+                    partition_id=pid,
+                    partition_seq=pseq,
+                    row_start=rows,
+                )
+            )
+            rows += block.num_rows
+            seq += 1
+        if rows != entry["rows"]:
+            raise RuntimeError(
+                f"compact_job: partition {pid} decoded {rows} rows but the "
+                f"manifest committed {entry['rows']} — refusing to swap "
+                "(block file and manifest disagree; run verify --check-zones)"
+            )
+        blocks_table = pa.concat_tables(out_tables)
+        out_file = Path(entry["output"])
+        tmp = out_file.with_suffix(".tmp")
+        pq.write_table(blocks_table, tmp, compression="none")
+        os.replace(tmp, out_file)  # atomic swap: readers see old or new, never half
+        new_entry = dict(entry)
+        new_entry["rows"] = rows
+        new_entry["blocks"] = seq
+        new_entry["encoded_bytes"] = int(sum(blocks_table["encoded_bytes"].to_pylist()))
+        new_entry["block_hashes"] = blocks_table["content_sha256"].to_pylist()
+        new_entry["compacted_from_blocks"] = entry["blocks"]
+        new_entry["compacted_block_rows"] = self.target
+        self.manifest.commit(new_entry)
+        return {
+            "partition_id": pid,
+            "blocks_before": entry["blocks"],
+            "blocks_after": seq,
+            "encoded_bytes_before": entry["encoded_bytes"],
+            "encoded_bytes_after": new_entry["encoded_bytes"],
+        }
+
+
+def compact_job(
+    out_root: str,
+    target_block_rows: int,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """MAINTENANCE COMPACTION for a committed encode-job dir: partitions
+    whose committed blocks are finer than target_block_rows decode once
+    (inside the task — nothing ships to the driver) and re-encode at the
+    target, preserving the partition as the commit/resume unit: row
+    order, block_seq, row_start and the per-row sha256 chains are all
+    re-derived, the blocks parquet is swapped atomically, and the
+    manifest entry re-commits with the new block inventory. Small-block
+    build-up is the steady state of a long-running ingestion (late
+    row-group tails, heavily filtered encodes) and each tiny block costs
+    a selector trial + zone/bloom overhead at decode; compaction restores
+    the intended block geometry without re-reading the source.
+
+    Sibling of ``encode.compact_blocks`` (streaming re-block into a NEW
+    block table, no manifest): use that for exporting; use this to
+    maintain a live job dir whose manifest, resume gates, and readers
+    must keep working mid-compaction.
+
+    Skips partitions already at the target geometry (and empty ones) —
+    rerunning is a no-op, and a killed run leaves every partition either
+    old-shape or new-shape, never mixed. The job record is untouched:
+    compaction changes block geometry, not job identity (filter/columns/
+    hash), so resume gates keep working."""
+    import math
+
+    manifest = Manifest(out_root)
+    rec = manifest.job_record()
+    if rec is None:
+        raise ValueError(f"{out_root} has no job record; not an encode-job dir")
+    params = rec.get("params", {})
+    pending = []
+    skipped = 0
+    for e in manifest.entries():
+        if not e.get("output") or not e.get("rows"):
+            skipped += 1
+            continue
+        if e["blocks"] <= math.ceil(e["rows"] / int(target_block_rows)):
+            skipped += 1  # already at (or coarser than) the target geometry
+            continue
+        pending.append(e)
+    summary = {
+        "partitions_compacted": 0,
+        "partitions_skipped": skipped,
+        "blocks_before": 0,
+        "blocks_after": 0,
+        "encoded_bytes_before": 0,
+        "encoded_bytes_after": 0,
+    }
+    if not pending:
+        return summary
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() - 2))
+    results = (
+        ray.data.from_items(pending)
+        .map_batches(
+            PartitionCompactor,
+            fn_constructor_kwargs={
+                "out_root": out_root,
+                "params": params,
+                "target_block_rows": int(target_block_rows),
+                "max_block_bytes": int(
+                    params.get("max_block_bytes", DEFAULT_MAX_BLOCK_BYTES)
+                ),
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+        .take_all()  # control-plane rows: one per partition, tiny
+    )
+    summary["partitions_compacted"] = len(results)
+    for r in results:
+        summary["blocks_before"] += r["blocks_before"]
+        summary["blocks_after"] += r["blocks_after"]
+        summary["encoded_bytes_before"] += r["encoded_bytes_before"]
+        summary["encoded_bytes_after"] += r["encoded_bytes_after"]
+    return summary

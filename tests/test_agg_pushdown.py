@@ -72,6 +72,19 @@ def test_agg_count_matches_exact(ray_session):
     assert agg_count(blocks, [("doc_id", ">", 10_000)]) == 0
 
 
+def test_agg_count_timestamp_filter(ray_session):
+    """Temporal columns count on their epoch-int view (the filter and
+    zone convention): a late-window predicate proves most blocks out."""
+    us = np.arange(0, 2_000_000, 1000, dtype=np.int64)  # 2000 ts-ordered rows
+    t = pa.table({"ts": pa.array(us, type=pa.timestamp("us"))})
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=200, hash_column=None, concurrency=2
+    ).materialize()
+    cut = int(us[1700])
+    assert agg_count(blocks, [("ts", ">=", cut)]) == int((us >= cut).sum())
+    assert agg_count(blocks, [("ts", "<", int(us[37]))]) == 37
+
+
 def test_agg_min_max_zones_only(ray_session):
     t, blocks = _blocks()
     r = agg_min_max(blocks, "doc_id")
