@@ -17,9 +17,9 @@ driver, bench.py and the test fixture own the Ray session.
 from .blocks import decode_column, decode_rows, encode_column
 from .selector import encode_column_auto, select_codec
 from .encode import BlockEncoder, encode_dataset, lineage_table
-from .decode import (BlockDecoder, agg_count, agg_min_max, attach_global_row_numbers,
-                     count_decoded_blocks, decode_dataset, decode_ordered,
-                     explain_decode, prune_blocks)
+from .decode import (BlockDecoder, agg_approx_distinct, agg_count, agg_min_max,
+                     agg_sum, attach_global_row_numbers, count_decoded_blocks,
+                     decode_dataset, decode_ordered, explain_decode, prune_blocks)
 from .jobs import compact_job, encode_dataset_ordered, plan_partitions, run_encode_job
 from .partition import locality_encode, salted_partition
 from .manifest import Manifest
@@ -38,8 +38,10 @@ __all__ = [
     "decode_ordered",
     "attach_global_row_numbers",
     "count_decoded_blocks",
+    "agg_approx_distinct",
     "agg_count",
     "agg_min_max",
+    "agg_sum",
     "explain_decode",
     "prune_blocks",
     "encode_dataset_ordered",

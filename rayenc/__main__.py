@@ -60,6 +60,8 @@ def cmd_encode(args: argparse.Namespace) -> int:
         decode_weight=args.decode_weight,
         enc_cap=args.enc_cap,
         filter=_parse_filters(args.filter),
+        hll=args.hll,
+        hll_b=args.hll_b,
     )
     print(json.dumps(summary))
     return 0
@@ -316,6 +318,18 @@ def main() -> int:
         action="append",
         metavar="COL:OP:VALUE",
         help="encode only matching rows (row-group stats pruned at plan time; repeatable)",
+    )
+    e.add_argument(
+        "--hll",
+        action="store_true",
+        help="per-block HLL distinct sketches in the zonemap (enables "
+        "agg_approx_distinct over metadata alone; ~1.4 KB/column/block)",
+    )
+    e.add_argument(
+        "--hll-b",
+        type=int,
+        default=10,
+        help="HLL precision: 2^b uint8 registers per column per block",
     )
     e.set_defaults(fn=cmd_encode)
 

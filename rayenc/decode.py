@@ -260,6 +260,154 @@ def agg_min_max(blocks: "ray.data.Dataset", col: str) -> dict:
     }
 
 
+def agg_sum(
+    blocks: "ray.data.Dataset",
+    col: str,
+    filter: list[Predicate] | None = None,
+) -> int | float | None:
+    """EXACT SUM(col) [WHERE filter] with aggregate pushdown: blocks whose
+    zones prove EVERY row matches fold their stored per-block sum (zero
+    decode), blocks proven out contribute nothing, and only boundary
+    blocks decode — and only `col` plus the predicate columns. Unfiltered
+    on a numeric column this is pure metadata arithmetic.
+
+    Exactness: integer sums fold in Python ints (no overflow; blocks
+    whose worst-case sum could overflow int64 skip the stored sum at
+    encode time and take the decode path here). Float sums are exact for
+    the blockwise association — like any distributed SUM, the result can
+    differ from a row-order fold in the last ulps. Blocks encoded before
+    sums existed (or with stats='none') decode `col` — correct, just not
+    free; raises only when a needed block lacks BOTH a usable zone sum
+    and a decodable numeric column. SQL semantics: nulls skipped, SUM
+    over zero rows is None."""
+    if filter:
+        validate_predicates(blocks, filter)
+    dnf = normalize_dnf(filter) if filter else None
+    pred_cols = sorted({c for conj in dnf for (c, _, _) in conj}) if dnf else []
+    need_cols = sorted(set(pred_cols) | {col})
+    keep = ["block_id", "zonemap", "n_rows"] + [f"col_{c}" for c in need_cols]
+    blocks = blocks.select_columns(
+        [c for c in keep if c in blocks.schema().names]
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dec = BlockDecoder(columns=need_cols, filter=dnf)
+        names = set(batch.column_names)
+        total = None  # SQL: SUM over no rows is NULL
+
+        def add(v):
+            nonlocal total
+            if v is not None:
+                total = v if total is None else total + v
+
+        for i in range(len(batch)):
+            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
+            zone = json.loads(zm) if zm else {}
+            if dnf is not None and not zone_may_match_any(zone, dnf):
+                continue
+            full = dnf is None or any(zone_must_match(zone, conj) for conj in dnf)
+            z = zone.get(col)
+            if full and z is not None and "sum" in z:
+                add(z["sum"])
+                continue
+            # boundary block, or no stored sum (legacy/overflow/stats off):
+            # decode col (+ predicates), filter exact, sum exact
+            try:
+                decoded = dec(batch.slice(i, 1))
+            except Exception as e:
+                raise ValueError(
+                    f"agg_sum: block {batch['block_id'][i].as_py()!r} has no "
+                    f"stored sum for {col!r} and decoding it failed: {e}"
+                ) from e
+            if dnf is not None:
+                decoded = filter_table_dnf(decoded, dnf)
+            t = decoded[col].type
+            if not (
+                pa.types.is_integer(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)
+            ):
+                raise ValueError(
+                    f"agg_sum: column {col!r} is {t} — SUM is defined for "
+                    "numeric/bool columns only"
+                )
+            s = pc.sum(decoded[col]).as_py()
+            add(int(s) if s is not None and not pa.types.is_floating(t) else s)
+        return pa.table({"s": pa.array([json.dumps(total)], type=pa.string())})
+
+    parts = [
+        json.loads(r["s"])
+        for r in blocks.map_batches(part, batch_format="pyarrow").take_all()
+    ]
+    total = None
+    for p in parts:
+        if p is not None:
+            total = p if total is None else total + p
+    return total
+
+
+def agg_approx_distinct(blocks: "ray.data.Dataset", col: str) -> float:
+    """Approximate distinct (non-null) count for one column from block
+    METADATA alone — zero blobs shipped or decoded. Requires the blocks
+    to carry per-block HLL registers (encode with hll=True; reserved
+    zonemap key "__hll__"): registers merge by elementwise max, so the
+    whole-table estimate is exactly the estimate a single-pass HLL over
+    the data would give (~±2% at the default b=10), for the price of
+    one ~1.4 KB metadata fold per block. Raises when any block lacks
+    the sketch (hll=False encode, unsupported type, or a mixed-version
+    job dir) — a partial fold would silently under-count.
+
+    The 100 TB shape: each task folds its batch of block rows to ONE
+    register row; the driver folds n_tasks rows of 2^b bytes each.
+    """
+    import base64
+
+    import numpy as np
+
+    def part(batch: pa.Table) -> pa.Table:
+        regs = None
+        for i in range(len(batch)):
+            zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
+            h = (json.loads(zm) if zm else {}).get("__hll__", {}).get(col)
+            if h is None:
+                raise ValueError(
+                    f"agg_approx_distinct: block {batch['block_id'][i].as_py()!r} "
+                    f"has no HLL sketch for column {col!r} (encode with "
+                    "hll=True; stages.sketch.approx_distinct over "
+                    "decode_dataset is the fallback)"
+                )
+            r = np.frombuffer(base64.b64decode(h), dtype=np.uint8)
+            regs = r.copy() if regs is None else np.maximum(regs, r)
+        return pa.table({"regs": pa.array(
+            [regs.tobytes() if regs is not None else b""], type=pa.binary()
+        )})
+
+    parts = (
+        blocks.select_columns(["block_id", "zonemap"])
+        .map_batches(part, batch_format="pyarrow")
+        .take_all()
+    )
+    regs = None
+    for p in parts:
+        if len(p["regs"]) == 0:
+            continue
+        r = np.frombuffer(p["regs"], dtype=np.uint8)
+        if regs is not None and len(r) != len(regs):
+            raise ValueError(
+                "agg_approx_distinct: blocks carry HLL sketches of different "
+                f"precisions ({len(regs)} vs {len(r)} registers) — mixed "
+                "hll_b encodes cannot merge; re-encode or compact to one b"
+            )
+        regs = r.copy() if regs is None else np.maximum(regs, r)
+    if regs is None:
+        return 0.0
+    from .stages.sketch import hll_estimate
+
+    return hll_estimate(regs)
+
+
 def validate_predicate_shapes(
     predicates: list[Predicate], cols: set[str], where: str
 ) -> None:

@@ -91,7 +91,10 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
 
     nc = arr.null_count
     if len(arr) - nc == 0:
-        return {"min": None, "max": None, "null_count": int(nc)}
+        z = {"min": None, "max": None, "null_count": int(nc)}
+        if pa.types.is_integer(t) or pa.types.is_boolean(t) or pa.types.is_floating(t):
+            z["sum"] = None  # SQL SUM over all-NULL is NULL: contributes nothing
+        return z
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         # date32 has no direct int64 cast (ArrowNotImplementedError):
         # hop through int32, same normalization bloom._column_hashes uses
@@ -108,7 +111,52 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
     if isinstance(lo, str):
         lo = lo[:_ZONE_STR_CAP]  # prefix is a valid lower bound
         hi = _bound_max_str(hi)
-    return {"min": _zone_jsonable(lo), "max": _zone_jsonable(hi), "null_count": int(nc)}
+    z = {"min": _zone_jsonable(lo), "max": _zone_jsonable(hi), "null_count": int(nc)}
+    # exact per-block SUM for numeric/bool columns (agg_sum pushdown:
+    # fully-included blocks fold this number, zero decode). Skipped when
+    # the worst-case |sum| could overflow int64 (agg_sum decodes those
+    # blocks instead — correct, just not free) and when a float sum is
+    # non-finite (NaN/inf don't survive a JSON round-trip comparably).
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        bound = 1 if pa.types.is_boolean(t) else max(abs(int(lo)), abs(int(hi)))
+        if bound * (len(arr) - nc) < 2**62:
+            z["sum"] = int(pc.sum(arr).as_py())
+    elif pa.types.is_floating(t):
+        import math
+
+        s = pc.sum(arr).as_py()
+        if s is not None and math.isfinite(s):
+            z["sum"] = float(s)
+    return z
+
+
+def column_hll(arr: pa.Array | pa.ChunkedArray, b: int) -> str | None:
+    """Base64 HLL registers (2^b uint8) for one column chunk, or None for
+    types the batched hash kernel can't digest (nested, binary blobs) —
+    the same unsupported-type contract as bloom_build: skip, never raise,
+    so one exotic column can't kill the whole encode job."""
+    import base64
+
+    t = arr.type
+    if not (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_decimal(t)
+    ):
+        return None
+    try:
+        from .stages.sketch import hll_partial
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return base64.b64encode(hll_partial(arr, b=b).tobytes()).decode()
+    except Exception:
+        return None
 
 
 def cluster_cpus(default: int = 8) -> int:
@@ -152,6 +200,8 @@ class BlockEncoder:
         decode_weight: float = 0.0,
         bloom: bool = True,
         enc_cap: float | None = None,
+        hll: bool = False,
+        hll_b: int = 10,
     ):
         self.columns = columns
         self.level = level
@@ -175,6 +225,17 @@ class BlockEncoder:
         # built whenever stats are on — two batched hash passes per
         # column, ~10 bits/key serialized into the zonemap JSON
         self.bloom = bloom and stats != "none"
+        # opt-in per-block HLL distinct sketches (reserved zonemap key
+        # "__hll__"): 2^hll_b uint8 registers per column, base64 in the
+        # zonemap JSON (~1.4 KB/column at b=10). Lets agg_approx_distinct
+        # estimate column cardinality over a committed block table from
+        # metadata alone — zero blobs decoded. OFF by default: one batched
+        # hash pass per column per block is real encode cost, and unlike
+        # zones/blooms nothing in the decode path needs it.
+        self.hll = hll and stats != "none"
+        self.hll_b = int(hll_b)
+        if self.hll and not (4 <= self.hll_b <= 16):
+            raise ValueError(f"hll_b must be in [4, 16], got {hll_b}")
         self.blocks_done = 0
         self.rows_done = 0
         # per-column codec choice cache: trial selection runs on the first
@@ -202,11 +263,14 @@ class BlockEncoder:
         row_start: int | None = None,
     ) -> pa.Table:
         cols = self.columns or batch.column_names
-        if "__bloom__" in cols:
-            # "__bloom__" is the reserved zonemap key holding the per-column
-            # Bloom filter map; a real column by that name would collide with
-            # it and silently mis-prune on filtered decode.
-            raise ValueError("column name '__bloom__' is reserved by the block format")
+        for reserved in ("__bloom__", "__hll__"):
+            # reserved zonemap keys hold the per-column Bloom filter / HLL
+            # register maps; a real column by either name would collide and
+            # silently mis-prune (or mis-estimate) on the metadata paths.
+            if reserved in cols:
+                raise ValueError(
+                    f"column name {reserved!r} is reserved by the block format"
+                )
         n = batch.num_rows
         out: dict[str, Any] = {}
         lineage: dict[str, Any] = {}
@@ -215,6 +279,7 @@ class BlockEncoder:
         enc_bytes = 0
         h = hashlib.sha256()
         blooms: dict[str, str] = {}
+        hlls: dict[str, str] = {}
         for name in cols:
             arr = batch[name]
             if self.stats in ("block", "page"):
@@ -227,6 +292,10 @@ class BlockEncoder:
                     bf = bloom_build(arr)
                     if bf is not None:
                         blooms[name] = bf
+                if self.hll:
+                    regs = column_hll(arr, self.hll_b)
+                    if regs is not None:
+                        hlls[name] = regs
             t0 = time.perf_counter()
             forced = self.forced_codecs.get(name)
             cached = self._cached.get(name)
@@ -300,6 +369,8 @@ class BlockEncoder:
             h.update(hashlib.sha256(blob).digest())
         if blooms:
             zones["__bloom__"] = blooms
+        if hlls:
+            zones["__hll__"] = hlls
         h.update(n.to_bytes(8, "little"))
         content_hash = ""
         if self.hash_column and self.hash_column in cols:
@@ -440,6 +511,8 @@ def encode_dataset(
     decode_weight: float = 0.0,
     bloom: bool = True,
     enc_cap: float | None = None,
+    hll: bool = False,
+    hll_b: int = 10,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -480,6 +553,8 @@ def encode_dataset(
             "decode_weight": decode_weight,
             "bloom": bloom,
             "enc_cap": enc_cap,
+            "hll": hll,
+            "hll_b": hll_b,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

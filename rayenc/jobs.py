@@ -284,6 +284,8 @@ class PartitionEncoder:
         decode_weight: float = 0.0,
         enc_cap: float | None = None,
         forced_codecs: dict | None = None,
+        hll: bool = False,
+        hll_b: int = 10,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -298,6 +300,8 @@ class PartitionEncoder:
             decode_weight=decode_weight,
             enc_cap=enc_cap,
             forced_codecs=forced_codecs,
+            hll=hll,
+            hll_b=hll_b,
         )
         self.columns = columns
         self.block_rows = block_rows
@@ -561,6 +565,8 @@ def job_params(
     enc_cap: float | None = None,
     forced_codecs: dict | None = None,
     inputs: list[str] | None = None,
+    hll: bool = False,
+    hll_b: int = 10,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
     Manifest.check_job records and compares on resume. `inputs` is the
@@ -582,6 +588,11 @@ def job_params(
         ),
         "max_block_bytes": max_block_bytes,
         "max_partition_bytes": max_partition_bytes,
+        # hll is NOT a strict resume key: sketches are additive metadata
+        # (agg_approx_distinct names the blocks that lack one), unlike
+        # filter/columns/inputs whose drift corrupts the data itself
+        "hll": bool(hll),
+        "hll_b": int(hll_b),
     }
 
 
@@ -601,6 +612,8 @@ def run_encode_job(
     decode_weight: float = 0.0,
     enc_cap: float | None = None,
     forced_codecs: dict | None = None,
+    hll: bool = False,
+    hll_b: int = 10,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
@@ -665,6 +678,8 @@ def run_encode_job(
             enc_cap=enc_cap,
             forced_codecs=forced_codecs,
             inputs=resolved,
+            hll=hll,
+            hll_b=hll_b,
         )
     )
     parts = plan_partitions(resolved, max_partition_bytes, filter=filter)
@@ -695,6 +710,8 @@ def run_encode_job(
                 "decode_weight": decode_weight,
                 "enc_cap": enc_cap,
                 "forced_codecs": forced_codecs,
+                "hll": hll,
+                "hll_b": hll_b,
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -734,6 +751,8 @@ class PartitionCompactor:
             decode_weight=float(params.get("decode_weight", 0.0)),
             enc_cap=params.get("enc_cap"),
             forced_codecs=params.get("forced_codecs"),
+            hll=bool(params.get("hll", False)),
+            hll_b=int(params.get("hll_b", 10)),
         )
         self.dec = BlockDecoder()
         self.target = int(target_block_rows)

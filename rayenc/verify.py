@@ -64,7 +64,7 @@ def _zone_mismatches(
     import json as _json
 
     from .bloom import bloom_may_contain
-    from .encode import column_zone
+    from .encode import column_hll, column_zone
 
     zm = _json.loads(batch["zonemap"][i].as_py() or "{}")
     bad = 0
@@ -82,7 +82,11 @@ def _zone_mismatches(
         if stored is None:
             continue
         want = column_zone(col(name))
-        keys = ("min", "max", "null_count")
+        # "sum" audited only when stored (legacy blocks predate it); a
+        # corrupt stored sum silently skews agg_sum like a zone lie
+        keys = ("min", "max", "null_count") + (
+            ("sum",) if "sum" in stored else ()
+        )
         if want is None or any(want.get(k) != stored.get(k) for k in keys):
             bad += 1
     for name, bf in (zm.get("__bloom__") or {}).items():
@@ -96,6 +100,20 @@ def _zone_mismatches(
             if not bloom_may_contain(bf, v):
                 bad += 1
                 break
+    for name, h in (zm.get("__hll__") or {}).items():
+        # HLL registers are a pure function of the column's content (fixed
+        # hash seed), so the audit is exact: re-derive and compare bytes.
+        # A corrupt sketch silently skews agg_approx_distinct — like a
+        # zone lie, invisible to the content hash.
+        import base64 as _b64
+
+        if name not in names:
+            bad += 1
+            continue
+        regs = _b64.b64decode(h)
+        want_h = column_hll(col(name), (len(regs)).bit_length() - 1)
+        if want_h is None or _b64.b64decode(want_h) != regs:
+            bad += 1
     return bad
 
 
@@ -117,23 +135,30 @@ def verify_blocks(
     failure class the content hash cannot observe."""
 
     def check(batch: pa.Table) -> pa.Table:
-        dec = BlockDecoder(columns=[hash_column])
+        # hash_column=None: the table was encoded without a chain-hash
+        # column — the content check has nothing to compare, but the
+        # zone/bloom/HLL audit still runs (that metadata is per-column)
+        dec = BlockDecoder(columns=[hash_column]) if hash_column else None
         all_names = [c[4:] for c in batch.column_names if c.startswith("col_")]
         ok = []
         rows = []
         zone_bad = []
         for i in range(batch.num_rows):
             arr = None
-            try:
-                blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
-                arr = dec.decode_block_row([hash_column], [blob], "", 0)[hash_column]
-                ok.append(chain_hash(arr) == batch["content_sha256"][i].as_py())
-                rows.append(len(arr))
-            except Exception:
-                # a corrupted blob is a VERIFICATION FAILURE, not a job
-                # crash: report the block and keep checking the rest
-                ok.append(False)
-                rows.append(0)
+            if hash_column is None:
+                ok.append(True)
+                rows.append(int(batch["n_rows"][i].as_py()))
+            else:
+                try:
+                    blob = memoryview(batch[f"col_{hash_column}"][i].as_buffer())
+                    arr = dec.decode_block_row([hash_column], [blob], "", 0)[hash_column]
+                    ok.append(chain_hash(arr) == batch["content_sha256"][i].as_py())
+                    rows.append(len(arr))
+                except Exception:
+                    # a corrupted blob is a VERIFICATION FAILURE, not a job
+                    # crash: report the block and keep checking the rest
+                    ok.append(False)
+                    rows.append(0)
             zb = 0
             if check_zones and "zonemap" in batch.column_names:
                 try:

@@ -101,3 +101,164 @@ def test_agg_min_max_zones_only(ray_session):
     # the ValueError surfaces wrapped in Ray's task-error envelope
     with pytest.raises(Exception, match="no zone"):
         agg_min_max(none_blocks, "doc_id")
+
+
+# --- agg_approx_distinct over per-block HLL sketches (hll=True encodes) ---
+
+
+def _hll_blocks(n=20_000, distinct=3_000, block_rows=1_000, hll_b=10, hll=True):
+    rng = np.random.default_rng(5)
+    users = rng.integers(0, distinct, size=n)
+    t = pa.table(
+        {
+            "user": pa.array([f"user-{u:06d}" for u in users]),
+            "score": pa.array(rng.integers(0, 500, size=n), type=pa.int64()),
+            # nulls don't count toward the distinct estimate
+            "maybe": pa.array(
+                [None if i % 7 == 0 else int(users[i]) % 100 for i in range(n)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=block_rows, hash_column=None,
+        concurrency=2, hll=hll, hll_b=hll_b,
+    ).materialize()
+    return t, blocks
+
+
+def test_agg_approx_distinct_matches_single_pass_sketch(ray_session):
+    """Per-block registers max-merge to EXACTLY the registers a single
+    pass over the whole column yields (fixed hash seed, associative max)
+    — so the metadata-only estimate equals the data-level sketch's, and
+    both sit within a few % of the true cardinality."""
+    from rayenc.decode import agg_approx_distinct
+    from rayenc.stages.sketch import hll_estimate, hll_partial
+
+    t, blocks = _hll_blocks()
+    est = agg_approx_distinct(blocks, "user")
+    single = hll_estimate(hll_partial(t["user"].combine_chunks(), b=10))
+    assert est == pytest.approx(single)  # register-identical merge
+    true = len(set(t["user"].to_pylist()))
+    assert abs(est - true) / true < 0.05
+
+    # non-null distinct only, and int columns work through the same path
+    est_m = agg_approx_distinct(blocks, "maybe")
+    true_m = len(set(v for v in t["maybe"].to_pylist() if v is not None))
+    assert abs(est_m - true_m) / true_m < 0.15  # 100 distinct at b=10
+
+
+def test_agg_approx_distinct_requires_sketch(ray_session):
+    from rayenc.decode import agg_approx_distinct
+
+    _, blocks = _hll_blocks(n=2_000, hll=False)
+    with pytest.raises(Exception, match="no HLL sketch"):
+        agg_approx_distinct(blocks, "user")
+
+
+def test_agg_approx_distinct_mixed_precision_raises(ray_session):
+    from rayenc.decode import agg_approx_distinct
+
+    _, b1 = _hll_blocks(n=2_000, hll_b=10)
+    _, b2 = _hll_blocks(n=2_000, hll_b=8)
+    with pytest.raises(ValueError, match="different.*precision"):
+        agg_approx_distinct(b1.union(b2), "user")
+
+
+def test_hll_reserved_column_name_raises(ray_session):
+    t = pa.table({"__hll__": pa.array([1, 2, 3], type=pa.int64())})
+    with pytest.raises(Exception, match="reserved"):
+        encode_dataset(
+            rd.from_arrow(t), block_rows=10, hash_column=None, concurrency=1
+        ).materialize()
+
+
+def test_check_zones_audits_hll(ray_session):
+    """A corrupt HLL sketch (silently skews agg_approx_distinct, invisible
+    to the content hash) is caught by the paranoid zone audit."""
+    import base64
+    import json
+
+    from rayenc.verify import verify_blocks
+
+    _, blocks = _hll_blocks(n=2_000, block_rows=500)
+    tbl = pa.concat_tables(
+        blocks.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert verify_blocks(rd.from_arrow(tbl), hash_column=None, check_zones=True)["ok"]
+
+    # zero out one block's registers for `user`
+    zms = tbl["zonemap"].to_pylist()
+    zm = json.loads(zms[0])
+    regs = base64.b64decode(zm["__hll__"]["user"])
+    zm["__hll__"]["user"] = base64.b64encode(b"\x00" * len(regs)).decode()
+    zms[0] = json.dumps(zm, separators=(",", ":"))
+    bad = tbl.set_column(
+        tbl.schema.get_field_index("zonemap"), "zonemap", pa.array(zms)
+    )
+    r = verify_blocks(rd.from_arrow(bad), hash_column=None, check_zones=True)
+    assert not r["ok"]
+
+
+# --- agg_sum: exact SUM pushdown over stored per-block sums ---
+
+
+def test_agg_sum_unfiltered_and_filtered(ray_session):
+    from rayenc.decode import agg_sum
+    from rayenc import count_decoded_blocks
+
+    rng = np.random.default_rng(9)
+    n = 5_000
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(-1000, 1000, size=n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "v": pa.array(vals, type=pa.int64()),
+            "f": pa.array(vals.astype(np.float64) / 8),
+        }
+    )
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=500, hash_column=None, concurrency=2
+    ).materialize()
+
+    # unfiltered: pure metadata fold, exact
+    assert agg_sum(blocks, "v") == int(vals.sum())
+    assert agg_sum(blocks, "f") == pytest.approx(float(vals.sum()) / 8)
+
+    # filtered: interior blocks fold stored sums, boundaries decode exact
+    cut = 1_234
+    want = int(vals[ids >= cut].sum())
+    assert agg_sum(blocks, "v", [("doc_id", ">=", cut)]) == want
+    # empty and full ranges
+    assert agg_sum(blocks, "v", [("doc_id", ">", n)]) is None
+    assert agg_sum(blocks, "v", [("doc_id", ">=", 0)]) == int(vals.sum())
+
+
+def test_agg_sum_decode_fallback_on_overflow_risk(ray_session):
+    from rayenc.decode import agg_sum
+
+    big = 2**62
+    t = pa.table({"v": pa.array([big, big, -big], type=pa.int64())})
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=3, hash_column=None, concurrency=1
+    ).materialize()
+    # no stored sum (overflow risk) -> decode path, folded in Python ints
+    assert agg_sum(blocks, "v") == big
+
+
+def test_agg_sum_null_and_type_errors(ray_session):
+    from rayenc.decode import agg_sum
+
+    t = pa.table(
+        {
+            "v": pa.array([None, None], type=pa.int64()),
+            "s": pa.array(["a", "b"]),
+        }
+    )
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=2, hash_column=None, concurrency=1
+    ).materialize()
+    assert agg_sum(blocks, "v") is None  # SQL: SUM over all-NULL is NULL
+    with pytest.raises(Exception, match="numeric"):
+        agg_sum(blocks, "s")

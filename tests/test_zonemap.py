@@ -14,7 +14,26 @@ from rayenc.encode import BlockEncoder, _bound_max_str, column_zone
 
 def test_column_zone_ints_and_nulls():
     z = column_zone(pa.array([5, 1, None, 9], type=pa.int64()))
-    assert z == {"min": 1, "max": 9, "null_count": 1}
+    assert z == {"min": 1, "max": 9, "null_count": 1, "sum": 15}
+
+
+def test_column_zone_sum_rules():
+    # overflow-risk ints skip the stored sum (agg_sum decodes instead)
+    big = pa.array([2**62, 2**62 - 1], type=pa.int64())
+    assert "sum" not in column_zone(big)
+    # floats store a finite sum, skip NaN/inf (JSON-uncomparable)
+    assert column_zone(pa.array([1.5, 2.5]))["sum"] == 4.0
+    assert "sum" not in column_zone(pa.array([1.0, float("nan")]))
+    assert "sum" not in column_zone(pa.array([1.0, float("inf")]))
+    # bools sum to their true-count; all-null numerics store SQL NULL
+    assert column_zone(pa.array([True, False, True]))["sum"] == 2
+    assert column_zone(pa.array([None, None], type=pa.int64()))["sum"] is None
+    # strings and temporals never carry one
+    assert "sum" not in column_zone(pa.array(["a", "b"]))
+    import pyarrow as _pa
+
+    ts = _pa.array([1_000_000], type=_pa.timestamp("us"))
+    assert "sum" not in column_zone(ts)
 
 
 def test_column_zone_all_null():
@@ -76,7 +95,7 @@ def test_block_encoder_emits_zonemap():
     )
     row = enc.encode_table(t)
     zm = json.loads(row["zonemap"][0].as_py())
-    assert zm["a"] == {"min": 1, "max": 3, "null_count": 0}
+    assert zm["a"] == {"min": 1, "max": 3, "null_count": 0, "sum": 6}
     assert zm["s"] == {"min": "a", "max": "c", "null_count": 0}
 
 
