@@ -139,9 +139,13 @@ def q_zonemap_filtered_decode(sf_dir: str):
     # aggregate pushdown cross-check: the zone-proven count (interior
     # blocks never decode, only boundary blocks do) must equal the
     # filtered decode's cardinality
-    from ..decode import agg_count
+    from ..decode import agg_count, agg_sum
 
     assert agg_count(blocks, pred) == 100
+    # SUM pushdown cross-check: interior blocks fold their stored zone
+    # sum, boundary blocks decode only the needed columns — must equal
+    # the plain arithmetic answer over the filtered ids
+    assert agg_sum(blocks, "doc_id", pred) == sum(range(100))
     return decode_dataset(blocks, filter=pred)
 
 

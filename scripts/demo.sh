@@ -41,6 +41,25 @@ python -m rayenc decode "$D/pjob" "$D/pdecoded_filtered" --filter "lang:==:pytho
 echo "== 7e. compaction: re-block under-sized commits =="
 python -m rayenc compact "$D/job" "$D/compacted" --block-rows 2500
 
+echo "== 7e2. IN-PLACE compaction (atomic partition swaps, manifest re-commit) =="
+python -m rayenc encode "$D/layout" "$D/cjob" --block-rows 100   # deliberately under-sized blocks
+python -m rayenc compact "$D/cjob" --in-place --block-rows 1000
+python -m rayenc verify "$D/cjob" --check-zones
+python -m rayenc encode "$D/layout" "$D/cjob" --block-rows 100   # resume: still a no-op
+
+echo "== 7e3. HLL sketches: metadata-only distinct estimate =="
+python -m rayenc encode "$D/layout" "$D/hjob" --block-rows 1000 --hll
+python - <<'PY'
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from rayenc.decode import agg_approx_distinct
+from rayenc.encode import read_blocks
+blocks = read_blocks("/tmp/rayenc_demo/hjob/blocks")
+est = agg_approx_distinct(blocks, "repo")
+print({"approx_distinct_repo": round(est, 1)})
+ray.shutdown()
+PY
+
 echo "== 7f. schema evolution: decode a union of mixed-version block tables =="
 python - <<'PY'
 import pyarrow as pa, ray
