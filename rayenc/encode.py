@@ -202,6 +202,7 @@ class BlockEncoder:
         enc_cap: float | None = None,
         hll: bool = False,
         hll_b: int = 10,
+        archive: bool = False,
     ):
         self.columns = columns
         self.level = level
@@ -248,6 +249,11 @@ class BlockEncoder:
         # encode-speed gate passed to the selector (see select_codec):
         # candidates slower than fastest/enc_cap are dropped before ranking
         self.enc_cap = enc_cap
+        # opt-in cold-storage tier: the selector additionally trials
+        # plain@16/@19 on bulk text (see candidate_codecs) — ~-30%
+        # payload at ~15x encode cost; wrong for the throughput-graded
+        # operating points, right for write-once archives
+        self.archive = archive
         self._cached: dict[str, str] = {}
         self._since_trial: dict[str, int] = {}
         # per-column runoff verdict cache (ROADMAP #3): retrials whose
@@ -352,6 +358,7 @@ class BlockEncoder:
                         if self.retrial_blocks > 0
                         else None
                     ),
+                    archive=self.archive,
                 )
                 choice_info = choice.lineage()
                 self._cached[name] = choice.codec
@@ -471,6 +478,7 @@ def preselect_codecs(
     level: int = 3,
     decode_weight: float = 0.0,
     enc_cap: float | None = None,
+    archive: bool = False,
 ) -> dict[str, str]:
     """Run the codec selector ONCE on the driver over a deterministic
     block-sized sample and return {column: codec} for `forced_codecs`.
@@ -490,7 +498,8 @@ def preselect_codecs(
     forced: dict[str, str] = {}
     for name in sample.column_names:
         _, choice = encode_column_auto(
-            sample[name], level, decode_weight=decode_weight, enc_cap=enc_cap
+            sample[name], level, decode_weight=decode_weight, enc_cap=enc_cap,
+            archive=archive,
         )
         forced[name] = choice.codec
     return forced
@@ -513,6 +522,7 @@ def encode_dataset(
     enc_cap: float | None = None,
     hll: bool = False,
     hll_b: int = 10,
+    archive: bool = False,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -536,7 +546,7 @@ def encode_dataset(
     if preselect and not forced_codecs:
         forced_codecs = preselect_codecs(
             ds, block_rows=block_rows, level=level,
-            decode_weight=decode_weight, enc_cap=enc_cap,
+            decode_weight=decode_weight, enc_cap=enc_cap, archive=archive,
         )
     if concurrency is None:
         concurrency = (1, default_pool_size())
@@ -555,6 +565,7 @@ def encode_dataset(
             "enc_cap": enc_cap,
             "hll": hll,
             "hll_b": hll_b,
+            "archive": archive,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

@@ -286,6 +286,7 @@ class PartitionEncoder:
         forced_codecs: dict | None = None,
         hll: bool = False,
         hll_b: int = 10,
+        archive: bool = False,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -302,6 +303,7 @@ class PartitionEncoder:
             forced_codecs=forced_codecs,
             hll=hll,
             hll_b=hll_b,
+            archive=archive,
         )
         self.columns = columns
         self.block_rows = block_rows
@@ -567,6 +569,7 @@ def job_params(
     inputs: list[str] | None = None,
     hll: bool = False,
     hll_b: int = 10,
+    archive: bool = False,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
     Manifest.check_job records and compares on resume. `inputs` is the
@@ -593,6 +596,9 @@ def job_params(
         # filter/columns/inputs whose drift corrupts the data itself
         "hll": bool(hll),
         "hll_b": int(hll_b),
+        # archive is a codec-choice knob like level/enc_cap, not a strict
+        # resume key: mixing tiers across resumes changes sizes, never rows
+        "archive": bool(archive),
     }
 
 
@@ -614,6 +620,7 @@ def run_encode_job(
     forced_codecs: dict | None = None,
     hll: bool = False,
     hll_b: int = 10,
+    archive: bool = False,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
@@ -680,6 +687,7 @@ def run_encode_job(
             inputs=resolved,
             hll=hll,
             hll_b=hll_b,
+            archive=archive,
         )
     )
     parts = plan_partitions(resolved, max_partition_bytes, filter=filter)
@@ -712,6 +720,7 @@ def run_encode_job(
                 "forced_codecs": forced_codecs,
                 "hll": hll,
                 "hll_b": hll_b,
+                "archive": archive,
             },
             batch_format="pyarrow",
             batch_size=1,

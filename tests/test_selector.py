@@ -284,3 +284,59 @@ def test_capped_runoff_declines_when_slice_covers_payload(monkeypatch):
     # slice bytes beyond the column's total data: slice == whole array
     monkeypatch.setattr(sel, "RUNOFF_SLICE_BYTES", arr.nbytes * 2)
     assert sel._capped_runoff_verdict(arr, "plain@9", "fsst@9", 3, 0.0) is None
+
+
+def test_archive_candidates_opt_in():
+    """plain@16/@19 are archive-tier candidates ONLY: the default
+    candidate set must never include them (the flagship/size-only
+    operating points are graded on encode wall), and archive=True adds
+    them for bulk text."""
+    from rayenc.selector import candidate_codecs, column_stats, _sample
+
+    arr = _bulk_text(512)
+    stats = column_stats(_sample(arr, 4096, 2 << 20))
+    default = candidate_codecs(arr.type, stats)
+    assert "plain@16" not in default and "plain@19" not in default
+    archived = candidate_codecs(arr.type, stats, archive=True)
+    assert "plain@16" in archived and "plain@19" in archived
+    # short strings (below the bulk-text gate) gain nothing in archive mode
+    short = pa.array(["ab", "cd", "ef", "gh"] * 64)
+    sstats = column_stats(_sample(short, 4096, 2 << 20))
+    assert "plain@19" not in candidate_codecs(short.type, sstats, archive=True)
+
+
+def test_plain_archive_levels_roundtrip():
+    from rayenc.blocks import encode_column
+
+    arr = _bulk_text(256)
+    for codec in ("plain@16", "plain@19"):
+        blob = encode_column(arr, codec)
+        assert decode_column(blob).equals(arr)
+
+
+def test_archive_selection_not_larger_than_default():
+    """On bulk text the archive pick's measured trial payload must be
+    <= the default pick's (deeper zstd never loses on size; the 3%
+    family gate may keep the shallower level on near-ties, which is
+    also acceptable)."""
+    arr = _bulk_text(2048)
+    base = select_codec(arr)
+    arch = select_codec(arr, archive=True)
+    base_ratio = base.ratios[base.codec]
+    arch_ratio = arch.ratios[arch.codec]
+    assert arch_ratio <= base_ratio * 1.001
+    # trials must have actually run the archive levels
+    assert "plain@19" in arch.trials
+
+
+def test_archive_threads_through_block_encoder():
+    """BlockEncoder(archive=True) reaches the selector: on strongly
+    redundant bulk text the chosen codec may be an archive level, and
+    the encoded block must decode bit-identically either way."""
+    from rayenc.encode import BlockEncoder
+
+    t = pa.table({"content": _bulk_text(1024)})
+    enc = BlockEncoder(hash_column=None, archive=True)
+    block = enc.encode_table(t)
+    out = decode_column(block["col_content"][0].as_py())
+    assert out.equals(t["content"].combine_chunks())
