@@ -145,7 +145,7 @@ def equi_join(
     num_partitions: int | None = None,
     how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Equi-join (``how="inner"`` or ``"left"`` outer) on the repo's
+    """Equi-join (``how="inner" | "left" | "right" | "full"``) on the repo's
     bucketed sort-shuffle: both sides tagged ``hash(key) % N``, unioned
     under one PINNED schema (each side null-padded to the other's
     columns), one groupby shuffle, and an in-task Acero
@@ -155,18 +155,18 @@ def equi_join(
     within long sessions (VERDICT r3 #1; measured 4-5 s fresh -> 18-42 s
     late-session on the same input), while the sort shuffle is
     state-stable. Both key columns appear in the output (SQL ``a JOIN b
-    ON a.k = b.k`` column surface); in a left join, unmatched left rows
-    carry nulls in every right column including ``right_on``. SQL null
-    semantics: a null key matches nothing (inner drops it, left emits
-    it unmatched).
+    ON a.k = b.k`` column surface); in an outer join, unmatched rows
+    carry nulls in every opposite-side column including that side's
+    key. SQL null semantics: a null key matches nothing (inner drops
+    it; an outer side emits it unmatched).
 
     Requires disjoint column names between the sides (raise otherwise)
     and explicit side schemas — a ``Dataset.schema()`` probe on a
     transformed side would execute its plan twice (the asof lesson).
     Partitioning assumption: one key-hash bucket's rows fit one task;
     a single pathological hot KEY cannot be split by an equality join."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"equi_join how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"equi_join how must be inner|left|right|full, got {how!r}")
     kind_col, bucket_col = "__ej_kind", "__ej_b"
     lnames, rnames = list(left_schema.names), list(right_schema.names)
     overlap = set(lnames) & set(rnames)
@@ -225,9 +225,14 @@ def equi_join(
             rt,
             keys=[left_on],
             right_keys=[right_on],
-            join_type="inner" if how == "inner" else "left outer",
-            coalesce_keys=False,  # keep BOTH key columns: a left join's
-            # unmatched rows must show null right_on, not a copied left key
+            join_type={
+                "inner": "inner",
+                "left": "left outer",
+                "right": "right outer",
+                "full": "full outer",
+            }[how],
+            coalesce_keys=False,  # keep BOTH key columns: an outer join's
+            # unmatched rows must show a null opposite key, not a copy
         )
         if right_on not in j.column_names:  # older Acero coalesced anyway
             if how == "inner":
@@ -236,7 +241,7 @@ def equi_join(
                 )
             else:
                 raise RuntimeError(
-                    "equi_join(left): pyarrow coalesced the right key despite "
+                    f"equi_join({how}): pyarrow coalesced the right key despite "
                     "coalesce_keys=False; cannot reconstruct null-vs-match"
                 )
         return j.select(out_schema.names).cast(out_schema)

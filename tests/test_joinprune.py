@@ -272,10 +272,10 @@ def test_equi_join_left_outer_matches_pandas(ray_session):
     assert np.allclose(gm["price"], rm["price"])
     assert list(gm["pri"]) == list(rm["pri"])
 
-    with pytest.raises(ValueError, match="inner|left"):
+    with pytest.raises(ValueError, match="inner|left|right|full"):
         equi_join(
             rd.from_arrow(left), rd.from_arrow(right), left_on="ok", right_on="lk",
-            left_schema=left.schema, right_schema=right.schema, how="full",
+            left_schema=left.schema, right_schema=right.schema, how="cross",
         )
 
 
@@ -291,3 +291,118 @@ def test_build_probe_hashes_agree_across_int_widths(ray_session):
     u = pa.array([2**63 + 7], type=pa.uint64())
     hu = array_probe_hashes(u)
     assert hu is not None and hu[2].all()
+
+
+def test_equi_join_right_outer_matches_pandas(ray_session):
+    """Right join mirrors left: unmatched RIGHT rows (incl. a null-key
+    right row) survive with null left columns."""
+    rng = np.random.default_rng(47)
+    left = pa.table(
+        {
+            "ok": pa.array(rng.integers(0, 30, size=60), type=pa.int64()),
+            "pri": pa.array(rng.choice(["hi", "lo"], size=60)),
+        }
+    )
+    rk = rng.integers(15, 45, size=90)
+    right = pa.table(
+        {
+            "lk": pa.array(np.where(np.arange(90) == 5, None, rk), type=pa.int64()),
+            "price": pa.array(rng.uniform(1, 9, size=90).round(2)),
+        }
+    )
+    got = (
+        equi_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            left_on="ok",
+            right_on="lk",
+            left_schema=left.schema,
+            right_schema=right.schema,
+            how="right",
+        )
+        .to_pandas()
+        .sort_values(["lk", "price", "ok", "pri"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="ok", right_on="lk", how="right")
+        .sort_values(["lk", "price", "ok", "pri"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    unmatched = got[got["ok"].isna()]
+    assert len(unmatched) == int(ref["ok"].isna().sum()) >= 1
+    assert unmatched["pri"].isna().all()
+    gm = got.dropna(subset=["ok"]).reset_index(drop=True)
+    rm = ref.dropna(subset=["ok"]).reset_index(drop=True)
+    assert np.allclose(gm["ok"].astype(float), rm["ok"].astype(float))
+    assert np.allclose(gm["price"], rm["price"])
+
+
+def test_equi_join_full_outer_matches_pandas(ray_session):
+    """Full outer: every row from both sides appears exactly once per
+    match (or once unmatched); null keys on EITHER side emit unmatched."""
+    rng = np.random.default_rng(53)
+    lk = rng.integers(0, 25, size=50)
+    left = pa.table(
+        {
+            "ok": pa.array(np.where(np.arange(50) == 2, None, lk), type=pa.int64()),
+            "pri": pa.array(rng.choice(["a", "b"], size=50)),
+        }
+    )
+    rk = rng.integers(15, 40, size=70)
+    right = pa.table(
+        {
+            "lk": pa.array(np.where(np.arange(70) == 7, None, rk), type=pa.int64()),
+            "price": pa.array(rng.uniform(1, 9, size=70).round(2)),
+        }
+    )
+    got = (
+        equi_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            left_on="ok",
+            right_on="lk",
+            left_schema=left.schema,
+            right_schema=right.schema,
+            how="full",
+        )
+        .to_pandas()
+        .sort_values(["ok", "pri", "lk", "price"])
+        .reset_index(drop=True)
+    )
+    # pandas merge matches NaN keys to each other; SQL (and equi_join)
+    # emits each null-key row unmatched — build the reference SQL-style:
+    # outer-merge the non-null keys, then append null-key rows unmatched
+    lp, rp = left.to_pandas(), right.to_pandas()
+    import pandas as pd
+
+    ref = pd.concat(
+        [
+            lp[lp["ok"].notna()].merge(
+                rp[rp["lk"].notna()], left_on="ok", right_on="lk", how="outer"
+            ),
+            lp[lp["ok"].isna()],
+            rp[rp["lk"].isna()],
+        ],
+        ignore_index=True,
+    ).sort_values(["ok", "pri", "lk", "price"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    # both directions of unmatched present, incl. both null-key rows
+    assert int(got["lk"].isna().sum()) == int(ref["lk"].isna().sum()) >= 1
+    assert int(got["ok"].isna().sum()) == int(ref["ok"].isna().sum()) >= 1
+    gm = got.dropna(subset=["ok", "lk"]).reset_index(drop=True)
+    rm = ref.dropna(subset=["ok", "lk"]).reset_index(drop=True)
+    assert np.allclose(gm["ok"].astype(float), rm["ok"].astype(float))
+    assert np.allclose(gm["lk"].astype(float), rm["lk"].astype(float))
+    assert np.allclose(gm["price"], rm["price"])
+    assert list(gm["pri"]) == list(rm["pri"])
+
+
+def test_equi_join_rejects_unknown_how():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner|left|right|full"):
+        equi_join(None, None, "a", "b", pa.schema([("a", pa.int64())]),
+                  pa.schema([("b", pa.int64())]), how="cross")
