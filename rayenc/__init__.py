@@ -20,7 +20,13 @@ from .encode import BlockEncoder, encode_dataset, lineage_table
 from .decode import (BlockDecoder, agg_approx_distinct, agg_count, agg_min_max,
                      agg_sum, attach_global_row_numbers, count_decoded_blocks,
                      decode_dataset, decode_ordered, explain_decode, prune_blocks)
-from .jobs import compact_job, encode_dataset_ordered, plan_partitions, run_encode_job
+from .jobs import (
+    compact_job,
+    encode_dataset_ordered,
+    plan_partitions,
+    run_encode_job,
+    run_export_job,
+)
 from .partition import locality_encode, salted_partition
 from .manifest import Manifest
 from .verify import reference_parquet_bytes, tables_bit_identical, verify_blocks
@@ -50,6 +56,7 @@ __all__ = [
     "locality_encode",
     "plan_partitions",
     "run_encode_job",
+    "run_export_job",
     "compact_job",
     "Manifest",
     "reference_parquet_bytes",

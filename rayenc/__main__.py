@@ -197,10 +197,38 @@ def cmd_decode(args: argparse.Namespace) -> int:
     else:
         out = decode_dataset(blocks, columns=columns, filter=filters)
     out.write_parquet(args.out)
-    msg = {"decoded_to": args.out, "rows": out.count(), "ordered": bool(args.ordered)}
+    # count from the written footers — out.count() would re-execute the
+    # whole decode pipeline a second time (lazy Dataset, no cache)
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.read_metadata(os.path.join(args.out, f)).num_rows
+        for f in os.listdir(args.out)
+        if f.endswith(".parquet")
+    )
+    msg = {"decoded_to": args.out, "rows": rows, "ordered": bool(args.ordered)}
     if stats:
         msg["zone_pruning"] = stats
     print(json.dumps(msg))
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    """Resumable decode-export: committed block partitions -> one
+    atomically-published parquet of ORIGINAL rows per partition
+    (rayenc.jobs.run_export_job). Rerun skips published partitions;
+    filter/columns changes onto a half-finished dir are refused."""
+    _init_ray()
+    from rayenc.jobs import run_export_job
+
+    summary = run_export_job(
+        args.blocks,
+        args.out,
+        columns=args.columns.split(",") if args.columns else None,
+        filter=_parse_filters(args.filter),
+        ordered=not args.unordered,
+    )
+    print(json.dumps(summary))
     return 0
 
 
@@ -394,6 +422,26 @@ def main() -> int:
     tr.add_argument("indices", help="comma-separated global row positions")
     tr.add_argument("--columns", default=None)
     tr.set_defaults(fn=cmd_take_rows)
+
+    ex = sub.add_parser(
+        "export",
+        help="resumable decode-export: blocks -> one parquet of original rows per partition (atomic publish, rerun skips finished)",
+    )
+    ex.add_argument("blocks", help="encode job output root")
+    ex.add_argument("out", help="export output dir")
+    ex.add_argument("--columns", default=None, help="comma-separated projection")
+    ex.add_argument(
+        "--filter",
+        action="append",
+        metavar="COL:OP:VALUE",
+        help="zone/page-pruned + exact row filter (repeatable; conjunction)",
+    )
+    ex.add_argument(
+        "--unordered",
+        action="store_true",
+        help="skip the per-partition block_seq sort (faster; row order unspecified)",
+    )
+    ex.set_defaults(fn=cmd_export)
 
     cp = sub.add_parser(
         "compact",

@@ -26,7 +26,10 @@ import ray.data
 from .blocks import decode_column
 
 # (column, op, value) predicates; op in {"==", ">=", "<=", ">", "<",
-# "!=", "in"} ("in" takes a list/tuple/set of values). A filter is a
+# "!=", "in", "prefix"} ("in" takes a list/tuple/set of values;
+# "prefix" takes a string and matches rows whose value starts with it —
+# zone-prunable because every p-prefixed string sits in [p, succ(p))).
+# A filter is a
 # CONJUNCTION (list of predicates) or, decode-side, a DISJUNCTION of
 # conjunctions (list of lists — DNF: [[a, b], [c]] = (a AND b) OR c).
 # Timestamp/date columns compare on their epoch-integer view (the zone
@@ -41,7 +44,7 @@ _OPS = {
     "<=": pc.less_equal,
     "<": pc.less,
 }
-_EXTRA_OPS = {"!=", "in"}  # handled out-of-table (no single compute kernel)
+_EXTRA_OPS = {"!=", "in", "prefix"}  # handled out-of-table (no single compute kernel)
 
 
 def normalize_dnf(filter) -> list[list[Predicate]]:
@@ -92,6 +95,19 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
             elif op == "!=":
                 # only a CONSTANT block equal to val is provably empty
                 if lo is not None and lo == hi == val:
+                    return False
+            elif op == "prefix":
+                # p-prefixed strings lie in [p, succ(p)). Sound under the
+                # zone map's truncated bounds: stored lo is a prefix cut
+                # (still a lower bound — s >= lo implies s[:k] >= lo[:k]),
+                # stored hi is truncated-and-bumped (still an upper bound)
+                if hi is not None and isinstance(hi, str) and hi < val:
+                    return False
+                if (
+                    lo is not None
+                    and isinstance(lo, str)
+                    and lo[: len(val)] > val
+                ):
                     return False
             elif op == ">=":
                 if hi is not None and hi < val:
@@ -150,6 +166,18 @@ def zone_must_match(zone: dict, predicates: list[Predicate]) -> bool:
                     return False
             elif op == "in":
                 if not (lo == hi and lo in val):
+                    return False
+            elif op == "prefix":
+                # both stored bounds starting with p proves every value
+                # does: v in [lo, hi] pins v[:len(p)] between lo[:len(p)]
+                # and hi[:len(p)], both == p (prefix-cut truncation keeps
+                # the first len(p) chars exact whenever startswith holds)
+                if not (
+                    isinstance(lo, str)
+                    and isinstance(hi, str)
+                    and lo.startswith(val)
+                    and hi.startswith(val)
+                ):
                     return False
             else:
                 return False
@@ -430,6 +458,11 @@ def validate_predicate_shapes(
                 f"'in' predicate on {col!r} needs a list/tuple/set of "
                 f"values, got {type(val).__name__}"
             )
+        if op == "prefix" and (not isinstance(val, str) or val == ""):
+            raise ValueError(
+                f"'prefix' predicate on {col!r} needs a non-empty string, "
+                f"got {val!r}"
+            )
         if cols and col not in cols:
             raise ValueError(
                 f"predicate column {col!r} not in {where} (have: {sorted(cols)})"
@@ -501,6 +534,8 @@ def _conjunction_mask(batch: pa.Table, predicates: list[Predicate]):
             m = pc.is_in(arr, value_set=vs)
         elif op == "!=":
             m = pc.not_equal(arr, val)
+        elif op == "prefix":
+            m = pc.starts_with(arr, pattern=val)
         else:
             m = _OPS[op](arr, val)
         mask = m if mask is None else pc.and_kleene(mask, m)

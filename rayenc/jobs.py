@@ -385,7 +385,7 @@ class PartitionEncoder:
             }
         blocks_table = pa.concat_tables(out_tables)
         out_file = self.blocks_dir / f"{pid}.parquet"
-        tmp = out_file.with_suffix(".tmp")
+        tmp = _tmp_path(out_file)
         # blocks are already compressed; don't pay zstd twice
         pq.write_table(blocks_table, tmp, compression="none")
         os.replace(tmp, out_file)
@@ -800,7 +800,7 @@ class PartitionCompactor:
             )
         blocks_table = pa.concat_tables(out_tables)
         out_file = Path(entry["output"])
-        tmp = out_file.with_suffix(".tmp")
+        tmp = _tmp_path(out_file)
         pq.write_table(blocks_table, tmp, compression="none")
         os.replace(tmp, out_file)  # atomic swap: readers see old or new, never half
         new_entry = dict(entry)
@@ -901,4 +901,262 @@ def compact_job(
         summary["blocks_after"] += r["blocks_after"]
         summary["encoded_bytes_before"] += r["encoded_bytes_before"]
         summary["encoded_bytes_after"] += r["encoded_bytes_after"]
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# Resumable decode-export job: committed block partitions -> partitioned
+# parquet of the ORIGINAL rows. The read-side sibling of run_encode_job —
+# one output file per partition, atomically published (tmp + rename), so a
+# killed 100 TB export skips every finished partition on rerun instead of
+# restarting a single giant write_parquet from zero (the brief's
+# "resumable output" rule applied to the decode direction).
+# ---------------------------------------------------------------------------
+
+
+def export_record_path(out_root: str | os.PathLike) -> Path:
+    # underscore prefix: pyarrow/Ray parquet dataset discovery skips
+    # '_'/'.'-prefixed files, so read_parquet(out_root) Just Works on a
+    # finished export with the record sitting next to the part files
+    return Path(out_root) / "_export.json"
+
+
+def _tmp_path(out_file: Path) -> Path:
+    """In-directory staging name for an atomic tmp+rename publish.
+    Underscore-prefixed so a stale tmp from a killed task never breaks a
+    directory-level parquet read (dataset discovery ignores '_' files),
+    and never matches the 'part-*'/'*.parquet' resume globs."""
+    return out_file.with_name("_" + out_file.name + ".tmp")
+
+
+def _export_params(blocks_root: str, columns, row_filter, ordered: bool) -> dict:
+    from .decode import normalize_dnf
+
+    return {
+        "blocks_root": str(Path(blocks_root).resolve()),
+        "columns": list(columns) if columns else None,
+        "filter": (
+            [[list(p) for p in conj] for conj in normalize_dnf(row_filter)]
+            if row_filter
+            else None
+        ),
+        "ordered": bool(ordered),
+    }
+
+
+def check_export_job(out_root: str | os.PathLike, params: dict) -> None:
+    """Write the export record on first run; on resume REFUSE a parameter
+    mismatch once any partition has been published — a different
+    filter/columns would mix rows from two predicates in one output dir."""
+    from .manifest import FORMAT_VERSION
+
+    p = export_record_path(out_root)
+    os.makedirs(out_root, exist_ok=True)
+    if p.exists():
+        with open(p) as f:
+            rec = json.load(f)
+        if rec.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"export root {out_root} was written with format_version "
+                f"{rec.get('format_version')}, this rayenc writes "
+                f"{FORMAT_VERSION}; use a fresh out_root"
+            )
+        mismatched = {
+            k: (rec["params"].get(k), params.get(k))
+            for k in params
+            if rec["params"].get(k) != params.get(k)
+        }
+        published = any(Path(out_root).glob("part-*.parquet"))
+        if mismatched and published:
+            raise ValueError(
+                f"export resume parameter mismatch for {out_root}: "
+                f"{mismatched} — published partitions were decoded under "
+                "the recorded values (use a fresh out_root)"
+            )
+        if mismatched:
+            p.unlink()  # nothing published: safe to rewrite the record
+        else:
+            return
+    tmp = _tmp_path(p)
+    with open(tmp, "w") as f:
+        json.dump({"format_version": FORMAT_VERSION, "params": params}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+class PartitionExporter:
+    """Actor-pool stage: one committed block partition in -> one
+    published parquet of original rows out. Decode reuses the exact
+    decode_dataset semantics locally: zone/Bloom prune -> page-pruned
+    BlockDecoder -> exact DNF row filter -> projection.
+
+    Memory bound: one partition's decoded rows live in the task at once
+    (<= max_partition_bytes source bytes, 256 MiB at defaults) — the
+    same per-task ceiling the encode side's PartitionEncoder works to."""
+
+    def __init__(
+        self,
+        blocks_root: str,
+        out_root: str,
+        columns: list[str] | None = None,
+        row_filter: list | None = None,
+        ordered: bool = True,
+    ):
+        from .decode import BlockDecoder, normalize_dnf
+
+        self.blocks_dir = Path(blocks_root) / "blocks"
+        self.out_root = Path(out_root)
+        self.out_root.mkdir(parents=True, exist_ok=True)
+        self.columns = columns
+        self.dnf = normalize_dnf(row_filter) if row_filter else None
+        decode_cols = columns
+        if columns and self.dnf:
+            # filter columns must decode even when projected out
+            flat = [pr for conj in self.dnf for pr in conj]
+            decode_cols = columns + sorted(
+                {c for c, _, _ in flat if c not in columns}
+            )
+        self.core = BlockDecoder(columns=decode_cols, filter=row_filter)
+        self.ordered = ordered
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist(
+            [self._export(row["partition_id"]) for row in batch.to_pylist()]
+        )
+
+    def _export(self, pid: str) -> dict:
+        from .decode import filter_table_dnf, zone_may_match_any
+
+        t0 = time.perf_counter()
+        src = self.blocks_dir / f"{pid}.parquet"
+        blocks = pq.read_table(src)
+        seq = (
+            int(blocks["partition_seq"][0].as_py())
+            if "partition_seq" in blocks.column_names and len(blocks)
+            else 0
+        )
+        out_file = self.out_root / f"part-{seq:06d}-{pid}.parquet"
+        if out_file.exists():  # racing rerun: rename already published it
+            return {"partition_id": pid, "rows": -1, "skipped": True, "wall_s": 0.0}
+        if self.ordered and "block_seq" in blocks.column_names:
+            blocks = blocks.sort_by("block_seq")
+        if self.dnf and "zonemap" in blocks.column_names:
+            mask = [
+                zone_may_match_any(json.loads(z) if z else {}, self.dnf)
+                for z in blocks["zonemap"].to_pylist()
+            ]
+            blocks = blocks.filter(pa.array(mask, type=pa.bool_()))
+        if len(blocks):
+            dec = self.core(blocks)
+        else:
+            dec = None  # every block pruned: publish an empty (0-row) file
+        if dec is not None and self.dnf:
+            dec = filter_table_dnf(dec, self.dnf)
+        if dec is not None and self.columns:
+            dec = dec.select(self.columns)
+        if dec is None:
+            # schema for the empty file: decode one block row's header is
+            # overkill — an empty selection still needs SOME schema, so
+            # decode nothing and write a zero-column marker is wrong.
+            # Re-read one block row unpruned to derive the schema.
+            probe = pq.read_table(src).slice(0, 1)
+            dec = self.core(probe)
+            if self.dnf:
+                dec = filter_table_dnf(dec, self.dnf)
+            if self.columns:
+                dec = dec.select(self.columns)
+            dec = dec.slice(0, 0)
+        tmp = _tmp_path(out_file)
+        pq.write_table(dec, tmp, compression="zstd")
+        os.replace(tmp, out_file)  # atomic publish: existence == committed
+        return {
+            "partition_id": pid,
+            "rows": len(dec),
+            "skipped": False,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+
+
+def run_export_job(
+    blocks_root: str,
+    out_root: str,
+    columns: list[str] | None = None,
+    filter: list | None = None,
+    ordered: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Resumable distributed decode-export. Returns a summary dict.
+
+    Output layout: ``out_root/part-{partition_seq:06d}-{pid}.parquet`` —
+    one file per committed block partition, published atomically, named
+    so a sorted directory listing reads back in source plan order
+    (``ordered=True`` additionally sorts blocks by block_seq inside each
+    file, so file-order + row-order == original row order for ordered
+    encodes). Rerun-safe: published partitions are skipped before any
+    block is read; the export record refuses a filter/columns change
+    onto a half-finished dir (same class as the encode job record)."""
+    from .decode import normalize_dnf, validate_predicate_shapes
+
+    manifest = Manifest(blocks_root)
+    entries = manifest.entries()
+    if not entries:
+        raise ValueError(f"no committed partitions under {blocks_root}")
+    # a filtered ENCODE can commit a partition with zero blocks (no
+    # blocks parquet on disk, entry records blocks=0): nothing to export
+    # there — reading its missing file would crash the task, and leaving
+    # it "pending" would re-schedule it on every rerun
+    committed = sorted(e["partition_id"] for e in entries)
+    nonempty = sorted(
+        e["partition_id"] for e in entries if int(e.get("blocks", 0)) > 0
+    )
+    if filter:
+        if not nonempty:
+            raise ValueError(f"every committed partition under {blocks_root} is empty")
+        first = Path(blocks_root) / "blocks" / f"{nonempty[0]}.parquet"
+        cols = {
+            c[4:] for c in pq.read_schema(str(first)).names if c.startswith("col_")
+        }
+        for conj in normalize_dnf(filter):
+            validate_predicate_shapes(conj, cols, "block table")
+    params = _export_params(blocks_root, columns, filter, ordered)
+    check_export_job(out_root, params)
+    done = {
+        f.name.split("-", 2)[2].removesuffix(".parquet")
+        for f in Path(out_root).glob("part-*-*.parquet")
+    }
+    pending = [p for p in nonempty if p not in done]
+    summary = {
+        "partitions_total": len(committed),
+        "partitions_skipped": len(committed) - len(pending),
+        "partitions_exported": 0,
+        "rows": 0,
+        "out_root": str(out_root),
+    }
+    if pending:
+        if concurrency is None:
+            concurrency = (1, max(2, cluster_cpus() - 2))
+        results = (
+            ray.data.from_items([{"partition_id": p} for p in pending])
+            .map_batches(
+                PartitionExporter,
+                fn_constructor_kwargs={
+                    "blocks_root": blocks_root,
+                    "out_root": out_root,
+                    "columns": columns,
+                    "row_filter": filter,
+                    "ordered": ordered,
+                },
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=concurrency,
+            )
+            .take_all()
+        )  # control-plane rows: one per partition, tiny
+        for r in results:
+            if r["skipped"]:
+                summary["partitions_skipped"] += 1
+            else:
+                summary["partitions_exported"] += 1
+                summary["rows"] += int(r["rows"])
     return summary

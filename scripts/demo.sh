@@ -27,8 +27,12 @@ python -m rayenc verify "$D/job" --check-zones
 echo "== 7. ordered decode back to parquet =="
 python -m rayenc decode "$D/job" "$D/decoded" --ordered
 
+echo "== 7a2. resumable decode-export (atomic per-partition publish; rerun skips) =="
+python -m rayenc export "$D/job" "$D/export"
+python -m rayenc export "$D/job" "$D/export"   # no-op rerun: everything skipped
+
 echo "== 7b. zone-map filtered decode (predicate pushdown) =="
-python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python" --columns repo,path,lang
+python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python" --filter "path:prefix:src/module00" --columns repo,path,lang
 
 echo "== 7c. random access: take specific global rows =="
 python -m rayenc take-rows "$D/job" 0,4999,2500 --columns repo,path

@@ -1,0 +1,146 @@
+"""Resumable decode-export job (rayenc.jobs.run_export_job): committed
+block partitions -> one atomically-published parquet of ORIGINAL rows
+per partition. The read-side sibling of the encode job's resume
+contract — the brief's "resumable output" rule applied to the decode
+direction (the reference reprocesses everything on rerun,
+/root/reference/scripts/process.sh:42-59)."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import run_encode_job
+from rayenc.jobs import run_export_job
+
+
+@pytest.fixture(scope="module")
+def encoded_root(ray_session, corpus_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exp") / "job")
+    s = run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    assert s["partitions_total"] > 1
+    return out, corpus_parquet
+
+
+def _read_export(out_dir: str) -> pa.Table:
+    files = sorted(Path(out_dir).glob("part-*.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
+def test_export_bit_identical_and_source_ordered(encoded_root, tmp_path):
+    root, src = encoded_root
+    out = str(tmp_path / "export")
+    s = run_export_job(root, out, concurrency=2)
+    assert s["partitions_exported"] == s["partitions_total"] > 1
+    table = pq.read_table(src)
+    got = _read_export(out)
+    assert s["rows"] == table.num_rows
+    # ordered export: sorted file names + block_seq sort inside each file
+    # reproduce the ORIGINAL row order exactly
+    got = got.select(table.column_names)
+    assert got.equals(table), "export must reproduce source rows in order"
+
+
+def test_export_rerun_skips_published(encoded_root, tmp_path):
+    root, _ = encoded_root
+    out = str(tmp_path / "export")
+    s1 = run_export_job(root, out, concurrency=2)
+    s2 = run_export_job(root, out, concurrency=2)
+    assert s2["partitions_exported"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+
+
+def test_export_partial_resume_exports_only_rest(encoded_root, tmp_path):
+    root, src = encoded_root
+    out = str(tmp_path / "export")
+    full = run_export_job(root, out, concurrency=2)
+    # simulate a crash that lost all but one published partition
+    files = sorted(Path(out).glob("part-*.parquet"))
+    for f in files[1:]:
+        os.unlink(f)
+    s = run_export_job(root, out, concurrency=2)
+    assert s["partitions_skipped"] == 1
+    assert s["partitions_exported"] == full["partitions_total"] - 1
+    got = _read_export(out)
+    assert got.num_rows == pq.read_table(src).num_rows
+
+
+def test_export_filter_and_projection(encoded_root, tmp_path):
+    root, src = encoded_root
+    out = str(tmp_path / "export")
+    pred = [("lang", "==", "python"), ("path", "prefix", "src/module00")]
+    s = run_export_job(root, out, columns=["repo", "path"], filter=pred, concurrency=2)
+    table = pq.read_table(src)
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.equal(table["lang"], "python"),
+        pc.starts_with(table["path"], pattern="src/module00"),
+    )
+    ref = table.filter(mask).select(["repo", "path"])
+    got = _read_export(out).select(["repo", "path"])
+    assert s["rows"] == ref.num_rows
+    assert got.sort_by([("repo", "ascending"), ("path", "ascending")]).equals(
+        ref.sort_by([("repo", "ascending"), ("path", "ascending")])
+    )
+
+
+def test_export_refuses_param_drift_on_half_finished_dir(encoded_root, tmp_path):
+    root, _ = encoded_root
+    out = str(tmp_path / "export")
+    run_export_job(root, out, concurrency=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        run_export_job(root, out, filter=[("lang", "==", "python")], concurrency=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        run_export_job(root, out, columns=["repo"], concurrency=2)
+
+
+def test_export_validates_filter_and_empty_root(tmp_path):
+    with pytest.raises(ValueError, match="no committed partitions"):
+        run_export_job(str(tmp_path / "nothing"), str(tmp_path / "o"))
+
+
+def test_export_unknown_filter_column_fails_fast(encoded_root, tmp_path):
+    root, _ = encoded_root
+    with pytest.raises(ValueError, match="not in block table"):
+        run_export_job(root, str(tmp_path / "o"), filter=[("nope", "==", 1)])
+
+
+def test_export_skips_zero_block_partitions(ray_session, tmp_path):
+    """A filtered ENCODE commits a partition with zero blocks (no blocks
+    parquet on disk) when row-group stats straddle the predicate but the
+    exact filter leaves nothing. Export must treat it as done — not
+    crash on the missing file, not re-schedule it forever."""
+    import numpy as np
+
+    src = str(tmp_path / "src.parquet")
+    # rg0 contains k=50; rg1's stats straddle 50 (min 0, max 100) but no row matches
+    t = pa.table(
+        {
+            "k": pa.array([50] * 500 + [0, 100] * 250, type=pa.int64()),
+            "content": pa.array([f"row{i}" for i in range(1000)]),
+        }
+    )
+    pq.write_table(t, src, row_group_size=500)
+    root = str(tmp_path / "job")
+    s = run_encode_job(
+        src, root, block_rows=200, max_partition_bytes=1, filter=[("k", "==", 50)],
+        concurrency=2,
+    )
+    assert s["partitions_total"] == 2 and s["rows"] == 500
+    out = str(tmp_path / "export")
+    e1 = run_export_job(root, out, concurrency=2)
+    assert e1["rows"] == 500
+    assert e1["partitions_exported"] == 1
+    assert e1["partitions_skipped"] == 1  # the empty partition
+    e2 = run_export_job(root, out, concurrency=2)
+    assert e2["partitions_exported"] == 0
+    assert e2["partitions_skipped"] == 2
+    assert _read_export(out).num_rows == 500

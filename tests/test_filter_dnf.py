@@ -141,3 +141,87 @@ def test_validation_rejects_bad_in_and_encode_dnf(ray_session, tmp_path):
             concurrency=2,
             filter=[[("doc_id", "<", 10)], [("lang", "==", "py")]],
         )
+
+
+def test_zone_prefix_prune_and_keep():
+    from rayenc.decode import zone_must_match
+
+    # range entirely below the prefix
+    assert not zone_may_match({"path": {"min": "a/x", "max": "b/z"}}, [("path", "prefix", "src/")])
+    # range entirely above: lo's first len(p) chars already exceed it
+    assert not zone_may_match({"path": {"min": "tests/a", "max": "zz"}}, [("path", "prefix", "src/")])
+    # straddling range survives
+    assert zone_may_match({"path": {"min": "lib/a", "max": "src/zz"}}, [("path", "prefix", "src/")])
+    # truncated-lower-bound semantics: stored lo "sr" (prefix cut of
+    # "src/...") must NOT prune a "src/" probe
+    assert zone_may_match({"path": {"min": "sr", "max": "t"}}, [("path", "prefix", "src/")])
+    # all-null block prunes
+    assert not zone_may_match({"path": {"min": None, "max": None}}, [("path", "prefix", "s")])
+    # missing zone never prunes
+    assert zone_may_match({}, [("path", "prefix", "s")])
+    # must-match proof: both bounds inside the prefix range
+    z = {"path": {"min": "src/a", "max": "src/zz", "null_count": 0}}
+    assert zone_must_match(z, [("path", "prefix", "src/")])
+    assert not zone_must_match(
+        {"path": {"min": "src/a", "max": "tests/b", "null_count": 0}},
+        [("path", "prefix", "src/")],
+    )
+    # nulls break the proof (a null row fails every predicate)
+    assert not zone_must_match(
+        {"path": {"min": "src/a", "max": "src/z", "null_count": 3}},
+        [("path", "prefix", "src/")],
+    )
+
+
+def test_filter_table_prefix():
+    t = pa.table({"path": pa.array(["src/a.py", "src/b.rs", "tests/a.py", None, "README"])})
+    out = filter_table(t, [("path", "prefix", "src/")])
+    assert out["path"].to_pylist() == ["src/a.py", "src/b.rs"]
+    # DNF with a prefix disjunct
+    out2 = filter_table_dnf(t, [[("path", "prefix", "tests/")], [("path", "==", "README")]])
+    assert sorted(out2["path"].to_pylist()) == ["README", "tests/a.py"]
+
+
+def test_decode_dataset_prefix_end_to_end(ray_session):
+    """Sorted path column -> blocks carry disjoint string zones -> a
+    prefix filter must prune blocks AND return exactly the matching
+    rows; agg_count over the same filter folds interior blocks from
+    metadata."""
+    from rayenc.decode import agg_count
+
+    n = 600
+    paths = pa.array(
+        sorted(
+            [f"src/m{i:03d}.py" for i in range(n // 3)]
+            + [f"lib/l{i:03d}.rs" for i in range(n // 3)]
+            + [f"tests/t{i:03d}.py" for i in range(n // 3)]
+        )
+    )
+    t = pa.table({"path": paths, "sz": pa.array(np.arange(n, dtype=np.int64))})
+    blocks = encode_dataset(
+        rd.from_arrow(t), block_rows=50, hash_column=None, concurrency=2
+    ).materialize()
+    pred = [("path", "prefix", "src/")]
+    counts = count_decoded_blocks(blocks, pred)
+    assert counts["decoded_blocks"] < counts["total_blocks"], counts
+    got = (
+        decode_dataset(blocks, filter=pred)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    ref = t.to_pandas()[t.to_pandas()["path"].str.startswith("src/")].sort_values(
+        "path"
+    ).reset_index(drop=True)
+    assert list(got["path"]) == list(ref["path"])
+    assert list(got["sz"]) == list(ref["sz"])
+    assert agg_count(blocks, pred) == len(ref)
+
+
+def test_prefix_validation_rejects_non_string():
+    from rayenc.decode import validate_predicate_shapes
+
+    with pytest.raises(ValueError, match="prefix"):
+        validate_predicate_shapes([("path", "prefix", 7)], set(), "x")
+    with pytest.raises(ValueError, match="prefix"):
+        validate_predicate_shapes([("path", "prefix", "")], set(), "x")
