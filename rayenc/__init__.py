@@ -18,7 +18,7 @@ from .blocks import decode_column, decode_rows, encode_column
 from .selector import encode_column_auto, select_codec
 from .encode import BlockEncoder, encode_dataset, lineage_table
 from .decode import (BlockDecoder, agg_approx_distinct, agg_count, agg_min_max,
-                     agg_sum, attach_global_row_numbers, count_decoded_blocks,
+                     agg_sum, agg_topk, attach_global_row_numbers, count_decoded_blocks,
                      decode_dataset, decode_ordered, explain_decode, prune_blocks)
 from .jobs import (
     compact_job,
@@ -48,6 +48,7 @@ __all__ = [
     "agg_count",
     "agg_min_max",
     "agg_sum",
+    "agg_topk",
     "explain_decode",
     "prune_blocks",
     "encode_dataset_ordered",

@@ -63,6 +63,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         hll=args.hll,
         hll_b=args.hll_b,
         archive=args.archive,
+        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
     )
     print(json.dumps(summary))
     return 0
@@ -365,6 +366,14 @@ def main() -> int:
         action="store_true",
         help="cold-storage tier: selector also trials plain@16/@19 on "
         "bulk text (~-30%% payload at ~15x encode cost; decode unchanged)",
+    )
+    e.add_argument(
+        "--cluster-by",
+        default=None,
+        metavar="COL[,COL...]",
+        help="sort each partition by these columns before blocking: tight "
+        "disjoint zones on the key (range scans prune at block level); "
+        "decode order becomes clustered, not source, order",
     )
     e.set_defaults(fn=cmd_encode)
 

@@ -436,6 +436,134 @@ def agg_approx_distinct(blocks: "ray.data.Dataset", col: str) -> float:
     return hll_estimate(regs)
 
 
+def agg_topk(
+    blocks: "ray.data.Dataset",
+    col: str,
+    k: int,
+    descending: bool = True,
+    extra_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> pa.Table:
+    """ORDER BY col [DESC] LIMIT k with TOP-K PUSHDOWN over block zones:
+    a metadata-only pass derives a threshold the k-th result provably
+    meets, and only blocks whose zone range crosses it decode — on a
+    cluster_by-encoded table a top-k touches a handful of boundary
+    blocks' payload; everything else is zone arithmetic.
+
+    Threshold soundness (descending): every non-null value in a block is
+    >= its stored zone min (string zone mins are prefix cuts — still
+    lower bounds). Accumulating blocks by zone min descending until their
+    non-null rows cover k proves >= k values >= tau = the last min taken,
+    so blocks with zone max < tau cannot place. Ascending is symmetric on
+    the other bound. Truncated string bounds only widen the candidate
+    set, never drop a true result.
+
+    Two-phase shape: phase 1 ships zonemaps only, each metadata task
+    pre-folds its batch to <= the blocks covering k rows, the driver
+    folds those partials to tau. Phase 2 decodes candidate blocks'
+    needed columns, keeps a per-batch partial top-k, and a final
+    distributed sort+limit over <= n_batches*k rows returns the k rows.
+
+    Nulls sort last (SQL NULLS LAST: never in the top k while k non-null
+    values exist). `tie_cols` (ascending) break ties deterministically —
+    without them, rows tied at the k boundary are an arbitrary choice.
+    Raises when any block lacks a zone for `col` (stats='none' encode or
+    unordered type), like agg_min_max: decode + sort is the fallback."""
+    if k <= 0:
+        raise ValueError(f"agg_topk: k must be positive, got {k}")
+    out_cols = [col] + [c for c in (extra_cols or []) if c != col]
+    sort_keys = [(col, "descending" if descending else "ascending")] + [
+        (c, "ascending") for c in (tie_cols or []) if c != col
+    ]
+    need = sorted(set(out_cols) | {c for c, _ in sort_keys})
+    names = blocks.schema().names
+    missing = [c for c in need if f"col_{c}" not in names]
+    if missing:
+        # fail fast ON THE DRIVER, before any phase runs in a worker
+        raise ValueError(
+            f"agg_topk: column(s) {missing} not in the block table "
+            f"(have: {sorted(c[4:] for c in names if c.startswith('col_'))})"
+        )
+
+    # ---- phase 1: threshold from zonemaps (no blobs ship) ----
+    def partial_threshold(batch: pa.Table) -> pa.Table:
+        cands: list[tuple] = []
+        for i in range(len(batch)):
+            zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
+            z = (json.loads(zm) if zm else {}).get(col)
+            if z is None:
+                raise ValueError(
+                    f"agg_topk: block {batch['block_id'][i].as_py()!r} has no "
+                    f"zone for column {col!r} (stats='none' encode or "
+                    "unordered type); decode_dataset + sort is the fallback"
+                )
+            bound = z["min"] if descending else z["max"]
+            nn = int(batch["n_rows"][i].as_py()) - int(z.get("null_count", 0))
+            if bound is None or nn <= 0:
+                continue
+            cands.append((bound, nn))
+        cands.sort(key=lambda t: t[0], reverse=descending)
+        keep, cum = [], 0
+        for bound, nn in cands:
+            keep.append((bound, nn))
+            cum += nn
+            if cum >= k:
+                break
+        return pa.table({"part": pa.array([json.dumps(keep)], type=pa.string())})
+
+    parts = (
+        blocks.select_columns(["block_id", "zonemap", "n_rows"])
+        .map_batches(partial_threshold, batch_format="pyarrow")
+        .take_all()
+    )
+    cands = [t for p in parts for t in json.loads(p["part"])]
+    cands.sort(key=lambda t: t[0], reverse=descending)
+    tau, cum = None, 0
+    for bound, nn in cands:
+        tau, cum = bound, cum + nn
+        if cum >= k:
+            break
+    if cum < k:
+        tau = None  # fewer than k non-null values exist: decode everything
+
+    # ---- phase 2: decode candidates only, partial then global top-k ----
+    def keep(batch: pa.Table) -> pa.Table:
+        if tau is None or "zonemap" not in batch.column_names:
+            return batch
+        mask = []
+        for zm in batch["zonemap"].to_pylist():
+            z = (json.loads(zm) if zm else {}).get(col) or {}
+            edge = z.get("max") if descending else z.get("min")
+            if edge is None:  # all-null block: cannot place
+                mask.append(False)
+            else:
+                mask.append(edge >= tau if descending else edge <= tau)
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[col]))
+        return batch.sort_by(sort_keys).slice(0, k)
+
+    block_cols = ["block_id", "zonemap", "n_rows"] + [f"col_{c}" for c in need]
+    dec = (
+        blocks.select_columns(block_cols)
+        .map_batches(keep, batch_format="pyarrow")
+        .map_batches(BlockDecoder(columns=need), batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pyarrow")
+    )
+    top = dec.sort(
+        [c for c, _ in sort_keys],
+        descending=[d == "descending" for _, d in sort_keys],
+    ).limit(k)
+    # k rows: final result, driver-sized by contract. Arrow batches keep
+    # the decoded schema exactly (from_pylist would re-infer types and
+    # could change a timestamp unit)
+    out = pa.concat_tables(
+        top.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return out.select(out_cols)
+
+
 def validate_predicate_shapes(
     predicates: list[Predicate], cols: set[str], where: str
 ) -> None:

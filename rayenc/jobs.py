@@ -287,6 +287,7 @@ class PartitionEncoder:
         hll: bool = False,
         hll_b: int = 10,
         archive: bool = False,
+        cluster_by: list[str] | None = None,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -309,6 +310,7 @@ class PartitionEncoder:
         self.block_rows = block_rows
         self.max_block_bytes = max_block_bytes
         self.row_filter = row_filter
+        self.cluster_by = list(cluster_by) if cluster_by else None
 
     def _iter_blocks(self, table: pa.Table):
         yield from iter_blocks(table, self.block_rows, self.max_block_bytes)
@@ -331,17 +333,50 @@ class PartitionEncoder:
         # KeyError'd inside the actor); widen the read, filter, then
         # drop the extras so the encoded schema honors `columns`
         read_cols = self.columns
-        if self.columns and self.row_filter:
-            extra = [c for c, _, _ in self.row_filter if c not in self.columns]
-            read_cols = self.columns + sorted(set(extra))
-        for rg in range(part["rg_start"], part["rg_end"] + 1):
-            rg_table = pf.read_row_group(rg, columns=read_cols)
-            if self.row_filter:
-                from .decode import filter_table
+        if self.columns:
+            extra = [c for c, _, _ in (self.row_filter or []) if c not in self.columns]
+            extra += [c for c in (self.cluster_by or []) if c not in self.columns]
+            if extra:
+                read_cols = self.columns + sorted(set(extra))
 
-                rg_table = filter_table(rg_table, self.row_filter)
+        def _rg_tables():
+            """Row-group tables, filtered and projected. cluster_by
+            concatenates the partition and SORTS it before blocking —
+            within-partition zones become tight and disjoint on the
+            cluster key, so range scans over an unsorted source prune at
+            block granularity. Memory: the whole partition's rows live in
+            the actor at once (<= max_partition_bytes source bytes, the
+            same per-task ceiling PartitionExporter works to) instead of
+            one row-group; that is the price of the layout choice."""
+            for rg in range(part["rg_start"], part["rg_end"] + 1):
+                rg_table = pf.read_row_group(rg, columns=read_cols)
+                if self.row_filter:
+                    from .decode import filter_table
+
+                    rg_table = filter_table(rg_table, self.row_filter)
                 if read_cols is not self.columns and self.columns:
-                    rg_table = rg_table.select(self.columns)
+                    rg_table = rg_table.select(self.columns + sorted(
+                        {c for c in (self.cluster_by or []) if c not in self.columns}
+                    ))
+                yield rg_table
+            # NOTE: when columns is set and cluster_by names a projected-out
+            # column, it is kept through the sort and dropped below.
+
+        if self.cluster_by:
+            whole = pa.concat_tables(_rg_tables())
+            missing = [c for c in self.cluster_by if c not in whole.column_names]
+            if missing:
+                raise ValueError(
+                    f"cluster_by column(s) {missing} not in the input schema "
+                    f"of {part['path']}"
+                )
+            whole = whole.sort_by([(c, "ascending") for c in self.cluster_by])
+            if self.columns:
+                whole = whole.select(self.columns)
+            tables = [whole]
+        else:
+            tables = _rg_tables()
+        for rg_table in tables:
             for block in self._iter_blocks(rg_table):
                 out_tables.append(
                     self.core.encode_table(
@@ -570,6 +605,7 @@ def job_params(
     hll: bool = False,
     hll_b: int = 10,
     archive: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
     Manifest.check_job records and compares on resume. `inputs` is the
@@ -599,6 +635,10 @@ def job_params(
         # archive is a codec-choice knob like level/enc_cap, not a strict
         # resume key: mixing tiers across resumes changes sizes, never rows
         "archive": bool(archive),
+        # cluster_by IS strict: it changes within-partition row order, so
+        # resuming with a different key would give decode_ordered a mix of
+        # orderings across partitions (rows intact, order contract broken)
+        "cluster_by": list(cluster_by) if cluster_by else None,
     }
 
 
@@ -621,8 +661,17 @@ def run_encode_job(
     hll: bool = False,
     hll_b: int = 10,
     archive: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
+
+    `cluster_by` sorts each partition's rows by the given columns before
+    blocking, so within-partition block/page zones are tight and disjoint
+    on the cluster key — range scans over an unsorted source then prune
+    at block granularity instead of decoding everything. The trade:
+    decode_ordered reproduces CLUSTERED order, not source order, and each
+    encode task holds one whole partition (<= max_partition_bytes source
+    bytes) instead of one row-group. Strict resume key.
 
     Rerun-safe: partitions already in the manifest are skipped before any
     data is read (kill-and-rerun covered by tests/test_resume.py). The
@@ -669,6 +718,17 @@ def run_encode_job(
                 pass  # unreadable yet: the planner will raise with context
         validate_predicate_shapes(filter, schema_names, "input schema")
     resolved = resolve_input_paths(input_paths)
+    if cluster_by:
+        # fail fast on the driver: every input file must carry the
+        # cluster columns (the sort runs inside the encode actor)
+        for path in resolved:
+            names = set(pq.read_schema(path).names)
+            missing = [c for c in cluster_by if c not in names]
+            if missing:
+                raise ValueError(
+                    f"cluster_by column(s) {missing} not in the schema of "
+                    f"{path}; all input files must carry them"
+                )
     manifest = Manifest(out_root)
     manifest.check_job(
         job_params(
@@ -688,6 +748,7 @@ def run_encode_job(
             hll=hll,
             hll_b=hll_b,
             archive=archive,
+            cluster_by=cluster_by,
         )
     )
     parts = plan_partitions(resolved, max_partition_bytes, filter=filter)
@@ -721,6 +782,7 @@ def run_encode_job(
                 "hll": hll,
                 "hll_b": hll_b,
                 "archive": archive,
+                "cluster_by": cluster_by,
             },
             batch_format="pyarrow",
             batch_size=1,

@@ -51,6 +51,11 @@ STRICT_JOB_KEYS = (
     "hash_column",
     "max_partition_bytes",
     "inputs",
+    # within-partition row order: a resume under a different cluster key
+    # would mix orderings across partitions (rows intact, the
+    # decode_ordered contract broken) — records predating the key skip
+    # the check like any absent key
+    "cluster_by",
 )
 
 

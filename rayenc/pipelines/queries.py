@@ -146,6 +146,16 @@ def q_zonemap_filtered_decode(sf_dir: str):
     # sum, boundary blocks decode only the needed columns — must equal
     # the plain arithmetic answer over the filtered ids
     assert agg_sum(blocks, "doc_id", pred) == sum(range(100))
+    # TOP-K pushdown cross-check: the zone threshold proves all but the
+    # tail block(s) out on this id-ordered layout, and the k rows match
+    # plain arithmetic over the id range
+    from ..decode import agg_topk
+
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    top = agg_topk(blocks, "doc_id", 7, tie_cols=["doc_id"])
+    assert top["doc_id"].to_pylist() == list(range(n - 1, n - 8, -1))
     return decode_dataset(blocks, filter=pred)
 
 

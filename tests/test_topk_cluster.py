@@ -1,0 +1,222 @@
+"""Top-k pushdown over block zones (agg_topk) and cluster_by encode
+layout: clustered partitions give disjoint zones, so a top-k or range
+scan decodes a handful of boundary blocks, not the table."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rayenc import encode_dataset, run_encode_job
+from rayenc.decode import (
+    agg_topk,
+    count_decoded_blocks,
+    decode_dataset,
+    prune_blocks,
+)
+
+
+def _table(n=1000, seed=7):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    score = rng.permutation(n).astype(np.int64)  # unsorted, unique
+    vals = np.where(ids % 91 == 0, None, score)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "score": pa.array(vals, type=pa.int64()),  # has nulls
+            "body": pa.array(["y" * 40] * n),
+        }
+    )
+
+
+def _encode(t, **kw):
+    return encode_dataset(
+        rd.from_arrow(t), block_rows=100, hash_column=None, concurrency=2, **kw
+    ).materialize()
+
+
+def _ref_topk(t, col, k, descending=True, tie=None):
+    keys = [(col, "descending" if descending else "ascending")]
+    if tie:
+        keys.append((tie, "ascending"))
+    kept = t.filter(pa.compute.is_valid(t[col]))
+    return kept.sort_by(keys).slice(0, k)
+
+
+def test_agg_topk_matches_full_sort(ray_session):
+    t = _table()
+    blocks = _encode(t)
+    for descending in (True, False):
+        got = agg_topk(
+            blocks, "score", 17, descending=descending,
+            extra_cols=["doc_id"], tie_cols=["doc_id"],
+        )
+        want = _ref_topk(t, "score", 17, descending, tie="doc_id")
+        assert got.column_names == ["score", "doc_id"]
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+
+
+def test_agg_topk_k_exceeds_rows(ray_session):
+    t = _table(150)
+    blocks = _encode(t)
+    got = agg_topk(blocks, "score", 10_000, tie_cols=["doc_id"])
+    want = _ref_topk(t, "score", 10_000, tie="doc_id")
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+    # nulls never appear in the result
+    assert all(v is not None for v in got["score"].to_pylist())
+
+
+def test_agg_topk_strings_with_truncated_zones(ray_session):
+    # long strings exercise the prefix-cut/bumped zone bounds; the
+    # candidate set may widen but the answer must stay exact
+    words = [f"{chr(97 + i % 23)}{'z' * 120}{i:05d}" for i in range(400)]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+         "w": pa.array(words)}
+    )
+    blocks = _encode(t)
+    got = agg_topk(blocks, "w", 9, tie_cols=["doc_id"])
+    want = _ref_topk(t, "w", 9, tie="doc_id")
+    assert got["w"].to_pylist() == want["w"].to_pylist()
+
+
+def test_agg_topk_validation(ray_session):
+    t = _table(100)
+    blocks = _encode(t)
+    with pytest.raises(ValueError, match="k must be positive"):
+        agg_topk(blocks, "score", 0)
+    with pytest.raises(ValueError, match="not in the block table"):
+        agg_topk(blocks, "nope", 3)
+    nostats = _encode(t, stats="none")
+    with pytest.raises(Exception, match="no zone"):  # raised in the worker
+        agg_topk(nostats, "score", 3)
+
+
+def test_agg_topk_prunes_on_clustered_layout(ray_session, tmp_path):
+    """The scale claim: on a cluster_by layout the threshold proves all
+    but the edge blocks out; on the unsorted layout it cannot."""
+    t = _table(4000)
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=500)
+    out = tmp_path / "job"
+    run_encode_job(
+        str(src), str(out), block_rows=100, hash_column=None,
+        max_partition_bytes=1 << 40, cluster_by=["score"], concurrency=2,
+    )
+    blocks = rd.read_parquet(str(out / "blocks"))
+    got = agg_topk(blocks, "score", 12, extra_cols=["doc_id"], tie_cols=["doc_id"])
+    want = _ref_topk(t, "score", 12, tie="doc_id")
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    # pruning proof: the top-12 of a clustered layout lives in one block
+    # (plus neighbors sharing the boundary value) — assert via the same
+    # zone test agg_topk phase 2 uses
+    zones = [
+        __import__("json").loads(z)["score"]
+        for z in blocks.select_columns(["zonemap"]).to_pandas()["zonemap"]
+    ]
+    tau_candidates = sorted((z["min"] for z in zones if z["min"] is not None),
+                            reverse=True)
+    assert sum(1 for z in zones if z["max"] >= tau_candidates[0]) <= 2
+
+
+def test_cluster_by_layout_and_contents(ray_session, tmp_path):
+    """cluster_by keeps the exact row multiset, orders rows by the key
+    within each partition, and makes range filters prune blocks."""
+    t = _table(3000)
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=300)
+    out_c = tmp_path / "clustered"
+    run_encode_job(
+        str(src), str(out_c), block_rows=100, hash_column=None,
+        max_partition_bytes=1 << 40, cluster_by=["score"], concurrency=2,
+    )
+    out_u = tmp_path / "unsorted"
+    run_encode_job(
+        str(src), str(out_u), block_rows=100, hash_column=None,
+        max_partition_bytes=1 << 40, concurrency=2,
+    )
+    bc = rd.read_parquet(str(out_c / "blocks"))
+    bu = rd.read_parquet(str(out_u / "blocks"))
+
+    # identical row multiset
+    dec = pa.concat_tables(
+        decode_dataset(bc).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert dec.sort_by("doc_id").equals(
+        t.select(dec.column_names).sort_by("doc_id")
+    )
+
+    # range filter prunes most clustered blocks, few unsorted ones
+    filt = [("score", ">=", 1000), ("score", "<", 1200)]
+    c = count_decoded_blocks(bc, filt)
+    u = count_decoded_blocks(bu, filt)
+    assert c["total_blocks"] == u["total_blocks"]
+    assert c["decoded_blocks"] <= 4
+    assert u["decoded_blocks"] == u["total_blocks"]  # random perm: no prune
+    # and the filtered rows are exact on the clustered layout
+    got = pa.concat_tables(
+        decode_dataset(prune_blocks(bc, filt), filter=filt)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    v = t["score"].to_numpy(zero_copy_only=False).astype(float)
+    assert len(got) == int(((v >= 1000) & (v < 1200)).sum())
+
+
+def test_cluster_by_is_strict_resume_key(ray_session, tmp_path):
+    t = _table(500)
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=100)
+    out = tmp_path / "job"
+    run_encode_job(
+        str(src), str(out), block_rows=100, hash_column=None,
+        cluster_by=["score"], concurrency=2,
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        run_encode_job(
+            str(src), str(out), block_rows=100, hash_column=None,
+            cluster_by=["doc_id"], concurrency=2,
+        )
+    with pytest.raises(ValueError, match="mismatch"):
+        run_encode_job(str(src), str(out), block_rows=100, hash_column=None,
+                       concurrency=2)
+    # same key: clean no-op resume
+    s = run_encode_job(
+        str(src), str(out), block_rows=100, hash_column=None,
+        cluster_by=["score"], concurrency=2,
+    )
+    assert s["partitions_encoded"] == 0
+
+
+def test_cluster_by_missing_column_fails_fast(ray_session, tmp_path):
+    t = _table(100)
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src)
+    with pytest.raises(ValueError, match="cluster_by column"):
+        run_encode_job(str(src), str(tmp_path / "j"), cluster_by=["nope"],
+                       concurrency=2)
+
+
+def test_cluster_by_projected_out_key(ray_session, tmp_path):
+    """Clustering by a column excluded from `columns` still sorts, and
+    the key column does not appear in the encoded schema."""
+    t = _table(600)
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=100)
+    out = tmp_path / "job"
+    run_encode_job(
+        str(src), str(out), block_rows=100, hash_column=None,
+        columns=["doc_id", "body"], cluster_by=["score"],
+        max_partition_bytes=1 << 40, concurrency=2,
+    )
+    blocks = rd.read_parquet(str(out / "blocks"))
+    cols = {c[4:] for c in blocks.schema().names if c.startswith("col_")}
+    assert cols == {"doc_id", "body"}
+    dec = pa.concat_tables(
+        decode_dataset(blocks).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert sorted(dec["doc_id"].to_pylist()) == list(range(600))
