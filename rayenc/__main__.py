@@ -64,6 +64,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         hll_b=args.hll_b,
         archive=args.archive,
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        append=args.append,
     )
     print(json.dumps(summary))
     return 0
@@ -374,6 +375,13 @@ def main() -> int:
         help="sort each partition by these columns before blocking: tight "
         "disjoint zones on the key (range scans prune at block level); "
         "decode order becomes clustered, not source, order",
+    )
+    e.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental ingestion: accept a GROWN input list (recorded "
+        "inputs must be a prefix — name increments to sort last); only "
+        "the new files encode",
     )
     e.set_defaults(fn=cmd_encode)
 

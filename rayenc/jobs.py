@@ -662,8 +662,16 @@ def run_encode_job(
     hll_b: int = 10,
     archive: bool = False,
     cluster_by: list[str] | None = None,
+    append: bool = False,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
+
+    `append=True` is incremental ingestion: the input list may GROW
+    across runs (the recorded list must be a prefix of the new one —
+    name increments so they sort after existing files, e.g. dated
+    shards). Existing partitions keep their ids/ordinals and are
+    skipped; only the appended files encode. Removal/reorder still
+    refuses — it would re-number committed ordinals.
 
     `cluster_by` sorts each partition's rows by the given columns before
     blocking, so within-partition block/page zones are tight and disjoint
@@ -749,7 +757,8 @@ def run_encode_job(
             hll_b=hll_b,
             archive=archive,
             cluster_by=cluster_by,
-        )
+        ),
+        allow_input_growth=append,
     )
     parts = plan_partitions(resolved, max_partition_bytes, filter=filter)
     committed = manifest.committed_ids()

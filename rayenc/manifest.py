@@ -95,13 +95,22 @@ class Manifest:
         with open(p) as f:
             return json.load(f)
 
-    def check_job(self, params: dict) -> None:
+    def check_job(self, params: dict, allow_input_growth: bool = False) -> None:
         """Gate a (re)run of this out_root: write the job record on first
         run; on resume, REFUSE a format-version mismatch (older pid
         scheme -> stale block files would silently duplicate rows) and a
         strict-parameter mismatch (a different filter/columns/hash would
         mix rows from different predicates into one block table). Raises
-        ValueError with the offending keys."""
+        ValueError with the offending keys.
+
+        `allow_input_growth` (append mode): an `inputs` mismatch is
+        accepted when the recorded list is a strict PREFIX of the new one
+        — appended files plan to all-new partitions whose seq ordinals
+        follow the committed ones, so every existing partition keeps its
+        id, seq and bytes, and decode_ordered still reads inputs in list
+        order. Any other inputs change (removal, reorder, insertion that
+        sorts mid-list) still refuses: it would re-number committed
+        ordinals."""
         rec = self.job_record()
         if rec is None:
             if self.committed_ids():
@@ -130,6 +139,10 @@ class Manifest:
             for k in STRICT_JOB_KEYS
             if k in old and old.get(k) != params.get(k)
         }
+        if allow_input_growth and set(mismatched) == {"inputs"}:
+            old_in, new_in = old.get("inputs") or [], params.get("inputs") or []
+            if len(new_in) > len(old_in) and new_in[: len(old_in)] == old_in:
+                mismatched = {}
         if mismatched and self.committed_ids():
             raise ValueError(
                 f"resume parameter mismatch for {self.root}: {mismatched} — "

@@ -422,3 +422,70 @@ def test_block_byte_cap_counts_nested_payloads():
         assert len(blocks) == 16, t.schema  # 1 MiB rows under a 1 MiB cap
     # small flat table still yields one block
     assert len(list(iter_blocks(pa.table({"i": list(range(100))}), 8192, mb))) == 1
+
+
+def _gen_shard_file(path, n, start):
+    """Tiny deterministic shard with a global row counter column."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.arange(start, start + n, dtype=np.int64)
+    t = pa.table(
+        {
+            "row_id": pa.array(ids),
+            "body": pa.array([f"row-{i}" for i in ids]),
+        }
+    )
+    pq.write_table(t, path, row_group_size=max(1, n // 4))
+    return t
+
+
+def test_append_mode_incremental_ingestion(ray_session, tmp_path):
+    """append=True accepts a GROWN input list: existing partitions keep
+    their ids/ordinals and skip; only the new files encode; ordered
+    decode reads the inputs in list order across increments."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayenc.decode import decode_ordered
+
+    a = tmp_path / "day-01.parquet"
+    b = tmp_path / "day-02.parquet"
+    c = tmp_path / "day-03.parquet"
+    ta = _gen_shard_file(a, 200, 0)
+    tb = _gen_shard_file(b, 200, 200)
+    out = str(tmp_path / "job")
+    s1 = run_encode_job([str(a), str(b)], out, block_rows=50,
+                        hash_column=None, concurrency=2)
+    assert s1["partitions_encoded"] > 0
+
+    # growth WITHOUT append still refuses (unchanged contract)
+    tc = _gen_shard_file(c, 200, 400)
+    with pytest.raises(ValueError, match="inputs"):
+        run_encode_job([str(a), str(b), str(c)], out, block_rows=50,
+                       hash_column=None, concurrency=2)
+
+    s2 = run_encode_job([str(a), str(b), str(c)], out, block_rows=50,
+                        hash_column=None, concurrency=2, append=True)
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+    assert s2["partitions_encoded"] == s2["partitions_total"] - s1["partitions_total"]
+    assert s2["rows"] == 200  # only the increment's rows encoded
+
+    blocks = rd.read_parquet(out + "/blocks")
+    dec = pa.concat_tables(
+        decode_ordered(blocks).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    want = pa.concat_tables([ta, tb, tc])
+    assert dec["row_id"].to_pylist() == want["row_id"].to_pylist()
+
+    # append mode still refuses removal / reorder / mid-list insertion
+    with pytest.raises(ValueError, match="inputs"):
+        run_encode_job([str(a), str(c)], out, block_rows=50,
+                       hash_column=None, concurrency=2, append=True)
+    with pytest.raises(ValueError, match="inputs"):
+        run_encode_job([str(b), str(a), str(c)], out, block_rows=50,
+                       hash_column=None, concurrency=2, append=True)
+    # and a no-op append rerun is clean
+    s3 = run_encode_job([str(a), str(b), str(c)], out, block_rows=50,
+                        hash_column=None, concurrency=2, append=True)
+    assert s3["partitions_encoded"] == 0
