@@ -234,6 +234,50 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_agg(args: argparse.Namespace) -> int:
+    """Metadata-pushdown aggregates over a committed block table: count/
+    sum answer from zones (boundary blocks decode predicate columns
+    only), min-max/distinct are zones/HLL-only, topk decodes only blocks
+    the zone threshold can't prove out. One JSON line out."""
+    _init_ray()
+    import ray.data as rd
+
+    from rayenc.decode import (agg_approx_distinct, agg_count, agg_min_max,
+                               agg_sum, agg_topk)
+
+    blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
+    filt = _parse_filters(args.filter)
+    op = args.op
+    if op in ("sum", "min-max", "distinct", "topk") and not args.col:
+        raise SystemExit(f"agg {op} requires --col")
+    if op == "count":
+        out = {"count": agg_count(blocks, filt)}
+    elif op == "sum":
+        out = {"sum": agg_sum(blocks, args.col, filt)}
+    elif op == "min-max":
+        if filt:
+            raise SystemExit("agg min-max is zones-only; it takes no --filter")
+        out = agg_min_max(blocks, args.col)
+    elif op == "distinct":
+        if filt:
+            raise SystemExit("agg distinct is HLL-metadata-only; no --filter")
+        out = {"approx_distinct": agg_approx_distinct(blocks, args.col)}
+    else:  # topk
+        if filt:
+            raise SystemExit("agg topk takes no --filter (yet)")
+        t = agg_topk(
+            blocks,
+            args.col,
+            args.k,
+            descending=not args.asc,
+            extra_cols=args.extra.split(",") if args.extra else None,
+            tie_cols=args.tie.split(",") if args.tie else None,
+        )
+        out = {"topk": t.to_pylist()}
+    print(json.dumps({"op": op, "col": args.col, **out}, default=str))
+    return 0
+
+
 def cmd_take_rows(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -459,6 +503,26 @@ def main() -> int:
         help="skip the per-partition block_seq sort (faster; row order unspecified)",
     )
     ex.set_defaults(fn=cmd_export)
+
+    ag = sub.add_parser(
+        "agg",
+        help="metadata-pushdown aggregates over a block table: "
+        "count/sum/min-max/distinct/topk from zones+HLL, boundary-only decode",
+    )
+    ag.add_argument("blocks", help="encode job output root")
+    ag.add_argument("op", choices=["count", "sum", "min-max", "distinct", "topk"])
+    ag.add_argument("--col", default=None, help="column (all ops except count)")
+    ag.add_argument(
+        "--filter",
+        action="append",
+        metavar="COL:OP:VALUE",
+        help="predicate conjunction (count/sum only)",
+    )
+    ag.add_argument("--k", type=int, default=10, help="topk: result size")
+    ag.add_argument("--asc", action="store_true", help="topk: smallest first")
+    ag.add_argument("--extra", default=None, help="topk: extra output columns")
+    ag.add_argument("--tie", default=None, help="topk: tie-break columns")
+    ag.set_defaults(fn=cmd_agg)
 
     cp = sub.add_parser(
         "compact",

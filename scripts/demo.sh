@@ -34,6 +34,11 @@ python -m rayenc export "$D/job" "$D/export"   # no-op rerun: everything skipped
 echo "== 7b. zone-map filtered decode (predicate pushdown) =="
 python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python" --filter "path:prefix:src/module00" --columns repo,path,lang
 
+echo "== 7b2. metadata-pushdown aggregates (zones answer; boundary-only decode) =="
+python -m rayenc agg "$D/job" count --filter "path:prefix:src/module00"
+python -m rayenc agg "$D/job" min-max --col path
+python -m rayenc agg "$D/job" topk --col path --k 3 --extra commit --tie commit
+
 echo "== 7c. random access: take specific global rows =="
 python -m rayenc take-rows "$D/job" 0,4999,2500 --columns repo,path
 
