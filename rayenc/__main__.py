@@ -167,12 +167,16 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
 def _parse_filters(specs: list[str] | None):
     """--filter col:op:value (value parsed as int/float when it looks
-    numeric, else string)."""
+    numeric, else string; 'prefix' values stay strings by definition —
+    a dated prefix like 2024 must not coerce to an int)."""
     if not specs:
         return None
     out = []
     for s in specs:
         col, op, raw = s.split(":", 2)
+        if op == "prefix":
+            out.append((col, op, raw))
+            continue
         try:
             val = int(raw)
         except ValueError:
@@ -198,15 +202,18 @@ def cmd_decode(args: argparse.Namespace) -> int:
         out = decode_ordered(blocks, columns=columns, filter=filters)
     else:
         out = decode_dataset(blocks, columns=columns, filter=filters)
+    # count from THIS RUN's written footers — out.count() would re-execute
+    # the whole decode pipeline a second time (lazy Dataset, no cache),
+    # and summing the whole dir would include stale files from prior runs
+    # (Ray's write_parquet appends uuid-named files, never clears)
+    pre = set(os.listdir(args.out)) if os.path.isdir(args.out) else set()
     out.write_parquet(args.out)
-    # count from the written footers — out.count() would re-execute the
-    # whole decode pipeline a second time (lazy Dataset, no cache)
     import pyarrow.parquet as pq
 
     rows = sum(
         pq.read_metadata(os.path.join(args.out, f)).num_rows
         for f in os.listdir(args.out)
-        if f.endswith(".parquet")
+        if f.endswith(".parquet") and f not in pre
     )
     msg = {"decoded_to": args.out, "rows": rows, "ordered": bool(args.ordered)}
     if stats:

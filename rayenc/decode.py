@@ -558,10 +558,17 @@ def agg_topk(
     # k rows: final result, driver-sized by contract. Arrow batches keep
     # the decoded schema exactly (from_pylist would re-infer types and
     # could change a timestamp unit)
-    out = pa.concat_tables(
-        top.iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    return out.select(out_cols)
+    batches = list(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches).select(out_cols)
+    # legitimate empty result (all-null column): concat_tables([]) would
+    # raise — derive the typed empty schema by decoding one block's rows
+    # and slicing to zero
+    probe_rows = blocks.select_columns(block_cols).take(1)
+    if not probe_rows:
+        raise ValueError("agg_topk: the block table has no blocks")
+    probe = BlockDecoder(columns=need)(pa.Table.from_pylist(probe_rows))
+    return probe.slice(0, 0).select(out_cols)
 
 
 def validate_predicate_shapes(
@@ -663,6 +670,14 @@ def _conjunction_mask(batch: pa.Table, predicates: list[Predicate]):
         elif op == "!=":
             m = pc.not_equal(arr, val)
         elif op == "prefix":
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                # zones silently skip non-string prefix pruning, so this
+                # is the first place the mistake surfaces — name it
+                # instead of letting pc.starts_with die on a kernel error
+                raise ValueError(
+                    f"'prefix' predicate on {col!r} needs a string column, "
+                    f"got {t}"
+                )
             m = pc.starts_with(arr, pattern=val)
         else:
             m = _OPS[op](arr, val)

@@ -106,6 +106,7 @@ def plan_partitions(
     input_paths: list[str] | str,
     max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
     filter: list | None = None,
+    require_cols: list[str] | None = None,
 ) -> list[dict]:
     """Metadata-only scan: split every input file into row-group ranges
     of ~max_partition_bytes uncompressed, each a deterministic partition.
@@ -135,6 +136,14 @@ def plan_partitions(
             raise ValueError(
                 f"filter column(s) {missing} not in the schema of {path}; "
                 "all input files must carry the filter columns"
+            )
+        missing = [c for c in (require_cols or []) if c not in col_types]
+        if missing:
+            # cluster_by columns ride the same per-file scan (no second
+            # metadata pass over the input list)
+            raise ValueError(
+                f"cluster_by column(s) {missing} not in the schema of "
+                f"{path}; all input files must carry them"
             )
         n_rg = md.num_row_groups
         start = 0
@@ -588,6 +597,26 @@ def encode_dataset_ordered(
     )
 
 
+def _jsonable_predicate(p) -> list:
+    """(col, op, value) -> the JSON form the job/export records store and
+    compare on resume. 'in' values may arrive as tuple/set (both accepted
+    by validate_predicate_shapes): a set is unordered AND unserializable
+    (json.dump raises), a tuple round-trips to a list and then fails the
+    equality check on resume — normalize to a sorted list so identical
+    filters always compare equal across runs."""
+    col, op, val = p
+    if op == "in" and isinstance(val, (set, frozenset, tuple, list)):
+        # membership is order-insensitive: sort so {a,b}, (b,a) and
+        # [a,b] all record identically
+        try:
+            val = sorted(val)
+        except TypeError:  # mixed types: any deterministic order works
+            val = sorted(val, key=repr)
+    elif isinstance(val, tuple):
+        val = list(val)
+    return [col, op, val]
+
+
 def job_params(
     columns: list[str] | None = None,
     level: int = 3,
@@ -612,7 +641,7 @@ def job_params(
     RESOLVED parquet file list (resolve_input_paths), the job's input
     identity."""
     return {
-        "filter": [list(p) for p in filter] if filter else None,
+        "filter": [_jsonable_predicate(p) for p in filter] if filter else None,
         "columns": list(columns) if columns else None,
         "hash_column": hash_column,
         "inputs": list(inputs) if inputs else None,
@@ -726,17 +755,6 @@ def run_encode_job(
                 pass  # unreadable yet: the planner will raise with context
         validate_predicate_shapes(filter, schema_names, "input schema")
     resolved = resolve_input_paths(input_paths)
-    if cluster_by:
-        # fail fast on the driver: every input file must carry the
-        # cluster columns (the sort runs inside the encode actor)
-        for path in resolved:
-            names = set(pq.read_schema(path).names)
-            missing = [c for c in cluster_by if c not in names]
-            if missing:
-                raise ValueError(
-                    f"cluster_by column(s) {missing} not in the schema of "
-                    f"{path}; all input files must carry them"
-                )
     manifest = Manifest(out_root)
     manifest.check_job(
         job_params(
@@ -760,7 +778,9 @@ def run_encode_job(
         ),
         allow_input_growth=append,
     )
-    parts = plan_partitions(resolved, max_partition_bytes, filter=filter)
+    parts = plan_partitions(
+        resolved, max_partition_bytes, filter=filter, require_cols=cluster_by
+    )
     committed = manifest.committed_ids()
     pending = [p for p in parts if p["partition_id"] not in committed]
     summary = {
@@ -1007,7 +1027,10 @@ def _export_params(blocks_root: str, columns, row_filter, ordered: bool) -> dict
         "blocks_root": str(Path(blocks_root).resolve()),
         "columns": list(columns) if columns else None,
         "filter": (
-            [[list(p) for p in conj] for conj in normalize_dnf(row_filter)]
+            [
+                [_jsonable_predicate(p) for p in conj]
+                for conj in normalize_dnf(row_filter)
+            ]
             if row_filter
             else None
         ),
@@ -1089,6 +1112,7 @@ class PartitionExporter:
                 {c for c, _, _ in flat if c not in columns}
             )
         self.core = BlockDecoder(columns=decode_cols, filter=row_filter)
+        self.decode_cols = decode_cols  # None = all source columns
         self.ordered = ordered
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1101,15 +1125,28 @@ class PartitionExporter:
 
         t0 = time.perf_counter()
         src = self.blocks_dir / f"{pid}.parquet"
-        blocks = pq.read_table(src)
+        # racing-rerun skip BEFORE any block bytes are read (the seq in
+        # the published name is unknown here, so match by pid)
+        if next(self.out_root.glob(f"part-*-{pid}.parquet"), None) is not None:
+            return {"partition_id": pid, "rows": -1, "skipped": True, "wall_s": 0.0}
+        # projection pushdown at the file read: only the decoded columns'
+        # col_* blobs leave the parquet — an exported 2-column projection
+        # must not deserialize a multi-MB content blob per block
+        names = pq.read_schema(str(src)).names
+        keep = [c for c in names if not c.startswith("col_")]
+        if self.decode_cols is None:
+            keep = names
+        else:
+            keep += [c for c in names if c.startswith("col_")
+                     and c[4:] in self.decode_cols]
+        blocks = pq.read_table(src, columns=keep)
+        blocks_all = blocks  # pre-prune reference for the empty-schema probe
         seq = (
             int(blocks["partition_seq"][0].as_py())
             if "partition_seq" in blocks.column_names and len(blocks)
             else 0
         )
         out_file = self.out_root / f"part-{seq:06d}-{pid}.parquet"
-        if out_file.exists():  # racing rerun: rename already published it
-            return {"partition_id": pid, "rows": -1, "skipped": True, "wall_s": 0.0}
         if self.ordered and "block_seq" in blocks.column_names:
             blocks = blocks.sort_by("block_seq")
         if self.dnf and "zonemap" in blocks.column_names:
@@ -1127,12 +1164,10 @@ class PartitionExporter:
         if dec is not None and self.columns:
             dec = dec.select(self.columns)
         if dec is None:
-            # schema for the empty file: decode one block row's header is
-            # overkill — an empty selection still needs SOME schema, so
-            # decode nothing and write a zero-column marker is wrong.
-            # Re-read one block row unpruned to derive the schema.
-            probe = pq.read_table(src).slice(0, 1)
-            dec = self.core(probe)
+            # every block pruned: the empty file still needs the decoded
+            # schema — derive it from one unpruned block row (already in
+            # memory; no second file read)
+            dec = self.core(blocks_all.slice(0, 1))
             if self.dnf:
                 dec = filter_table_dnf(dec, self.dnf)
             if self.columns:
@@ -1181,9 +1216,11 @@ def run_export_job(
     nonempty = sorted(
         e["partition_id"] for e in entries if int(e.get("blocks", 0)) > 0
     )
-    if filter:
-        if not nonempty:
-            raise ValueError(f"every committed partition under {blocks_root} is empty")
+    if filter and nonempty:
+        # all-empty jobs skip validation: there is no schema file to
+        # check against and nothing to export — the summary is empty
+        # either way (a filtered encode can legitimately commit only
+        # zero-block partitions)
         first = Path(blocks_root) / "blocks" / f"{nonempty[0]}.parquet"
         cols = {
             c[4:] for c in pq.read_schema(str(first)).names if c.startswith("col_")

@@ -144,3 +144,61 @@ def test_export_skips_zero_block_partitions(ray_session, tmp_path):
     assert e2["partitions_exported"] == 0
     assert e2["partitions_skipped"] == 2
     assert _read_export(out).num_rows == 500
+
+
+def test_export_resume_with_in_filter_tuple_and_set(encoded_root, tmp_path):
+    """'in' values arrive as tuple/set: the export record must normalize
+    them so (a) the record is JSON-serializable at all and (b) the exact
+    same call resumes cleanly instead of refusing a phantom mismatch."""
+    root, src = encoded_root
+    langs = pq.read_table(src, columns=["lang"])["lang"].to_pylist()
+    pick = tuple(sorted(set(langs))[:2])
+    out = str(tmp_path / "export")
+    filt = [("lang", "in", pick)]
+    e1 = run_export_job(root, out, filter=filt, concurrency=2)
+    # identical rerun (tuple) and an equal-set rerun must both no-op
+    e2 = run_export_job(root, out, filter=[("lang", "in", tuple(pick))], concurrency=2)
+    e3 = run_export_job(root, out, filter=[("lang", "in", set(pick))], concurrency=2)
+    assert e2["partitions_exported"] == e3["partitions_exported"] == 0
+    want = sum(1 for l in langs if l in pick)
+    assert _read_export(out).num_rows == want == e1["rows"]
+
+
+def test_export_filtered_all_empty_job_returns_empty_summary(ray_session, tmp_path):
+    """Every committed partition empty + a filter: a valid (if vacuous)
+    export — must return an empty summary, not raise."""
+    src = str(tmp_path / "src.parquet")
+    # row-group stats (min 1, max 200) straddle the predicate so the
+    # plan keeps the partition, but no exact row matches -> the encode
+    # commits ONLY a zero-block partition
+    t = pa.table({"k": pa.array([1, 200], type=pa.int64()),
+                  "content": pa.array(["a", "b"])})
+    pq.write_table(t, src)
+    root = str(tmp_path / "job")
+    s = run_encode_job(src, root, filter=[("k", "==", 100)], concurrency=2)
+    assert s["partitions_total"] == 1 and s["rows"] == 0
+    out = str(tmp_path / "export")
+    e = run_export_job(root, out, filter=[("k", "==", 1)], concurrency=2)
+    assert e["partitions_exported"] == 0 and e["rows"] == 0
+
+
+def test_export_projection_never_reads_unneeded_blobs(encoded_root, tmp_path):
+    """The per-partition file read projects to the decoded col_* set: a
+    2-column export of a content-heavy table must not deserialize the
+    content blobs (asserted structurally on the exporter's read set)."""
+    root, _ = encoded_root
+    from rayenc.jobs import PartitionExporter
+
+    exp = PartitionExporter(root, str(tmp_path / "o"), columns=["repo", "path"])
+    assert exp.decode_cols == ["repo", "path"]
+    first = sorted(Path(root, "blocks").glob("*.parquet"))[0]
+    names = pq.read_schema(str(first)).names
+    keep = [c for c in names if not c.startswith("col_")] + [
+        c for c in names if c.startswith("col_") and c[4:] in exp.decode_cols
+    ]
+    assert "col_content" in names and "col_content" not in keep
+    # and the export itself still round-trips the projection
+    out = str(tmp_path / "export")
+    s = run_export_job(root, out, columns=["repo", "path"], concurrency=2)
+    got = _read_export(out)
+    assert got.column_names == ["repo", "path"] and got.num_rows == s["rows"] > 0

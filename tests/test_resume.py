@@ -489,3 +489,17 @@ def test_append_mode_incremental_ingestion(ray_session, tmp_path):
     s3 = run_encode_job([str(a), str(b), str(c)], out, block_rows=50,
                         hash_column=None, concurrency=2, append=True)
     assert s3["partitions_encoded"] == 0
+
+
+def test_encode_job_in_filter_tuple_resumes_clean(ray_session, corpus_parquet, tmp_path):
+    """job record must normalize 'in' values (tuple/set) to a sorted
+    list: a set used to crash json.dump, a tuple used to spuriously
+    refuse the identical resume."""
+    out = str(tmp_path / "job")
+    filt = [("lang", "in", ("python", "go"))]
+    s1 = run_encode_job(corpus_parquet, out, block_rows=500, filter=filt,
+                        concurrency=2)
+    assert s1["partitions_encoded"] > 0
+    s2 = run_encode_job(corpus_parquet, out, block_rows=500,
+                        filter=[("lang", "in", {"go", "python"})], concurrency=2)
+    assert s2["partitions_encoded"] == 0

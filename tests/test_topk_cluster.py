@@ -220,3 +220,17 @@ def test_cluster_by_projected_out_key(ray_session, tmp_path):
         decode_dataset(blocks).iter_batches(batch_size=None, batch_format="pyarrow")
     )
     assert sorted(dec["doc_id"].to_pylist()) == list(range(600))
+
+
+def test_agg_topk_all_null_column_returns_typed_empty(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "score": pa.array([None] * 200, type=pa.int64()),
+        }
+    )
+    blocks = _encode(t)
+    got = agg_topk(blocks, "score", 5, extra_cols=["doc_id"])
+    assert got.num_rows == 0
+    assert got.schema.field("score").type == pa.int64()
+    assert got.schema.field("doc_id").type == pa.int64()
