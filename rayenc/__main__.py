@@ -270,8 +270,6 @@ def cmd_agg(args: argparse.Namespace) -> int:
             raise SystemExit("agg distinct is HLL-metadata-only; no --filter")
         out = {"approx_distinct": agg_approx_distinct(blocks, args.col)}
     else:  # topk
-        if filt:
-            raise SystemExit("agg topk takes no --filter (yet)")
         t = agg_topk(
             blocks,
             args.col,
@@ -279,6 +277,7 @@ def cmd_agg(args: argparse.Namespace) -> int:
             descending=not args.asc,
             extra_cols=args.extra.split(",") if args.extra else None,
             tie_cols=args.tie.split(",") if args.tie else None,
+            filter=filt,
         )
         out = {"topk": t.to_pylist()}
     print(json.dumps({"op": op, "col": args.col, **out}, default=str))
@@ -523,7 +522,7 @@ def main() -> int:
         "--filter",
         action="append",
         metavar="COL:OP:VALUE",
-        help="predicate conjunction (count/sum only)",
+        help="predicate conjunction (count/sum/topk)",
     )
     ag.add_argument("--k", type=int, default=10, help="topk: result size")
     ag.add_argument("--asc", action="store_true", help="topk: smallest first")

@@ -443,6 +443,7 @@ def agg_topk(
     descending: bool = True,
     extra_cols: list[str] | None = None,
     tie_cols: list[str] | None = None,
+    filter: list[Predicate] | None = None,
 ) -> pa.Table:
     """ORDER BY col [DESC] LIMIT k with TOP-K PUSHDOWN over block zones:
     a metadata-only pass derives a threshold the k-th result provably
@@ -468,14 +469,24 @@ def agg_topk(
     values exist). `tie_cols` (ascending) break ties deterministically —
     without them, rows tied at the k boundary are an arbitrary choice.
     Raises when any block lacks a zone for `col` (stats='none' encode or
-    unordered type), like agg_min_max: decode + sort is the fallback."""
+    unordered type), like agg_min_max: decode + sort is the fallback.
+
+    With `filter` (conjunction or DNF), the result is ORDER BY col LIMIT
+    k over the MATCHING rows: the threshold accumulates only blocks the
+    zones prove fully matching (every row passes, so their non-null
+    values are guaranteed results — the agg_count/agg_sum proof reused),
+    candidates additionally drop blocks proven empty, and the exact DNF
+    filter runs after decode. Selective filters weaken the threshold
+    (fewer provable blocks) but zone pruning still bounds the decode."""
     if k <= 0:
         raise ValueError(f"agg_topk: k must be positive, got {k}")
     out_cols = [col] + [c for c in (extra_cols or []) if c != col]
     sort_keys = [(col, "descending" if descending else "ascending")] + [
         (c, "ascending") for c in (tie_cols or []) if c != col
     ]
-    need = sorted(set(out_cols) | {c for c, _ in sort_keys})
+    dnf = normalize_dnf(filter) if filter else None
+    pred_cols = sorted({c for conj in dnf for (c, _, _) in conj}) if dnf else []
+    need = sorted(set(out_cols) | {c for c, _ in sort_keys} | set(pred_cols))
     names = blocks.schema().names
     missing = [c for c in need if f"col_{c}" not in names]
     if missing:
@@ -484,19 +495,32 @@ def agg_topk(
             f"agg_topk: column(s) {missing} not in the block table "
             f"(have: {sorted(c[4:] for c in names if c.startswith('col_'))})"
         )
+    if dnf:
+        cols = {c[4:] for c in names if c.startswith("col_")}
+        for conj in dnf:
+            validate_predicate_shapes(conj, cols, "block table")
 
     # ---- phase 1: threshold from zonemaps (no blobs ship) ----
     def partial_threshold(batch: pa.Table) -> pa.Table:
         cands: list[tuple] = []
         for i in range(len(batch)):
             zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
-            z = (json.loads(zm) if zm else {}).get(col)
+            zone = json.loads(zm) if zm else {}
+            if dnf is not None and not zone_may_match_any(zone, dnf):
+                continue  # provably empty under the filter: never decodes
+            z = zone.get(col)
             if z is None:
                 raise ValueError(
                     f"agg_topk: block {batch['block_id'][i].as_py()!r} has no "
                     f"zone for column {col!r} (stats='none' encode or "
                     "unordered type); decode_dataset + sort is the fallback"
                 )
+            if dnf is not None and not any(
+                zone_must_match(zone, conj) for conj in dnf
+            ):
+                # only fully-matching blocks give GUARANTEED results —
+                # a maybe-matching block cannot tighten the threshold
+                continue
             bound = z["min"] if descending else z["max"]
             nn = int(batch["n_rows"][i].as_py()) - int(z.get("null_count", 0))
             if bound is None or nn <= 0:
@@ -528,11 +552,18 @@ def agg_topk(
 
     # ---- phase 2: decode candidates only, partial then global top-k ----
     def keep(batch: pa.Table) -> pa.Table:
-        if tau is None or "zonemap" not in batch.column_names:
+        if "zonemap" not in batch.column_names:
             return batch
         mask = []
         for zm in batch["zonemap"].to_pylist():
-            z = (json.loads(zm) if zm else {}).get(col) or {}
+            zone = json.loads(zm) if zm else {}
+            if dnf is not None and not zone_may_match_any(zone, dnf):
+                mask.append(False)  # provably no matching row
+                continue
+            if tau is None:
+                mask.append(True)
+                continue
+            z = zone.get(col) or {}
             edge = z.get("max") if descending else z.get("min")
             if edge is None:  # all-null block: cannot place
                 mask.append(False)
@@ -541,6 +572,8 @@ def agg_topk(
         return batch.filter(pa.array(mask, type=pa.bool_()))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if dnf is not None:
+            batch = filter_table_dnf(batch, dnf)
         batch = batch.filter(pc.is_valid(batch[col]))
         return batch.sort_by(sort_keys).slice(0, k)
 
@@ -548,7 +581,11 @@ def agg_topk(
     dec = (
         blocks.select_columns(block_cols)
         .map_batches(keep, batch_format="pyarrow")
-        .map_batches(BlockDecoder(columns=need), batch_format="pyarrow")
+        # filter= engages sub-block page pruning on stats='page' encodes;
+        # the exact DNF still runs in partial_topk (pages are supersets)
+        .map_batches(
+            BlockDecoder(columns=need, filter=filter), batch_format="pyarrow"
+        )
         .map_batches(partial_topk, batch_format="pyarrow")
     )
     top = dec.sort(

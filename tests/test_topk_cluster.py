@@ -234,3 +234,56 @@ def test_agg_topk_all_null_column_returns_typed_empty(ray_session):
     assert got.num_rows == 0
     assert got.schema.field("score").type == pa.int64()
     assert got.schema.field("doc_id").type == pa.int64()
+
+
+def _ref_topk_filtered(t, col, k, mask, tie=None, descending=True):
+    kept = t.filter(mask)
+    kept = kept.filter(pa.compute.is_valid(kept[col]))
+    keys = [(col, "descending" if descending else "ascending")]
+    if tie:
+        keys.append((tie, "ascending"))
+    return kept.sort_by(keys).slice(0, k)
+
+
+def test_agg_topk_with_filter_matches_filtered_sort(ray_session):
+    """Filtered top-k: threshold counts only zone-proven-full blocks,
+    candidates drop proven-empty blocks, exact DNF runs after decode —
+    result equals filter-then-sort over the source."""
+    import pyarrow.compute as pc
+
+    t = _table(1200)
+    blocks = _encode(t)
+    ids = t["doc_id"]
+    score = t["score"]
+
+    # range predicate on the sort column itself
+    got = agg_topk(blocks, "score", 11, extra_cols=["doc_id"],
+                   tie_cols=["doc_id"], filter=[("score", "<", 600)])
+    want = _ref_topk_filtered(
+        t, "score", 11, pc.less(score, 600), tie="doc_id")
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+
+    # predicate on a different column (id-ordered zones -> prunable)
+    got = agg_topk(blocks, "score", 11, extra_cols=["doc_id"],
+                   tie_cols=["doc_id"], filter=[("doc_id", "<", 300)])
+    want = _ref_topk_filtered(
+        t, "score", 11, pc.less(ids, 300), tie="doc_id")
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+    # DNF (OR of ranges) + ascending
+    dnf = [[("doc_id", "<", 100)], [("doc_id", ">=", 1100)]]
+    got = agg_topk(blocks, "score", 7, descending=False,
+                   extra_cols=["doc_id"], tie_cols=["doc_id"], filter=dnf)
+    m = pc.or_(pc.less(ids, 100), pc.greater_equal(ids, 1100))
+    want = _ref_topk_filtered(t, "score", 7, m, tie="doc_id",
+                              descending=False)
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+    # filter matching nothing -> typed empty
+    got = agg_topk(blocks, "score", 3, filter=[("doc_id", ">", 10_000)])
+    assert got.num_rows == 0 and got.schema.field("score").type == pa.int64()
+
+    # unknown filter column fails fast on the driver
+    with pytest.raises(ValueError, match="not in"):
+        agg_topk(blocks, "score", 3, filter=[("nope", "==", 1)])
