@@ -145,6 +145,12 @@ def zone_must_match(zone: dict, predicates: list[Predicate]) -> bool:
         lo, hi = z.get("min"), z.get("max")
         if lo is None or hi is None or z.get("null_count", 1) != 0:
             return False
+        if (isinstance(lo, float) or isinstance(hi, float)) and z.get("nan") != 0:
+            # zone bounds skip NaN (pc.min_max semantics), and a NaN row
+            # fails every comparison — a float block proves only when its
+            # stored NaN count is zero; legacy zones (no count) never
+            # prove, they just decode (False here is never wrong)
+            return False
         try:
             if op in ("==", "="):
                 if not (lo == hi == val):
@@ -523,6 +529,15 @@ def agg_topk(
                 continue
             bound = z["min"] if descending else z["max"]
             nn = int(batch["n_rows"][i].as_py()) - int(z.get("null_count", 0))
+            if isinstance(bound, float):
+                # NaN rows sort last (arrow ordering) yet are skipped by
+                # the zone bounds — only finite rows are guaranteed >=
+                # the bound. Legacy float zones without a NaN count give
+                # no guarantee at all.
+                nan = z.get("nan")
+                if nan is None:
+                    continue
+                nn -= int(nan)
             if bound is None or nn <= 0:
                 continue
             cands.append((bound, nn))

@@ -94,6 +94,8 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
         z = {"min": None, "max": None, "null_count": int(nc)}
         if pa.types.is_integer(t) or pa.types.is_boolean(t) or pa.types.is_floating(t):
             z["sum"] = None  # SQL SUM over all-NULL is NULL: contributes nothing
+        if pa.types.is_floating(t):
+            z["nan"] = 0
         return z
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         # date32 has no direct int64 cast (ArrowNotImplementedError):
@@ -127,6 +129,14 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
         s = pc.sum(arr).as_py()
         if s is not None and math.isfinite(s):
             z["sum"] = float(s)
+    if pa.types.is_floating(t):
+        # pc.min_max SKIPS NaN, so finite bounds say nothing about NaN
+        # rows — store the count so zone_must_match and agg_topk's
+        # threshold can prove float blocks (NaN fails every comparison
+        # and sorts last; without this count no float proof is sound)
+        z["nan"] = int(
+            pc.sum(pc.fill_null(pc.is_nan(arr), False)).as_py() or 0
+        )
     return z
 
 

@@ -84,8 +84,10 @@ def _zone_mismatches(
         want = column_zone(col(name))
         # "sum" audited only when stored (legacy blocks predate it); a
         # corrupt stored sum silently skews agg_sum like a zone lie
-        keys = ("min", "max", "null_count") + (
-            ("sum",) if "sum" in stored else ()
+        keys = (
+            ("min", "max", "null_count")
+            + (("sum",) if "sum" in stored else ())
+            + (("nan",) if "nan" in stored else ())
         )
         if want is None or any(want.get(k) != stored.get(k) for k in keys):
             bad += 1

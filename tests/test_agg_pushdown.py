@@ -262,3 +262,35 @@ def test_agg_sum_null_and_type_errors(ray_session):
     assert agg_sum(blocks, "v") is None  # SQL: SUM over all-NULL is NULL
     with pytest.raises(Exception, match="numeric"):
         agg_sum(blocks, "s")
+
+
+def test_agg_count_float_nan_rows_never_overcount(ray_session):
+    """pc.min_max skips NaN, so finite zone bounds say nothing about NaN
+    rows (which fail every comparison): a fully-proven float block must
+    not count its NaNs. Zones store a per-block NaN count; blocks with
+    NaN never prove and decode exactly."""
+    v = np.array([10.0, 20.0, np.nan, np.nan], dtype=np.float64)
+    t = pa.table({"x": pa.array(v)})
+    blocks = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow")
+    from rayenc import encode_dataset as enc
+
+    bl = enc(rd.from_arrow(t), block_rows=4, hash_column=None, concurrency=1).materialize()
+    assert agg_count(bl, [("x", ">=", 5.0)]) == 2
+    assert agg_count(bl, [("x", "<", 100.0)]) == 2
+    # a NaN-free float block still proves (metadata-only count)
+    t2 = pa.table({"x": pa.array([1.5, 2.5, 3.5])})
+    bl2 = enc(rd.from_arrow(t2), block_rows=3, hash_column=None, concurrency=1).materialize()
+    assert agg_count(bl2, [("x", ">=", 0.0)]) == 3
+
+
+def test_zone_must_match_float_nan_rules():
+    fz = {"x": {"min": 1.0, "max": 9.0, "null_count": 0, "nan": 0}}
+    assert zone_must_match(fz, [("x", ">=", 1.0)])
+    nz = {"x": {"min": 1.0, "max": 9.0, "null_count": 0, "nan": 3}}
+    assert not zone_must_match(nz, [("x", ">=", 1.0)])
+    # legacy float zone (no nan count): never proves
+    lz = {"x": {"min": 1.0, "max": 9.0, "null_count": 0}}
+    assert not zone_must_match(lz, [("x", ">=", 1.0)])
+    # integer zones unaffected
+    iz = {"x": {"min": 1, "max": 9, "null_count": 0}}
+    assert zone_must_match(iz, [("x", ">=", 1)])

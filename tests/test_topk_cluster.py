@@ -287,3 +287,22 @@ def test_agg_topk_with_filter_matches_filtered_sort(ray_session):
     # unknown filter column fails fast on the driver
     with pytest.raises(ValueError, match="not in"):
         agg_topk(blocks, "score", 3, filter=[("nope", "==", 1)])
+
+
+def test_agg_topk_float_nan_rows_sort_last_and_never_displace(ray_session):
+    """A NaN-heavy block must not inflate the threshold: NaNs sort last
+    (arrow ordering) and are excluded from the guaranteed counts, so the
+    finite top-k from other blocks always wins."""
+    # block 0: one finite 100 + 99 NaN; block 1: finite 0..99
+    a = np.full(100, np.nan)
+    a[0] = 100.0
+    b = np.arange(100, dtype=np.float64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "score": pa.array(np.concatenate([a, b])),
+        }
+    )
+    blocks = _encode(t)
+    got = agg_topk(blocks, "score", 5, extra_cols=["doc_id"], tie_cols=["doc_id"])
+    assert got["score"].to_pylist() == [100.0, 99.0, 98.0, 97.0, 96.0]
