@@ -17,7 +17,8 @@ driver, bench.py and the test fixture own the Ray session.
 from .blocks import decode_column, decode_rows, encode_column
 from .selector import encode_column_auto, select_codec
 from .encode import BlockEncoder, encode_dataset, lineage_table
-from .decode import (BlockDecoder, agg_approx_distinct, agg_count, agg_min_max,
+from .decode import (BlockDecoder, agg_approx_distinct, agg_approx_quantiles,
+                     agg_count, agg_min_max,
                      agg_sum, agg_topk, attach_global_row_numbers, count_decoded_blocks,
                      decode_dataset, decode_ordered, explain_decode, prune_blocks)
 from .jobs import (
@@ -45,6 +46,7 @@ __all__ = [
     "attach_global_row_numbers",
     "count_decoded_blocks",
     "agg_approx_distinct",
+    "agg_approx_quantiles",
     "agg_count",
     "agg_min_max",
     "agg_sum",

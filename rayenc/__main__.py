@@ -62,6 +62,8 @@ def cmd_encode(args: argparse.Namespace) -> int:
         filter=_parse_filters(args.filter),
         hll=args.hll,
         hll_b=args.hll_b,
+        kll=args.kll,
+        kll_k=args.kll_k,
         archive=args.archive,
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         append=args.append,
@@ -249,13 +251,13 @@ def cmd_agg(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
 
-    from rayenc.decode import (agg_approx_distinct, agg_count, agg_min_max,
-                               agg_sum, agg_topk)
+    from rayenc.decode import (agg_approx_distinct, agg_approx_quantiles,
+                               agg_count, agg_min_max, agg_sum, agg_topk)
 
     blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
     filt = _parse_filters(args.filter)
     op = args.op
-    if op in ("sum", "min-max", "distinct", "topk") and not args.col:
+    if op in ("sum", "min-max", "distinct", "topk", "quantiles") and not args.col:
         raise SystemExit(f"agg {op} requires --col")
     if op == "count":
         out = {"count": agg_count(blocks, filt)}
@@ -269,6 +271,12 @@ def cmd_agg(args: argparse.Namespace) -> int:
         if filt:
             raise SystemExit("agg distinct is HLL-metadata-only; no --filter")
         out = {"approx_distinct": agg_approx_distinct(blocks, args.col)}
+    elif op == "quantiles":
+        if filt:
+            raise SystemExit("agg quantiles is KLL-metadata-only; no --filter")
+        qs = [float(x) for x in args.q.split(",")]
+        out = {"quantiles": dict(zip(map(str, qs),
+                                     agg_approx_quantiles(blocks, args.col, qs)))}
     else:  # topk
         t = agg_topk(
             blocks,
@@ -307,8 +315,10 @@ def cmd_verify(args: argparse.Namespace) -> int:
     from rayenc.verify import verify_blocks
 
     blocks = rd.read_parquet(os.path.join(args.blocks, "blocks"))
+    # --hash-column "" means "no chain column" (same convention as
+    # encode/compact): verify structure + zones only
     v = verify_blocks(
-        blocks, hash_column=args.hash_column, check_zones=args.check_zones
+        blocks, hash_column=args.hash_column or None, check_zones=args.check_zones
     )
     print(json.dumps(v))
     return 0 if v["ok"] else 1
@@ -411,6 +421,18 @@ def main() -> int:
         type=int,
         default=10,
         help="HLL precision: 2^b uint8 registers per column per block",
+    )
+    e.add_argument(
+        "--kll",
+        action="store_true",
+        help="per-block KLL quantile sketches in the zonemap (numeric/temporal "
+        "columns; enables agg quantiles from metadata alone)",
+    )
+    e.add_argument(
+        "--kll-k",
+        type=int,
+        default=128,
+        help="KLL sketch size parameter (rank error ~1/k)",
     )
     e.add_argument(
         "--archive",
@@ -516,7 +538,9 @@ def main() -> int:
         "count/sum/min-max/distinct/topk from zones+HLL, boundary-only decode",
     )
     ag.add_argument("blocks", help="encode job output root")
-    ag.add_argument("op", choices=["count", "sum", "min-max", "distinct", "topk"])
+    ag.add_argument(
+        "op", choices=["count", "sum", "min-max", "distinct", "topk", "quantiles"]
+    )
     ag.add_argument("--col", default=None, help="column (all ops except count)")
     ag.add_argument(
         "--filter",
@@ -525,6 +549,8 @@ def main() -> int:
         help="predicate conjunction (count/sum/topk)",
     )
     ag.add_argument("--k", type=int, default=10, help="topk: result size")
+    ag.add_argument("--q", default="0.5,0.9,0.99",
+                    help="quantiles: comma-separated ranks in [0,1]")
     ag.add_argument("--asc", action="store_true", help="topk: smallest first")
     ag.add_argument("--extra", default=None, help="topk: extra output columns")
     ag.add_argument("--tie", default=None, help="topk: tie-break columns")

@@ -442,6 +442,58 @@ def agg_approx_distinct(blocks: "ray.data.Dataset", col: str) -> float:
     return hll_estimate(regs)
 
 
+def agg_approx_quantiles(
+    blocks: "ray.data.Dataset", col: str, qs: list[float]
+) -> list[float]:
+    """Approximate quantiles for one numeric/temporal column from block
+    METADATA alone — zero blobs shipped or decoded. Requires per-block
+    KLL sketches (encode with kll=True; reserved zonemap key "__kll__"):
+    KLL merges losslessly in the sketch sense, so the whole-table
+    estimate carries the same rank-error bound a single-pass sketch
+    would (<~1% at the default k=128). Temporal columns answer on their
+    epoch-int view (the zone convention). Raises when any block lacks
+    the sketch (kll=False encode, non-numeric column, or a mixed-version
+    dir) — a partial fold would silently skew the ranks.
+
+    The 100 TB shape: each metadata task folds its batch of block rows
+    to ONE merged sketch row; the driver folds n_tasks sketches."""
+    from .stages.sketch import KllSketch
+
+    def part(batch: pa.Table) -> pa.Table:
+        merged = None
+        for i in range(len(batch)):
+            zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
+            s = (json.loads(zm) if zm else {}).get("__kll__", {}).get(col)
+            if s is None:
+                raise ValueError(
+                    f"agg_approx_quantiles: block "
+                    f"{batch['block_id'][i].as_py()!r} has no KLL sketch for "
+                    f"column {col!r} (encode with kll=True; "
+                    "stages.sketch.approx_quantiles over decode_dataset is "
+                    "the fallback)"
+                )
+            sk = KllSketch.from_json(s)
+            merged = sk if merged is None else merged.merge(sk)
+        return pa.table({"sk": pa.array(
+            [merged.to_json() if merged is not None else ""], type=pa.string()
+        )})
+
+    parts = (
+        blocks.select_columns(["block_id", "zonemap"])
+        .map_batches(part, batch_format="pyarrow")
+        .take_all()
+    )
+    merged = None
+    for p in parts:
+        if not p["sk"]:
+            continue
+        sk = KllSketch.from_json(p["sk"])
+        merged = sk if merged is None else merged.merge(sk)
+    if merged is None:
+        return [float("nan")] * len(qs)
+    return merged.quantiles(qs)
+
+
 def agg_topk(
     blocks: "ray.data.Dataset",
     col: str,

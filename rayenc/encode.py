@@ -169,6 +169,50 @@ def column_hll(arr: pa.Array | pa.ChunkedArray, b: int) -> str | None:
         return None
 
 
+def column_kll(arr: pa.Array | pa.ChunkedArray, k: int = 128) -> str | None:
+    """JSON KLL quantile sketch for one NUMERIC/temporal column chunk,
+    or None for unsketchable types (strings, nested, binary) — the same
+    skip-never-raise contract as column_hll. Values sketch in float64
+    (temporal on the epoch-int view, the zone convention; int64 beyond
+    2^53 lose ulps — quantiles are approximate by charter). The
+    compaction seed derives from the column content (CRC of the value
+    bytes), so re-deriving the sketch from the decoded column reproduces
+    it EXACTLY (check_zones audits it byte-for-byte) while distinct
+    blocks still get uncorrelated compaction coins (the round-3 ADVICE
+    constant-seed lesson)."""
+    import zlib
+
+    t = arr.type
+    if not (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+    ):
+        return None
+    try:
+        import pyarrow.compute as pc
+
+        from .stages.sketch import KllSketch
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            arr = (
+                arr.cast(pa.int32()).cast(pa.int64())
+                if pa.types.is_date32(t)
+                else arr.cast(pa.int64())
+            )
+        vals = pc.drop_null(arr).to_numpy(zero_copy_only=False).astype("float64")
+        seed = zlib.crc32(vals.tobytes()) or 1
+        sk = KllSketch(k, seed=seed)
+        sk.update(vals)  # update drops NaN itself; n counts finite values
+        return sk.to_json()
+    except Exception:
+        return None
+
+
 def cluster_cpus(default: int = 8) -> int:
     """Cluster CPU count with a safe fallback — the one shared probe
     behind every pool-size default (encode pool, job actor pools)."""
@@ -213,6 +257,8 @@ class BlockEncoder:
         hll: bool = False,
         hll_b: int = 10,
         archive: bool = False,
+        kll: bool = False,
+        kll_k: int = 128,
     ):
         self.columns = columns
         self.level = level
@@ -247,6 +293,16 @@ class BlockEncoder:
         self.hll_b = int(hll_b)
         if self.hll and not (4 <= self.hll_b <= 16):
             raise ValueError(f"hll_b must be in [4, 16], got {hll_b}")
+        # opt-in per-block KLL quantile sketches (reserved zonemap key
+        # "__kll__"): ~k*3 float64s as JSON per numeric column per block
+        # (~7 KB at k=128). Lets agg_approx_quantiles answer percentile
+        # queries over a committed block table from metadata alone. OFF
+        # by default for the same reason as hll: real encode cost, and
+        # the decode path never needs it.
+        self.kll = kll and stats != "none"
+        self.kll_k = int(kll_k)
+        if self.kll and not (16 <= self.kll_k <= 4096):
+            raise ValueError(f"kll_k must be in [16, 4096], got {kll_k}")
         self.blocks_done = 0
         self.rows_done = 0
         # per-column codec choice cache: trial selection runs on the first
@@ -279,7 +335,7 @@ class BlockEncoder:
         row_start: int | None = None,
     ) -> pa.Table:
         cols = self.columns or batch.column_names
-        for reserved in ("__bloom__", "__hll__"):
+        for reserved in ("__bloom__", "__hll__", "__kll__"):
             # reserved zonemap keys hold the per-column Bloom filter / HLL
             # register maps; a real column by either name would collide and
             # silently mis-prune (or mis-estimate) on the metadata paths.
@@ -296,6 +352,7 @@ class BlockEncoder:
         h = hashlib.sha256()
         blooms: dict[str, str] = {}
         hlls: dict[str, str] = {}
+        klls: dict[str, str] = {}
         for name in cols:
             arr = batch[name]
             if self.stats in ("block", "page"):
@@ -312,6 +369,10 @@ class BlockEncoder:
                     regs = column_hll(arr, self.hll_b)
                     if regs is not None:
                         hlls[name] = regs
+                if self.kll:
+                    sk = column_kll(arr, self.kll_k)
+                    if sk is not None:
+                        klls[name] = sk
             t0 = time.perf_counter()
             forced = self.forced_codecs.get(name)
             cached = self._cached.get(name)
@@ -388,6 +449,8 @@ class BlockEncoder:
             zones["__bloom__"] = blooms
         if hlls:
             zones["__hll__"] = hlls
+        if klls:
+            zones["__kll__"] = klls
         h.update(n.to_bytes(8, "little"))
         content_hash = ""
         if self.hash_column and self.hash_column in cols:
@@ -533,6 +596,8 @@ def encode_dataset(
     hll: bool = False,
     hll_b: int = 10,
     archive: bool = False,
+    kll: bool = False,
+    kll_k: int = 128,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -576,6 +641,8 @@ def encode_dataset(
             "hll": hll,
             "hll_b": hll_b,
             "archive": archive,
+            "kll": kll,
+            "kll_k": kll_k,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

@@ -297,6 +297,8 @@ class PartitionEncoder:
         hll_b: int = 10,
         archive: bool = False,
         cluster_by: list[str] | None = None,
+        kll: bool = False,
+        kll_k: int = 128,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -314,6 +316,8 @@ class PartitionEncoder:
             hll=hll,
             hll_b=hll_b,
             archive=archive,
+            kll=kll,
+            kll_k=kll_k,
         )
         self.columns = columns
         self.block_rows = block_rows
@@ -635,6 +639,8 @@ def job_params(
     hll_b: int = 10,
     archive: bool = False,
     cluster_by: list[str] | None = None,
+    kll: bool = False,
+    kll_k: int = 128,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
     Manifest.check_job records and compares on resume. `inputs` is the
@@ -661,6 +667,9 @@ def job_params(
         # filter/columns/inputs whose drift corrupts the data itself
         "hll": bool(hll),
         "hll_b": int(hll_b),
+        # kll mirrors hll: additive metadata, not a strict resume key
+        "kll": bool(kll),
+        "kll_k": int(kll_k),
         # archive is a codec-choice knob like level/enc_cap, not a strict
         # resume key: mixing tiers across resumes changes sizes, never rows
         "archive": bool(archive),
@@ -692,6 +701,8 @@ def run_encode_job(
     archive: bool = False,
     cluster_by: list[str] | None = None,
     append: bool = False,
+    kll: bool = False,
+    kll_k: int = 128,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
@@ -775,6 +786,8 @@ def run_encode_job(
             hll_b=hll_b,
             archive=archive,
             cluster_by=cluster_by,
+            kll=kll,
+            kll_k=kll_k,
         ),
         allow_input_growth=append,
     )
@@ -812,6 +825,8 @@ def run_encode_job(
                 "hll_b": hll_b,
                 "archive": archive,
                 "cluster_by": cluster_by,
+                "kll": kll,
+                "kll_k": kll_k,
             },
             batch_format="pyarrow",
             batch_size=1,

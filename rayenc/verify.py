@@ -102,6 +102,19 @@ def _zone_mismatches(
             if not bloom_may_contain(bf, v):
                 bad += 1
                 break
+    for name, s in (zm.get("__kll__") or {}).items():
+        # the KLL compaction seed is a CRC of the column content, so the
+        # sketch is a pure function of the decoded values: re-derive and
+        # compare the JSON byte-exact (a corrupt sketch silently skews
+        # agg_approx_quantiles, invisible to the content hash)
+        from .encode import column_kll
+
+        if name not in names:
+            bad += 1
+            continue
+        k = _json.loads(s).get("k", 128)
+        if column_kll(col(name), k) != s:
+            bad += 1
     for name, h in (zm.get("__hll__") or {}).items():
         # HLL registers are a pure function of the column's content (fixed
         # hash seed), so the audit is exact: re-derive and compare bytes.

@@ -294,3 +294,84 @@ def test_zone_must_match_float_nan_rules():
     # integer zones unaffected
     iz = {"x": {"min": 1, "max": 9, "null_count": 0}}
     assert zone_must_match(iz, [("x", ">=", 1)])
+
+
+def _kll_blocks(n=20_000, kll=True, **kw):
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3.0, 1.0, n)
+    vals[rng.integers(0, n, n // 50)] = np.nan  # some NaN noise
+    t = pa.table(
+        {
+            "price": pa.array(vals, type=pa.float64()),
+            "qty": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+            "name": pa.array(["x"] * n),
+        }
+    )
+    from rayenc import encode_dataset as enc
+
+    blocks = enc(
+        rd.from_arrow(t), block_rows=1000, hash_column=None, concurrency=2,
+        kll=kll, **kw,
+    ).materialize()
+    return t, blocks
+
+
+def test_agg_approx_quantiles_metadata_only(ray_session):
+    """Per-block KLL sketches merge to whole-table quantiles within the
+    sketch's rank-error bound — answered from zonemap metadata alone."""
+    from rayenc.decode import agg_approx_quantiles
+
+    t, blocks = _kll_blocks()
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = agg_approx_quantiles(blocks, "price", qs)
+    finite = np.sort(t["price"].to_numpy(zero_copy_only=False))
+    finite = finite[~np.isnan(finite)]
+    for q, g in zip(qs, got):
+        # rank error: position of the estimate within the sorted truth
+        rank = np.searchsorted(finite, g) / len(finite)
+        assert abs(rank - q) < 0.02, (q, g, rank)
+    # int columns answer through the same float64 view
+    got_q = agg_approx_quantiles(blocks, "qty", [0.5])[0]
+    assert abs(got_q - 500) < 25
+
+
+def test_agg_approx_quantiles_requires_sketch(ray_session):
+    from rayenc.decode import agg_approx_quantiles
+
+    _, blocks = _kll_blocks(n=2_000, kll=False)
+    with pytest.raises(Exception, match="no KLL sketch"):
+        agg_approx_quantiles(blocks, "price", [0.5])
+    # string columns never carry a sketch even when kll=True
+    _, blocks2 = _kll_blocks(n=2_000, kll=True)
+    with pytest.raises(Exception, match="no KLL sketch"):
+        agg_approx_quantiles(blocks2, "name", [0.5])
+
+
+def test_kll_sketch_audited_by_check_zones(ray_session):
+    """The content-derived compaction seed makes the per-block sketch a
+    pure function of the column: check_zones re-derives it byte-exact,
+    and a tampered sketch is caught."""
+    import json as _json
+
+    from rayenc.verify import verify_blocks
+
+    _, blocks = _kll_blocks(n=4_000)
+    v = verify_blocks(blocks, hash_column=None, check_zones=True)
+    assert v["ok"] and v["zone_mismatches"] == 0
+
+    def tamper(b: pa.Table) -> pa.Table:
+        zms = []
+        for s in b["zonemap"].to_pylist():
+            z = _json.loads(s)
+            sk = _json.loads(z["__kll__"]["price"])
+            lvl = max(i for i, l in enumerate(sk["levels"]) if l)
+            sk["levels"][lvl] = [x + 1.0 for x in sk["levels"][lvl]]
+            z["__kll__"]["price"] = _json.dumps(sk)
+            zms.append(_json.dumps(z))
+        return b.set_column(
+            b.column_names.index("zonemap"), "zonemap", pa.array(zms)
+        )
+
+    bad = blocks.map_batches(tamper, batch_format="pyarrow")
+    v2 = verify_blocks(bad, hash_column=None, check_zones=True)
+    assert v2["zone_mismatches"] > 0
