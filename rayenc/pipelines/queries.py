@@ -962,6 +962,23 @@ def q_approx_quantiles_prices(sf_dir: str) -> pa.Table:
     for q, e in zip(qs, est):
         rank = np.searchsorted(vals, e) / len(vals)
         assert abs(rank - q) < 0.01, (q, e, rank)
+    # METADATA-KLL cross-check: encode the column with per-block KLL
+    # sketches and answer the same quantiles from block metadata alone
+    # (agg_approx_quantiles) — rank error must hold through the
+    # per-block-sketch + merge path too
+    from ..decode import agg_approx_quantiles
+    from ..encode import encode_dataset
+
+    blocks = encode_dataset(
+        ds, block_rows=4000, hash_column=None, kll=True,
+        # the leg under test is the sketch fold, not codec selection:
+        # force the numeric codec to skip per-actor trial encodes
+        forced_codecs={"l_extendedprice": "bss"},
+    ).materialize()
+    meta_est = agg_approx_quantiles(blocks, "l_extendedprice", qs)
+    for q, e in zip(qs, meta_est):
+        rank = np.searchsorted(vals, e) / len(vals)
+        assert abs(rank - q) < 0.02, ("meta", q, e, rank)
     return pa.table(
         {
             "q": pa.array(qs, type=pa.float64()),
