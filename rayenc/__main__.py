@@ -274,9 +274,14 @@ def cmd_agg(args: argparse.Namespace) -> int:
     elif op == "quantiles":
         if filt:
             raise SystemExit("agg quantiles is KLL-metadata-only; no --filter")
+        import math
+
         qs = [float(x) for x in args.q.split(",")]
-        out = {"quantiles": dict(zip(map(str, qs),
-                                     agg_approx_quantiles(blocks, args.col, qs)))}
+        est = agg_approx_quantiles(blocks, args.col, qs)
+        # NaN (all-null column) must not break the one-JSON-line contract:
+        # json.dumps would emit a bare NaN token no strict parser accepts
+        est = [None if not math.isfinite(v) else v for v in est]
+        out = {"quantiles": dict(zip(map(str, qs), est))}
     else:  # topk
         t = agg_topk(
             blocks,

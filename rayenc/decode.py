@@ -93,9 +93,15 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
                 ):
                     return False  # every member provably outside [lo, hi]
             elif op == "!=":
-                # only a CONSTANT block equal to val is provably empty
+                # only a CONSTANT block equal to val is provably empty —
+                # and for float columns only when NO NaN rows hide behind
+                # the NaN-skipping bounds (NaN != val is TRUE, so a NaN
+                # row matches; legacy zones without the count keep the
+                # block: sound, just not pruned)
                 if lo is not None and lo == hi == val:
-                    return False
+                    is_float = isinstance(lo, float) or isinstance(hi, float)
+                    if not is_float or z.get("nan") == 0:
+                        return False
             elif op == "prefix":
                 # p-prefixed strings lie in [p, succ(p)). Sound under the
                 # zone map's truncated bounds: stored lo is a prefix cut
@@ -473,6 +479,13 @@ def agg_approx_quantiles(
                     "the fallback)"
                 )
             sk = KllSketch.from_json(s)
+            if merged is not None and sk.k != merged.k:
+                raise ValueError(
+                    f"agg_approx_quantiles: blocks carry KLL sketches of "
+                    f"different k ({merged.k} vs {sk.k}) — merging would "
+                    "silently degrade the rank-error bound; re-encode or "
+                    "compact to one kll_k"
+                )
             merged = sk if merged is None else merged.merge(sk)
         return pa.table({"sk": pa.array(
             [merged.to_json() if merged is not None else ""], type=pa.string()
@@ -488,6 +501,12 @@ def agg_approx_quantiles(
         if not p["sk"]:
             continue
         sk = KllSketch.from_json(p["sk"])
+        if merged is not None and sk.k != merged.k:
+            raise ValueError(
+                f"agg_approx_quantiles: blocks carry KLL sketches of "
+                f"different k ({merged.k} vs {sk.k}) — mixed kll_k encodes "
+                "cannot merge; re-encode or compact to one k"
+            )
         merged = sk if merged is None else merged.merge(sk)
     if merged is None:
         return [float("nan")] * len(qs)

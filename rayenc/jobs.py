@@ -766,6 +766,14 @@ def run_encode_job(
                 pass  # unreadable yet: the planner will raise with context
         validate_predicate_shapes(filter, schema_names, "input schema")
     resolved = resolve_input_paths(input_paths)
+    # plan BEFORE the job-record gate: planning validates every file's
+    # schema (filter + cluster_by columns), and a validation failure must
+    # not have rewritten the record first — an append run that updated
+    # the recorded inputs and then raised would wedge the retry (the
+    # shrunk list is no longer prefix-growth)
+    parts = plan_partitions(
+        resolved, max_partition_bytes, filter=filter, require_cols=cluster_by
+    )
     manifest = Manifest(out_root)
     manifest.check_job(
         job_params(
@@ -790,9 +798,6 @@ def run_encode_job(
             kll_k=kll_k,
         ),
         allow_input_growth=append,
-    )
-    parts = plan_partitions(
-        resolved, max_partition_bytes, filter=filter, require_cols=cluster_by
     )
     committed = manifest.committed_ids()
     pending = [p for p in parts if p["partition_id"] not in committed]
@@ -868,6 +873,12 @@ class PartitionCompactor:
             forced_codecs=params.get("forced_codecs"),
             hll=bool(params.get("hll", False)),
             hll_b=int(params.get("hll_b", 10)),
+            # every job-record codec/metadata knob must survive compaction
+            # (review finding: KLL sketches were silently stripped, and an
+            # archive job would have re-encoded at the default tier)
+            kll=bool(params.get("kll", False)),
+            kll_k=int(params.get("kll_k", 128)),
+            archive=bool(params.get("archive", False)),
         )
         self.dec = BlockDecoder()
         self.target = int(target_block_rows)
@@ -1070,10 +1081,12 @@ def check_export_job(out_root: str | os.PathLike, params: dict) -> None:
                 f"{rec.get('format_version')}, this rayenc writes "
                 f"{FORMAT_VERSION}; use a fresh out_root"
             )
+        from .manifest import canon_param
+
         mismatched = {
             k: (rec["params"].get(k), params.get(k))
             for k in params
-            if rec["params"].get(k) != params.get(k)
+            if canon_param(k, rec["params"].get(k)) != canon_param(k, params.get(k))
         }
         published = any(Path(out_root).glob("part-*.parquet"))
         if mismatched and published:

@@ -59,6 +59,32 @@ STRICT_JOB_KEYS = (
 )
 
 
+def canon_param(key: str, value):
+    """Canonical form of a job/export record parameter for RESUME
+    comparison. 'in' predicate values compare as sorted lists — records
+    written before value normalization stored them verbatim, and an
+    order difference between [a,b] and [b,a] is a phantom mismatch that
+    would refuse a legitimately resumable dir (review finding). Handles
+    both the flat-conjunction job shape and the export record's DNF."""
+    if key != "filter" or not value:
+        return value
+
+    def canon_pred(p):
+        if not isinstance(p, (list, tuple)) or len(p) != 3:
+            return p  # malformed/empty entries compare verbatim
+        col, op, val = p
+        if op == "in" and isinstance(val, list):
+            try:
+                val = sorted(val)
+            except TypeError:
+                val = sorted(val, key=repr)
+        return [col, op, val]
+
+    if value and isinstance(value[0], list) and value[0] and isinstance(value[0][0], list):
+        return [[canon_pred(p) for p in conj] for conj in value]  # DNF
+    return [canon_pred(p) for p in value]
+
+
 class Manifest:
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
@@ -137,7 +163,8 @@ class Manifest:
         mismatched = {
             k: {"recorded": old.get(k), "requested": params.get(k)}
             for k in STRICT_JOB_KEYS
-            if k in old and old.get(k) != params.get(k)
+            if k in old
+            and canon_param(k, old.get(k)) != canon_param(k, params.get(k))
         }
         if allow_input_growth and set(mismatched) == {"inputs"}:
             old_in, new_in = old.get("inputs") or [], params.get("inputs") or []

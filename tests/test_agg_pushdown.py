@@ -271,7 +271,6 @@ def test_agg_count_float_nan_rows_never_overcount(ray_session):
     NaN never prove and decode exactly."""
     v = np.array([10.0, 20.0, np.nan, np.nan], dtype=np.float64)
     t = pa.table({"x": pa.array(v)})
-    blocks = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow")
     from rayenc import encode_dataset as enc
 
     bl = enc(rd.from_arrow(t), block_rows=4, hash_column=None, concurrency=1).materialize()
@@ -375,3 +374,104 @@ def test_kll_sketch_audited_by_check_zones(ray_session):
     bad = blocks.map_batches(tamper, batch_format="pyarrow")
     v2 = verify_blocks(bad, hash_column=None, check_zones=True)
     assert v2["zone_mismatches"] > 0
+
+
+def test_zone_may_match_neq_nan_rows_kept(ray_session):
+    """A constant float block with NaN rows must NOT be pruned as
+    provably empty under '!=': NaN != val is TRUE, so the NaN rows
+    match (review finding — the NaN fix initially covered must_match
+    only)."""
+    from rayenc import encode_dataset as enc
+    from rayenc.decode import decode_dataset, zone_may_match
+
+    # unit level: constant zone + nan count
+    z = {"x": {"min": 5.0, "max": 5.0, "null_count": 0, "nan": 1}}
+    assert zone_may_match(z, [("x", "!=", 5.0)])
+    z0 = {"x": {"min": 5.0, "max": 5.0, "null_count": 0, "nan": 0}}
+    assert not zone_may_match(z0, [("x", "!=", 5.0)])
+    # legacy float zone (no count): keep the block — sound, unpruned
+    zl = {"x": {"min": 5.0, "max": 5.0, "null_count": 0}}
+    assert zone_may_match(zl, [("x", "!=", 5.0)])
+    # int constants still prune
+    zi = {"x": {"min": 5, "max": 5, "null_count": 0}}
+    assert not zone_may_match(zi, [("x", "!=", 5)])
+
+    # end to end: the NaN row must survive a filtered decode and count
+    v = np.array([5.0, 5.0, np.nan], dtype=np.float64)
+    bl = enc(
+        rd.from_arrow(pa.table({"x": pa.array(v)})), block_rows=3,
+        hash_column=None, concurrency=1,
+    ).materialize()
+    got = pa.concat_tables(
+        decode_dataset(bl, filter=[("x", "!=", 5.0)])
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert len(got) == 1 and np.isnan(got["x"][0].as_py())
+    assert agg_count(bl, [("x", "!=", 5.0)]) == 1
+
+
+def test_compact_preserves_kll_sketches(ray_session, tmp_path):
+    """In-place compaction re-encodes under the job record's knobs: a
+    kll=True job must still answer metadata quantiles afterwards
+    (review finding: the compactor silently stripped __kll__)."""
+    import pyarrow.parquet as pq
+
+    from rayenc import run_encode_job
+    from rayenc.decode import agg_approx_quantiles
+    from rayenc.jobs import compact_job
+
+    src = str(tmp_path / "src.parquet")
+    rng = np.random.default_rng(5)
+    pq.write_table(
+        pa.table({"x": pa.array(rng.normal(0, 1, 4000))}), src,
+        row_group_size=1000,
+    )
+    root = str(tmp_path / "job")
+    run_encode_job(src, root, block_rows=100, hash_column=None, kll=True,
+                   concurrency=2)
+    s = compact_job(root, target_block_rows=1000)
+    assert s["partitions_compacted"] > 0
+    blocks = rd.read_parquet(root + "/blocks")
+    got = agg_approx_quantiles(blocks, "x", [0.5])[0]
+    assert abs(got) < 0.1  # median of N(0,1)
+
+
+def test_agg_approx_quantiles_mixed_k_raises(ray_session):
+    from rayenc import encode_dataset as enc
+    from rayenc.decode import agg_approx_quantiles
+
+    t = pa.table({"x": pa.array(np.arange(100, dtype=np.float64))})
+    b1 = enc(rd.from_arrow(t), block_rows=100, hash_column=None,
+             concurrency=1, kll=True, kll_k=64).materialize()
+    b2 = enc(rd.from_arrow(t), block_rows=100, hash_column=None,
+             concurrency=1, kll=True, kll_k=128).materialize()
+    both = b1.union(b2)
+    with pytest.raises(Exception, match="different k"):
+        agg_approx_quantiles(both, "x", [0.5])
+
+
+def test_resume_tolerates_unsorted_legacy_in_filter(ray_session, tmp_path):
+    """Records written before 'in'-value normalization stored the list
+    verbatim: the resume compare must canonicalize BOTH sides, not
+    refuse the identical rerun (review finding)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from rayenc import run_encode_job
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                  "content": pa.array(["a", "b", "c"])}),
+        src,
+    )
+    out = str(tmp_path / "job")
+    run_encode_job(src, out, filter=[("k", "in", [3, 1])], concurrency=2)
+    # simulate a legacy record: store the 'in' value UNSORTED
+    rec_path = tmp_path / "job" / "job.json"
+    rec = _json.loads(rec_path.read_text())
+    rec["params"]["filter"] = [["k", "in", [3, 1]]]
+    rec_path.write_text(_json.dumps(rec))
+    s = run_encode_job(src, out, filter=[("k", "in", [1, 3])], concurrency=2)
+    assert s["partitions_encoded"] == 0  # clean no-op resume
