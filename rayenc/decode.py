@@ -226,8 +226,7 @@ def agg_count(
         names = set(batch.column_names)
         total = 0
         for i in range(len(batch)):
-            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
-            zone = json.loads(zm) if zm else {}
+            zone = _zone_at(batch, i)
             n = int(batch["n_rows"][i].as_py()) if "n_rows" in names else 0
             if not zone_may_match_any(zone, dnf):
                 continue
@@ -256,8 +255,7 @@ def agg_min_max(blocks: "ray.data.Dataset", col: str) -> dict:
         lo = hi = None
         nulls = rows = 0
         for i in range(len(batch)):
-            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
-            zone = json.loads(zm) if zm else {}
+            zone = _zone_at(batch, i)
             z = zone.get(col)
             if z is None:
                 raise ValueError(
@@ -343,8 +341,7 @@ def agg_sum(
                 total = v if total is None else total + v
 
         for i in range(len(batch)):
-            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
-            zone = json.loads(zm) if zm else {}
+            zone = _zone_at(batch, i)
             if dnf is not None and not zone_may_match_any(zone, dnf):
                 continue
             full = dnf is None or any(zone_must_match(zone, conj) for conj in dnf)
@@ -409,8 +406,7 @@ def agg_approx_distinct(blocks: "ray.data.Dataset", col: str) -> float:
     def part(batch: pa.Table) -> pa.Table:
         regs = None
         for i in range(len(batch)):
-            zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
-            h = (json.loads(zm) if zm else {}).get("__hll__", {}).get(col)
+            h = _zone_at(batch, i).get("__hll__", {}).get(col)
             if h is None:
                 raise ValueError(
                     f"agg_approx_distinct: block {batch['block_id'][i].as_py()!r} "
@@ -448,6 +444,14 @@ def agg_approx_distinct(blocks: "ray.data.Dataset", col: str) -> float:
     return hll_estimate(regs)
 
 
+def _zone_at(batch: pa.Table, i: int) -> dict:
+    """Parsed zonemap dict for block row i ({} when the column is absent
+    or the cell is null) — the one copy of the idiom every metadata fold
+    must apply identically."""
+    zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
+    return json.loads(zm) if zm else {}
+
+
 def agg_approx_quantiles(
     blocks: "ray.data.Dataset", col: str, qs: list[float]
 ) -> list[float]:
@@ -468,8 +472,7 @@ def agg_approx_quantiles(
     def part(batch: pa.Table) -> pa.Table:
         merged = None
         for i in range(len(batch)):
-            zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
-            s = (json.loads(zm) if zm else {}).get("__kll__", {}).get(col)
+            s = _zone_at(batch, i).get("__kll__", {}).get(col)
             if s is None:
                 raise ValueError(
                     f"agg_approx_quantiles: block "
@@ -581,8 +584,7 @@ def agg_topk(
     def partial_threshold(batch: pa.Table) -> pa.Table:
         cands: list[tuple] = []
         for i in range(len(batch)):
-            zm = batch["zonemap"][i].as_py() if "zonemap" in batch.column_names else None
-            zone = json.loads(zm) if zm else {}
+            zone = _zone_at(batch, i)
             if dnf is not None and not zone_may_match_any(zone, dnf):
                 continue  # provably empty under the filter: never decodes
             z = zone.get(col)
@@ -599,7 +601,13 @@ def agg_topk(
                 # a maybe-matching block cannot tighten the threshold
                 continue
             bound = z["min"] if descending else z["max"]
-            nn = int(batch["n_rows"][i].as_py()) - int(z.get("null_count", 0))
+            nc = z.get("null_count")
+            if nc is None:
+                # a zone without a null count cannot GUARANTEE non-null
+                # rows (zone_must_match's safe-default-1 lesson): skip it
+                # from the threshold; phase 2 still decodes it
+                continue
+            nn = int(batch["n_rows"][i].as_py()) - int(nc)
             if isinstance(bound, float):
                 # NaN rows sort last (arrow ordering) yet are skipped by
                 # the zone bounds — only finite rows are guaranteed >=
@@ -621,11 +629,12 @@ def agg_topk(
                 break
         return pa.table({"part": pa.array([json.dumps(keep)], type=pa.string())})
 
-    parts = (
-        blocks.select_columns(["block_id", "zonemap", "n_rows"])
-        .map_batches(partial_threshold, batch_format="pyarrow")
-        .take_all()
-    )
+    # materialize the METADATA projection once (control-plane rows): the
+    # threshold pass must not re-execute a lazy upstream pipeline that
+    # phase 2 will run again (take_rows pins for the same reason; here
+    # only the tiny zonemap columns pin, never the blobs)
+    meta = blocks.select_columns(["block_id", "zonemap", "n_rows"]).materialize()
+    parts = meta.map_batches(partial_threshold, batch_format="pyarrow").take_all()
     cands = [t for p in parts for t in json.loads(p["part"])]
     cands.sort(key=lambda t: t[0], reverse=descending)
     tau, cum = None, 0
@@ -651,8 +660,14 @@ def agg_topk(
                 continue
             z = zone.get(col) or {}
             edge = z.get("max") if descending else z.get("min")
-            if edge is None:  # all-null block: cannot place
-                mask.append(False)
+            other = z.get("min") if descending else z.get("max")
+            if edge is None:
+                # no usable bound: ALL-NULL blocks (both bounds None)
+                # cannot place, but a block with values and only the
+                # needed bound missing (a >64-char string max whose
+                # truncated prefix cannot be bumped) MUST decode — its
+                # unbounded values may be the top of the table
+                mask.append(other is not None)
             else:
                 mask.append(edge >= tau if descending else edge <= tau)
         return batch.filter(pa.array(mask, type=pa.bool_()))
@@ -1166,8 +1181,7 @@ def explain_decode(
             tb += 1
             row_bytes = int(blob_lens[i])
             tbytes += row_bytes
-            zm = batch["zonemap"][i].as_py() if "zonemap" in names else None
-            zone = json.loads(zm) if zm else {}
+            zone = _zone_at(batch, i)
             n = int(batch["n_rows"][i].as_py()) if "n_rows" in names else 0
             trows += n
             if not zone_may_match_any(zone, dnf):

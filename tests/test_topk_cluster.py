@@ -306,3 +306,23 @@ def test_agg_topk_float_nan_rows_sort_last_and_never_displace(ray_session):
     blocks = _encode(t)
     got = agg_topk(blocks, "score", 5, extra_cols=["doc_id"], tie_cols=["doc_id"])
     assert got["score"].to_pylist() == [100.0, 99.0, 98.0, 97.0, 96.0]
+
+
+def test_agg_topk_unbumpable_string_max_still_decodes(ray_session):
+    """A >64-char string whose truncated max prefix cannot be bumped
+    stores zone max=None (encode._bound_max_str): the candidate filter
+    must decode that block, not treat it as all-null — its unbounded
+    values may be the table's top (review finding, reproduced)."""
+    big = "\U0010ffff" * 65  # sorts above everything; max bound is None
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "w": pa.array([big] * 100 + [f"zebra{i:03d}" for i in range(100)]),
+        }
+    )
+    blocks = _encode(t)  # 100-row blocks: one block is all `big`
+    got = agg_topk(blocks, "w", 3, tie_cols=["doc_id"])
+    assert got["w"].to_pylist() == [big, big, big]
+    # ascending still exact (min bounds always exist for non-null blocks)
+    got_asc = agg_topk(blocks, "w", 2, descending=False, tie_cols=["doc_id"])
+    assert got_asc["w"].to_pylist() == ["zebra000", "zebra001"]
