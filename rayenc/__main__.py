@@ -64,6 +64,8 @@ def cmd_encode(args: argparse.Namespace) -> int:
         hll_b=args.hll_b,
         kll=args.kll,
         kll_k=args.kll_k,
+        ngram=args.ngram,
+        ngram_n=args.ngram_n,
         archive=args.archive,
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         append=args.append,
@@ -169,14 +171,14 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
 def _parse_filters(specs: list[str] | None):
     """--filter col:op:value (value parsed as int/float when it looks
-    numeric, else string; 'prefix' values stay strings by definition —
-    a dated prefix like 2024 must not coerce to an int)."""
+    numeric, else string; 'prefix'/'contains' values stay strings by
+    definition — a dated prefix like 2024 must not coerce to an int)."""
     if not specs:
         return None
     out = []
     for s in specs:
         col, op, raw = s.split(":", 2)
-        if op == "prefix":
+        if op in ("prefix", "contains"):
             out.append((col, op, raw))
             continue
         try:
@@ -438,6 +440,18 @@ def main() -> int:
         type=int,
         default=128,
         help="KLL sketch size parameter (rank error ~1/k)",
+    )
+    e.add_argument(
+        "--ngram",
+        action="store_true",
+        help="per-block n-gram Bloom filters on string columns (enables "
+        "'contains' substring pruning; up to 256 KiB/column/block)",
+    )
+    e.add_argument(
+        "--ngram-n",
+        type=int,
+        default=3,
+        help="n-gram width in bytes for --ngram filters",
     )
     e.add_argument(
         "--archive",

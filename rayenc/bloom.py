@@ -182,6 +182,133 @@ def bloom_build(
     return np.packbits(bits, bitorder="little").tobytes().hex()
 
 
+# ---------------------------------------------------------------------------
+# n-gram Bloom filters: substring-predicate ("contains") pruning
+# ---------------------------------------------------------------------------
+# The value-level filter above answers "col == v"; it is useless for
+# substring search, the bread-and-butter probe on a source-code table
+# (grep for an identifier across 10^12 files). The standard metadata
+# companion (ClickHouse's tokenbf/ngrambf skip indexes, Lucene's n-gram
+# fields) is a Bloom filter over the DISTINCT byte n-grams of every
+# value in the block: if any n-gram of the needle is provably absent,
+# no row can contain the needle. Byte-level trigrams are sound for
+# UTF-8 text because UTF-8 is self-synchronizing — a needle's byte
+# sequence appears in a value's bytes iff the character sequence
+# appears. Needles shorter than n bytes never prune (no complete
+# n-gram to probe — the safe default).
+#
+# Saturation beats skipping: a block whose distinct-trigram count
+# overflows the size cap gets a CLAMPED filter (higher false-positive
+# rate, prunes less) rather than none — soundness only needs "no false
+# negatives", which clamping preserves.
+
+_NGRAM_N = 3
+_NGRAM_MAX_BITS = 1 << 21  # 256 KiB per column per block, then clamp
+
+
+def _ngram_codes(data: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
+    """Distinct uint64 codes of every byte n-gram that lies entirely
+    inside one value of the concatenated buffer `data` (value i spans
+    data[offsets[i]:offsets[i+1]]). Windows spanning a value boundary
+    are excluded — they exist in no row."""
+    L = len(data)
+    if L < n:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, n)  # (L-n+1, n)
+    starts = np.arange(L - n + 1, dtype=np.int64)
+    # value containing each window start; window valid iff it ends
+    # inside that same value
+    idx = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + n <= offsets[idx + 1]
+    win = win[valid]
+    if len(win) == 0:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.zeros(len(win), dtype=np.uint64)
+    for j in range(n):
+        codes = (codes << np.uint64(8)) | win[:, j].astype(np.uint64)
+    return np.unique(codes)
+
+
+def _string_bytes_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray] | None:
+    """(data, offsets) numpy views over the non-null values' UTF-8/byte
+    payload, offsets rebased to 0. None for unsupported types."""
+    t = arr.type
+    if not (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return None
+    vals = arr.drop_null()
+    if len(vals) == 0:
+        return None
+    vals = vals.cast(pa.large_binary())
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    bufs = vals.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        vals.offset : vals.offset + len(vals) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    return data, (offsets - offsets[0])
+
+
+def ngram_bloom_build(
+    arr: pa.Array | pa.ChunkedArray,
+    n: int = _NGRAM_N,
+    bits_per_key: int = _DEFAULT_BITS_PER_KEY,
+) -> dict | None:
+    """Bloom filter over the distinct byte n-grams of a string/binary
+    column chunk, as {"n": n, "f": hex}. None for empty/all-null chunks
+    and unsupported types (no filter — never prunes)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    view = _string_bytes_view(arr)
+    if view is None:
+        return None
+    codes = _ngram_codes(view[0], view[1], n)
+    if len(codes) == 0:
+        return None
+    want_bits = max(64, len(codes) * bits_per_key)
+    m = 1 << int(np.ceil(np.log2(want_bits)))
+    m = min(m, _NGRAM_MAX_BITS)  # clamp, don't skip (see module note)
+    h1, h2 = _int_hashes(codes)
+    pos = _probe_positions(h1, h2, m)
+    bits = np.zeros(m, dtype=np.uint8)
+    bits[pos.reshape(-1)] = 1
+    return {"n": n, "f": np.packbits(bits, bitorder="little").tobytes().hex()}
+
+
+def ngram_bloom_may_contain(entry: dict, needle: str | bytes) -> bool:
+    """True unless the filter PROVES no row can contain `needle` as a
+    substring (some n-gram of the needle is absent). Malformed entries
+    and sub-n needles never prune."""
+    if not isinstance(entry, dict) or not isinstance(needle, (str, bytes)):
+        return True
+    try:
+        n = int(entry["n"])
+        packed = np.frombuffer(bytes.fromhex(entry["f"]), dtype=np.uint8)
+    except (KeyError, TypeError, ValueError):
+        return True
+    m = len(packed) * 8
+    nb = np.frombuffer(
+        needle.encode() if isinstance(needle, str) else needle, dtype=np.uint8
+    )
+    if m == 0 or n <= 0 or len(nb) < n:
+        return True
+    codes = _ngram_codes(nb, np.array([0, len(nb)], dtype=np.int64), n)
+    if len(codes) == 0:
+        return True
+    h1, h2 = _int_hashes(codes)
+    pos = _probe_positions(h1, h2, m)  # (n_codes, k)
+    byte_idx = pos >> 3
+    bit_idx = (pos & 7).astype(np.uint8)
+    hit = (packed[byte_idx] >> bit_idx) & 1
+    # every probed position of EVERY n-gram must be set for a maybe
+    return bool(np.all(hit))
+
+
 @functools.lru_cache(maxsize=1024)
 def _probe_hash(value) -> tuple[int, int] | None:
     """Stable (h1, h2) for a scalar probe value, memoized — zone pruning

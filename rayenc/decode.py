@@ -26,9 +26,12 @@ import ray.data
 from .blocks import decode_column
 
 # (column, op, value) predicates; op in {"==", ">=", "<=", ">", "<",
-# "!=", "in", "prefix"} ("in" takes a list/tuple/set of values;
-# "prefix" takes a string and matches rows whose value starts with it —
-# zone-prunable because every p-prefixed string sits in [p, succ(p))).
+# "!=", "in", "prefix", "contains"} ("in" takes a list/tuple/set of
+# values; "prefix" takes a string and matches rows whose value starts
+# with it — zone-prunable because every p-prefixed string sits in
+# [p, succ(p)); "contains" takes a non-empty string and matches rows
+# whose value has it as a substring — block-prunable only on tables
+# encoded with ngram=True, via the per-block n-gram Bloom filters).
 # A filter is a
 # CONJUNCTION (list of predicates) or, decode-side, a DISJUNCTION of
 # conjunctions (list of lists — DNF: [[a, b], [c]] = (a AND b) OR c).
@@ -44,7 +47,8 @@ _OPS = {
     "<=": pc.less_equal,
     "<": pc.less,
 }
-_EXTRA_OPS = {"!=", "in", "prefix"}  # handled out-of-table (no single compute kernel)
+# handled out-of-table (no single compute kernel)
+_EXTRA_OPS = {"!=", "in", "prefix", "contains"}
 
 
 def normalize_dnf(filter) -> list[list[Predicate]]:
@@ -66,6 +70,7 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
     its Bloom filter — rayenc.bloom) PROVE no row can satisfy the
     conjunction; missing stats never prune (safe default)."""
     blooms = zone.get("__bloom__") or {}
+    ngrams = zone.get("__ngram__") or {}
     for col, op, val in predicates:
         if col in blooms:
             from .bloom import bloom_may_contain
@@ -75,6 +80,11 @@ def zone_may_match(zone: dict, predicates: list[Predicate]) -> bool:
             if op == "in" and not any(
                 bloom_may_contain(blooms[col], v) for v in val
             ):
+                return False
+        if op == "contains" and col in ngrams:
+            from .bloom import ngram_bloom_may_contain
+
+            if not ngram_bloom_may_contain(ngrams[col], val):
                 return False
         z = zone.get(col)
         if z is None:
@@ -736,6 +746,11 @@ def validate_predicate_shapes(
                 f"'prefix' predicate on {col!r} needs a non-empty string, "
                 f"got {val!r}"
             )
+        if op == "contains" and (not isinstance(val, str) or val == ""):
+            raise ValueError(
+                f"'contains' predicate on {col!r} needs a non-empty "
+                f"string, got {val!r}"
+            )
         if cols and col not in cols:
             raise ValueError(
                 f"predicate column {col!r} not in {where} (have: {sorted(cols)})"
@@ -817,6 +832,15 @@ def _conjunction_mask(batch: pa.Table, predicates: list[Predicate]):
                     f"got {t}"
                 )
             m = pc.starts_with(arr, pattern=val)
+        elif op == "contains":
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                # same first-surfacing rule as 'prefix': name the mistake
+                # instead of letting pc.match_substring die mid-pipeline
+                raise ValueError(
+                    f"'contains' predicate on {col!r} needs a string "
+                    f"column, got {t}"
+                )
+            m = pc.match_substring(arr, pattern=val)
         else:
             m = _OPS[op](arr, val)
         mask = m if mask is None else pc.and_kleene(mask, m)
@@ -1072,8 +1096,10 @@ def decode_dataset(
     fewer blocks decoded — measurable via count_decoded_blocks),
     page-zone pruning inside surviving blocks decodes only matchable
     pages (stats="page" encodes), then the exact row filter runs after
-    decode. Ops: ==, !=, <, <=, >, >=, and "in" (list of values; Bloom
-    and zone pruning both understand it).
+    decode. Ops: ==, !=, <, <=, >, >=, "in" (list of values; Bloom and
+    zone pruning both understand it), "prefix" (zone-prunable), and
+    "contains" (substring; block-prunable via per-block n-gram Bloom
+    filters on tables encoded with ngram=True).
 
     `fill_missing` enables schema-evolution reads: a union of block
     tables written across pipeline versions (read_blocks([dir_v1,

@@ -228,8 +228,13 @@ def default_pool_size() -> int:
     """Encode-pool size: ~3/4 of cluster CPUs, the rest left for the read
     stage. A pool that reserves every CPU starves the upstream read tasks
     and serializes the pipeline (measured: 32 actors on 32 CPUs ran 2.4x
-    SLOWER than 24 on the same input)."""
-    return max(2, (cluster_cpus() * 3) // 4)
+    SLOWER than 24 on the same input) — and on a 2-CPU cluster it
+    DEADLOCKS outright: both CPUs go to actors, the read task stays
+    backpressured forever (reproduced via bench.py --scaling at the
+    2-cpu leg). Always leave at least one CPU for the read when the
+    cluster has more than one."""
+    cpus = cluster_cpus()
+    return max(1, min(cpus - 1, max(2, (cpus * 3) // 4)))
 
 
 class BlockEncoder:
@@ -259,6 +264,8 @@ class BlockEncoder:
         archive: bool = False,
         kll: bool = False,
         kll_k: int = 128,
+        ngram: bool = False,
+        ngram_n: int = 3,
     ):
         self.columns = columns
         self.level = level
@@ -303,6 +310,16 @@ class BlockEncoder:
         self.kll_k = int(kll_k)
         if self.kll and not (16 <= self.kll_k <= 4096):
             raise ValueError(f"kll_k must be in [16, 4096], got {kll_k}")
+        # opt-in per-block n-gram Bloom filters (reserved zonemap key
+        # "__ngram__"): substring-predicate ("contains") pruning over
+        # string columns — the skip-index for grep-style probes on a
+        # source-code table (rayenc.bloom module note). OFF by default:
+        # content-sized columns pay a full n-gram pass and up to 256 KiB
+        # of filter per block, and only the "contains" op reads it.
+        self.ngram = ngram and stats != "none"
+        self.ngram_n = int(ngram_n)
+        if self.ngram and not (2 <= self.ngram_n <= 8):
+            raise ValueError(f"ngram_n must be in [2, 8], got {ngram_n}")
         self.blocks_done = 0
         self.rows_done = 0
         # per-column codec choice cache: trial selection runs on the first
@@ -335,7 +352,7 @@ class BlockEncoder:
         row_start: int | None = None,
     ) -> pa.Table:
         cols = self.columns or batch.column_names
-        for reserved in ("__bloom__", "__hll__", "__kll__"):
+        for reserved in ("__bloom__", "__hll__", "__kll__", "__ngram__"):
             # reserved zonemap keys hold the per-column Bloom filter / HLL
             # register maps; a real column by either name would collide and
             # silently mis-prune (or mis-estimate) on the metadata paths.
@@ -353,6 +370,7 @@ class BlockEncoder:
         blooms: dict[str, str] = {}
         hlls: dict[str, str] = {}
         klls: dict[str, str] = {}
+        ngrams: dict[str, dict] = {}
         for name in cols:
             arr = batch[name]
             if self.stats in ("block", "page"):
@@ -373,6 +391,12 @@ class BlockEncoder:
                     sk = column_kll(arr, self.kll_k)
                     if sk is not None:
                         klls[name] = sk
+                if self.ngram:
+                    from .bloom import ngram_bloom_build
+
+                    nf = ngram_bloom_build(arr, self.ngram_n)
+                    if nf is not None:
+                        ngrams[name] = nf
             t0 = time.perf_counter()
             forced = self.forced_codecs.get(name)
             cached = self._cached.get(name)
@@ -451,6 +475,8 @@ class BlockEncoder:
             zones["__hll__"] = hlls
         if klls:
             zones["__kll__"] = klls
+        if ngrams:
+            zones["__ngram__"] = ngrams
         h.update(n.to_bytes(8, "little"))
         content_hash = ""
         if self.hash_column and self.hash_column in cols:
@@ -598,6 +624,8 @@ def encode_dataset(
     archive: bool = False,
     kll: bool = False,
     kll_k: int = 128,
+    ngram: bool = False,
+    ngram_n: int = 3,
 ) -> "ray.data.Dataset":
     """Streaming encode: Dataset of source rows -> Dataset of block rows.
 
@@ -643,6 +671,8 @@ def encode_dataset(
             "archive": archive,
             "kll": kll,
             "kll_k": kll_k,
+            "ngram": ngram,
+            "ngram_n": ngram_n,
         },
         batch_format="pyarrow",
         batch_size=block_rows,

@@ -299,6 +299,8 @@ class PartitionEncoder:
         cluster_by: list[str] | None = None,
         kll: bool = False,
         kll_k: int = 128,
+        ngram: bool = False,
+        ngram_n: int = 3,
     ):
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
@@ -318,6 +320,8 @@ class PartitionEncoder:
             archive=archive,
             kll=kll,
             kll_k=kll_k,
+            ngram=ngram,
+            ngram_n=ngram_n,
         )
         self.columns = columns
         self.block_rows = block_rows
@@ -641,6 +645,8 @@ def job_params(
     cluster_by: list[str] | None = None,
     kll: bool = False,
     kll_k: int = 128,
+    ngram: bool = False,
+    ngram_n: int = 3,
 ) -> dict:
     """Canonical job-record parameter dict (JSON-normalized) — the shape
     Manifest.check_job records and compares on resume. `inputs` is the
@@ -670,6 +676,10 @@ def job_params(
         # kll mirrors hll: additive metadata, not a strict resume key
         "kll": bool(kll),
         "kll_k": int(kll_k),
+        # ngram mirrors hll: additive metadata (blocks without a filter
+        # simply never prune a 'contains' probe), not a strict resume key
+        "ngram": bool(ngram),
+        "ngram_n": int(ngram_n),
         # archive is a codec-choice knob like level/enc_cap, not a strict
         # resume key: mixing tiers across resumes changes sizes, never rows
         "archive": bool(archive),
@@ -703,6 +713,8 @@ def run_encode_job(
     append: bool = False,
     kll: bool = False,
     kll_k: int = 128,
+    ngram: bool = False,
+    ngram_n: int = 3,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
 
@@ -796,6 +808,8 @@ def run_encode_job(
             cluster_by=cluster_by,
             kll=kll,
             kll_k=kll_k,
+            ngram=ngram,
+            ngram_n=ngram_n,
         ),
         allow_input_growth=append,
     )
@@ -832,6 +846,8 @@ def run_encode_job(
                 "cluster_by": cluster_by,
                 "kll": kll,
                 "kll_k": kll_k,
+                "ngram": ngram,
+                "ngram_n": ngram_n,
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -879,6 +895,8 @@ class PartitionCompactor:
             kll=bool(params.get("kll", False)),
             kll_k=int(params.get("kll_k", 128)),
             archive=bool(params.get("archive", False)),
+            ngram=bool(params.get("ngram", False)),
+            ngram_n=int(params.get("ngram_n", 3)),
         )
         self.dec = BlockDecoder()
         self.target = int(target_block_rows)

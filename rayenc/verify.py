@@ -102,6 +102,19 @@ def _zone_mismatches(
             if not bloom_may_contain(bf, v):
                 bad += 1
                 break
+    for name, nf in (zm.get("__ngram__") or {}).items():
+        # the n-gram filter is a pure function of the column's bytes
+        # (fixed splitmix64 seeds), so the audit is exact: re-derive and
+        # compare. A corrupt filter silently drops rows on 'contains'
+        # decodes — the same invisible-to-the-hash class as a zone lie.
+        from .bloom import ngram_bloom_build
+
+        if name not in names:
+            bad += 1
+            continue
+        n = nf.get("n", 3) if isinstance(nf, dict) else 3
+        if ngram_bloom_build(col(name), n) != nf:
+            bad += 1
     for name, s in (zm.get("__kll__") or {}).items():
         # the KLL compaction seed is a CRC of the column content, so the
         # sketch is a pure function of the decoded values: re-derive and
