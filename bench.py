@@ -375,7 +375,16 @@ def main() -> None:
         os.environ["RAYENC_BENCH_ROWS"] = str(CORPUS_ROWS)
         os.environ["RAYENC_SKIP_QUERIES"] = "1"  # children time the headline only
         ensure_corpus()  # build once so both children only measure compute
-        lo, hi = 4, 16
+        # N and 4N. Override with RAYENC_SCALING_CPUS="2,8" when the host
+        # state is fast enough that 4x the small leg's throughput exceeds
+        # this VM's memory-bandwidth ceiling (~0.25 GB/s, the same plateau
+        # the 16- and 32-cpu flagship hit) — above it the 4v16 pair
+        # measures the ceiling, not the code's scaling (see BASELINE.md
+        # round-4 scaling notes; both legs must sit below the plateau to
+        # stand in for two cluster sizes with per-node bandwidth).
+        lo, hi = (
+            int(x) for x in os.environ.get("RAYENC_SCALING_CPUS", "4,16").split(",")
+        )
         r_lo, r_hi = run_child(lo), run_child(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
