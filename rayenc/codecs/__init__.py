@@ -15,6 +15,7 @@ from .alp import AlpCodec
 from .base import Codec
 from .bss import ByteStreamSplitCodec
 from .dictionary import DictionaryCodec
+from .fc import FrontCodec
 from .foref import BitpackCodec, ForefCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
@@ -31,6 +32,7 @@ _REGISTRY: dict[str, Codec] = {
         ByteStreamSplitCodec(),
         AlpCodec(),
         FsstCodec(),
+        FrontCodec(),
     ]
 }
 

@@ -1,0 +1,130 @@
+"""Front-coding (incremental) string codec: shared-prefix elision.
+
+The Parquet spec's DELTA_BYTE_ARRAY idea re-derived for the block
+container: row i stores only the byte length it shares with row i-1
+plus its remaining suffix. Targets path-like columns — file paths
+within a repo (FIXTURES.md F1 `path`) share long directory prefixes,
+and a cluster_by/sorted layout makes consecutive rows near-identical.
+Measured on the bench corpus path column (8k-row blocks): ratio
+0.143x vs plain@3's 0.196x and plain@12's 0.175x, encoding ~4x
+faster than plain@12 (see BASELINE.md round-4 addendum).
+
+The prefix comparison is windowed at ``PREFIX_WINDOW`` bytes: rows are
+padded into a (n x W) byte matrix and the shared-prefix lengths fall
+out of one vectorized logical_and.accumulate — no per-row Python loop.
+Prefixes longer than the window are simply not elided (still lossless).
+Decode scatters all suffix bytes in one shot, then resolves prefix
+bytes column-by-column with a maximum.accumulate gather (byte j of row
+i is the suffix byte j of the latest row k <= i with pref[k] <= j) —
+O(max_pref) vectorized passes, no sequential reconstruction.
+
+Reference parity anchor: the per-column encoding-policy table this
+codec extends is /root/reference/src/bin/js2pq/main.rs:96-114; the
+round-trip discipline is /root/reference/src/vec_pq_reader.rs:793-882.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .base import Codec, is_stringlike
+from .util import (
+    decode_lengths,
+    encode_lengths,
+    string_array_parts,
+    strings_from_parts,
+    zstd_compress,
+    zstd_decompress,
+)
+
+# Prefix comparison window: bounds the padded matrix at n x 256 bytes
+# (2 MiB per 8k-row block) and caps the decode's prefix-resolution pass
+# count. Paths rarely exceed it; longer shared prefixes lose only the
+# tail of the elision, never correctness.
+PREFIX_WINDOW = 256
+
+
+def _ragged_ramp(counts: np.ndarray) -> np.ndarray:
+    """0..counts[i]-1 for each i, concatenated (the ragged-gather index)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def shared_prefix_lengths(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-row byte length shared with the previous row (row 0 -> 0),
+    windowed at PREFIX_WINDOW. Fully vectorized via a padded byte matrix."""
+    n = len(lengths)
+    prefs = np.zeros(n, dtype=np.int64)
+    if n <= 1:
+        return prefs
+    take = np.minimum(lengths, PREFIX_WINDOW)
+    width = int(take.max()) if n else 0
+    if width == 0:
+        return prefs
+    mat = np.zeros((n, width), dtype=np.uint8)
+    ramp = _ragged_ramp(take)
+    rows = np.repeat(np.arange(n, dtype=np.int64), take)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    mat[rows, ramp] = data[np.repeat(starts, take) + ramp]
+    eq = mat[1:] == mat[:-1]
+    run = np.logical_and.accumulate(eq, axis=1).sum(axis=1)
+    # clip pad-vs-pad equality beyond either row's real (windowed) length
+    prefs[1:] = np.minimum(run, np.minimum(take[1:], take[:-1]))
+    return prefs
+
+
+class FrontCodec(Codec):
+    name = "fc"
+
+    def supports(self, t: pa.DataType) -> bool:
+        return is_stringlike(t)
+
+    def encode(self, arr: pa.Array, level: int = 3) -> tuple[dict, dict[str, bytes]]:
+        data, lengths = string_array_parts(arr)
+        n = len(lengths)
+        prefs = shared_prefix_lengths(data, lengths)
+        suf_len = lengths - prefs
+        starts = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(lengths[:-1], out=starts[1:])
+        src = np.repeat(starts + prefs, suf_len) + _ragged_ramp(suf_len)
+        payload = data[src] if len(src) else np.empty(0, dtype=np.uint8)
+        pmeta, pbuf = encode_lengths(prefs, level)
+        smeta, sbuf = encode_lengths(suf_len, level)
+        params = {"nbytes": int(payload.size), "pmeta": pmeta, "smeta": smeta}
+        return params, {
+            "data": zstd_compress(payload, level),
+            "prefs": pbuf,
+            "suf_lens": sbuf,
+        }
+
+    def decode(
+        self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
+    ) -> pa.Array:
+        prefs = decode_lengths(params["pmeta"], sections["prefs"], n)
+        suf_len = decode_lengths(params["smeta"], sections["suf_lens"], n)
+        out_len = prefs + suf_len
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_len, out=out_off[1:])
+        out = np.empty(int(out_off[-1]), dtype=np.uint8)
+        payload = np.frombuffer(
+            zstd_decompress(sections["data"], params["nbytes"]), dtype=np.uint8
+        )
+        dst = np.repeat(out_off[:-1] + prefs, suf_len) + _ragged_ramp(suf_len)
+        out[dst] = payload
+        max_pref = int(prefs.max()) if n else 0
+        rows = np.arange(n, dtype=np.int64)
+        for j in range(max_pref):
+            need = prefs > j
+            if not need.any():
+                break
+            # latest row k <= i whose byte j is a materialized suffix byte
+            src_row = np.maximum.accumulate(np.where(prefs <= j, rows, -1))
+            t = rows[need]
+            out[out_off[t] + j] = out[out_off[src_row[t]] + j]
+        return strings_from_parts(out, out_len, typ)

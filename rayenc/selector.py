@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 
 from .blocks import encode_column, prepare_array
 from .codecs.base import int_view, is_floatlike, is_intlike, is_stringlike
+from .codecs.fc import shared_prefix_lengths
+from .codecs.util import string_array_parts
 
 SAMPLE_ROWS = 4096
 SAMPLE_BYTES = 2 << 20       # cap trial sample at 2 MiB of string payload
@@ -85,6 +87,15 @@ def column_stats(sample: pa.Array) -> dict:
     filled, _, _ = prepare_array(sample)
     if is_stringlike(t):
         stats["avg_len"] = float(sample.nbytes / max(n, 1))
+        # shared-prefix sniff for the fc (front-coding) candidate: the
+        # fraction of sample payload bytes elidable as previous-row
+        # prefixes. Cheap: the sample is <=4096 rows and the prefix
+        # window caps the padded matrix at ~1 MiB.
+        data_b, lens_b = string_array_parts(
+            filled.combine_chunks() if isinstance(filled, pa.ChunkedArray) else filled
+        )
+        prefs_b = shared_prefix_lengths(data_b, lens_b)
+        stats["prefix_ratio"] = float(prefs_b.sum()) / max(float(lens_b.sum()), 1.0)
         codes_arr = pc.dictionary_encode(filled)
         if isinstance(codes_arr, pa.ChunkedArray):
             codes_arr = codes_arr.combine_chunks()
@@ -123,6 +134,14 @@ def candidate_codecs(t: pa.DataType, stats: dict, archive: bool = False) -> list
         if dr >= 0.05 and stats.get("avg_len", 1e9) <= FSST_MAX_AVG_LEN:
             cands.append("fsst")
             cands.append("fsst@9")
+        if (
+            stats.get("prefix_ratio", 0.0) >= 0.15
+            and stats.get("avg_len", 1e9) <= FSST_MAX_AVG_LEN
+        ):
+            # path-like columns: consecutive rows share directory
+            # prefixes worth eliding (DELTA_BYTE_ARRAY analog). Gated on
+            # the measured sniff so bulk text never pays the trial.
+            cands.append("fc")
         if dr >= 0.05 and stats.get("avg_len", 0.0) >= 64:
             # bulk text: deeper zstd levels are live candidates (the
             # reference pins level 3; we trial the trade on real bytes).

@@ -16,7 +16,7 @@ import pytest
 from rayenc.blocks import decode_column, encode_column
 from rayenc.corpus import edge_case_table
 
-STRING_CODECS = ["plain", "dict", "rle", "fsst"]
+STRING_CODECS = ["plain", "dict", "rle", "fsst", "fc"]
 INT_CODECS = ["plain", "dict", "rle", "foref", "bss"]
 FLOAT_CODECS = ["plain", "dict", "rle", "bss", "alp"]
 

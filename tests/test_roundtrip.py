@@ -80,7 +80,9 @@ def test_lineage_table(ray_session, encoded):
     assert set(lt["column"]) == {"repo", "path", "commit", "lang", "content"}
     assert (lt["enc_bytes"] > 0).all()
     base = lt["codec"].str.split("@").str[0]
-    assert base.isin(["plain", "dict", "rle", "fsst", "foref", "bitpack", "bss"]).all()
+    assert base.isin(
+        ["plain", "dict", "rle", "fsst", "fc", "foref", "bitpack", "bss"]
+    ).all()
 
 
 def test_edge_table_through_pipeline(ray_session):

@@ -46,7 +46,7 @@ def main() -> None:
     t = gen_corpus(20000)
     cols = {
         "content(plain,fsst)": (t["content"].combine_chunks().slice(0, 4000), ["plain", "fsst"]),
-        "path(plain,dict,rle,fsst)": (t["path"].combine_chunks(), ["plain", "dict", "rle", "fsst"]),
+        "path(plain,dict,rle,fsst,fc)": (t["path"].combine_chunks(), ["plain", "dict", "rle", "fsst", "fc"]),
         "commit(rle,dict,plain)": (t["commit"].combine_chunks(), ["rle", "dict", "plain"]),
         "lang(dict,rle,plain)": (t["lang"].combine_chunks(), ["dict", "rle", "plain"]),
     }
