@@ -13,10 +13,10 @@ The prefix comparison is windowed at ``PREFIX_WINDOW`` bytes: rows are
 padded into a (n x W) byte matrix and the shared-prefix lengths fall
 out of one vectorized logical_and.accumulate — no per-row Python loop.
 Prefixes longer than the window are simply not elided (still lossless).
-Decode scatters all suffix bytes in one shot, then resolves prefix
-bytes column-by-column with a maximum.accumulate gather (byte j of row
-i is the suffix byte j of the latest row k <= i with pref[k] <= j) —
-O(max_pref) vectorized passes, no sequential reconstruction.
+Decode scatters all suffix bytes in one shot, then resolves every
+prefix byte with a single gather+scatter (byte j of row i is the
+suffix byte j of the latest row k <= i with pref[k] <= j — one level,
+no chains; see _resolve_prefixes). No sequential reconstruction.
 
 Reference parity anchor: the per-column encoding-policy table this
 codec extends is /root/reference/src/bin/js2pq/main.rs:96-114; the
@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from . import _cfc
 from .base import Codec, is_stringlike
 from .util import (
     decode_lengths,
@@ -56,8 +57,15 @@ def _ragged_ramp(counts: np.ndarray) -> np.ndarray:
 
 def shared_prefix_lengths(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Per-row byte length shared with the previous row (row 0 -> 0),
-    windowed at PREFIX_WINDOW. Fully vectorized via a padded byte matrix."""
+    windowed at PREFIX_WINDOW. Native kernel when a toolchain exists
+    (_cfc.py), else vectorized via a padded byte matrix."""
     n = len(lengths)
+    if n > 1:
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        native = _cfc.native_prefixes(data, offsets, PREFIX_WINDOW)
+        if native is not None:
+            return native
     prefs = np.zeros(n, dtype=np.int64)
     if n <= 1:
         return prefs
@@ -78,6 +86,43 @@ def shared_prefix_lengths(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return prefs
 
 
+def _resolve_prefixes(
+    prefs: np.ndarray, out: np.ndarray, out_off: np.ndarray
+) -> None:
+    """Fill every elided prefix byte in ``out`` with ONE gather+scatter.
+
+    Byte j of row i (j < prefs[i]) equals byte j of the latest row
+    k <= i with prefs[k] <= j — and for that row the byte is a suffix
+    byte, already materialized by the initial scatter, so there are no
+    resolution chains and no ordering hazard. The source-row table is
+    a (rows x max_pref) maximum.accumulate down the row axis, computed
+    in row chunks with a running per-column carry so peak memory stays
+    ~32 MiB regardless of n. Row 0 of any (sub-)block has prefs 0, so
+    every needed source resolves (never -1).
+    """
+    n = len(prefs)
+    max_pref = int(prefs.max()) if n else 0
+    if max_pref == 0:
+        return
+    j_idx = np.arange(max_pref, dtype=np.int64)
+    carry = np.full(max_pref, -1, dtype=np.int64)
+    chunk = max(1, (1 << 22) // max_pref)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        p = prefs[lo:hi]
+        rows = np.arange(lo, hi, dtype=np.int64)
+        mat = np.where(p[:, None] <= j_idx[None, :], rows[:, None], np.int64(-1))
+        np.maximum.accumulate(mat, axis=0, out=mat)
+        np.maximum(mat, carry[None, :], out=mat)
+        carry = mat[-1].copy()
+        t_rows = np.repeat(rows, p)
+        if not len(t_rows):
+            continue
+        t_j = _ragged_ramp(p)
+        src = mat[t_rows - lo, t_j]
+        out[out_off[t_rows] + t_j] = out[out_off[src] + t_j]
+
+
 class FrontCodec(Codec):
     name = "fc"
 
@@ -89,11 +134,13 @@ class FrontCodec(Codec):
         n = len(lengths)
         prefs = shared_prefix_lengths(data, lengths)
         suf_len = lengths - prefs
-        starts = np.zeros(n, dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
         if n:
-            np.cumsum(lengths[:-1], out=starts[1:])
-        src = np.repeat(starts + prefs, suf_len) + _ragged_ramp(suf_len)
-        payload = data[src] if len(src) else np.empty(0, dtype=np.uint8)
+            np.cumsum(lengths, out=offsets[1:])
+        payload = _cfc.native_suffixes(data, offsets, prefs)
+        if payload is None:
+            src = np.repeat(offsets[:-1] + prefs, suf_len) + _ragged_ramp(suf_len)
+            payload = data[src] if len(src) else np.empty(0, dtype=np.uint8)
         pmeta, pbuf = encode_lengths(prefs, level)
         smeta, sbuf = encode_lengths(suf_len, level)
         params = {"nbytes": int(payload.size), "pmeta": pmeta, "smeta": smeta}
@@ -115,16 +162,8 @@ class FrontCodec(Codec):
         payload = np.frombuffer(
             zstd_decompress(sections["data"], params["nbytes"]), dtype=np.uint8
         )
-        dst = np.repeat(out_off[:-1] + prefs, suf_len) + _ragged_ramp(suf_len)
-        out[dst] = payload
-        max_pref = int(prefs.max()) if n else 0
-        rows = np.arange(n, dtype=np.int64)
-        for j in range(max_pref):
-            need = prefs > j
-            if not need.any():
-                break
-            # latest row k <= i whose byte j is a materialized suffix byte
-            src_row = np.maximum.accumulate(np.where(prefs <= j, rows, -1))
-            t = rows[need]
-            out[out_off[t] + j] = out[out_off[src_row[t]] + j]
+        if not _cfc.native_decode(payload, prefs, suf_len, out_off, out):
+            dst = np.repeat(out_off[:-1] + prefs, suf_len) + _ragged_ramp(suf_len)
+            out[dst] = payload
+            _resolve_prefixes(prefs, out, out_off)
         return strings_from_parts(out, out_len, typ)

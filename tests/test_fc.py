@@ -99,3 +99,26 @@ def test_fc_not_candidate_for_nonstring():
     assert not FrontCodec().supports(pa.int64())
     ints = pa.array(np.arange(1000))
     assert "fc" not in candidate_codecs(ints.type, column_stats(ints))
+
+
+def test_fc_native_and_fallback_agree(monkeypatch):
+    """Native C kernels and the numpy fallback must produce bit-identical
+    blobs (unlike fsst, fc has a single canonical tokenization), and each
+    side must decode blobs the other wrote."""
+    from rayenc.codecs import _cfc
+
+    vals = (
+        [None, "", "src/a/b.py", "src/a/c.py", "src/a/c.pyc", "zz" * 300]
+        + sorted(f"repo/dir_{i % 7}/f_{i}.rs" for i in range(200))
+        + ["same"] * 20
+    )
+    arr = pa.array(vals, type=pa.string())
+    native_blob = encode_column(arr, "fc")
+    assert decode_column(native_blob).to_pylist() == vals
+
+    monkeypatch.setattr(_cfc, "get_lib", lambda: None)
+    fallback_blob = encode_column(arr, "fc")
+    assert fallback_blob == native_blob  # canonical: same prefs, same payload
+    assert decode_column(native_blob).to_pylist() == vals  # numpy reads native
+    monkeypatch.undo()
+    assert decode_column(fallback_blob).to_pylist() == vals  # native reads numpy
