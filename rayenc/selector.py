@@ -203,6 +203,9 @@ _ENC_COST = {
     "plain@19": 190.0,
     "fsst": 10.0,
     "fsst@9": 9.0,
+    # native kernel ~188 MB/s on path columns vs zstd-3's ~300; the
+    # numpy fallback is ~7x but only prefix_ratio-gated columns trial fc
+    "fc": 2.0,
 }
 
 
