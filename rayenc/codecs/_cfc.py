@@ -13,10 +13,6 @@ paths in fc.py).
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import os
-import subprocess
-import tempfile
 
 import numpy as np
 
@@ -78,38 +74,17 @@ _LIB = None
 _TRIED = False
 
 
-def _build_lib() -> str | None:
-    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"rayenc_cfc_{digest}.so")
-    if os.path.exists(so_path):
-        return so_path
-    src = so_path + ".c"
-    with open(src, "w") as f:
-        f.write(_C_SRC)
-    tmp = so_path + f".tmp{os.getpid()}"
-    try:
-        subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-            check=True,
-            capture_output=True,
-            timeout=60,
-        )
-        os.replace(tmp, so_path)  # atomic: concurrent workers race safely
-        return so_path
-    except Exception:
-        return None
-
-
 def get_lib():
     """ctypes handle to the kernel, or None when no toolchain exists."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = _build_lib()
-    if path is None:
+    from ._cnative import compile_and_load
+
+    lib = compile_and_load("rayenc_cfc", _C_SRC)
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     LL = ctypes.c_longlong
     U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     LLP = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -171,11 +146,26 @@ def native_decode(
     out_off: np.ndarray,
     out: np.ndarray,
 ) -> bool:
-    """Fill ``out`` in place; False when no toolchain exists."""
+    """Fill ``out`` in place; False when no toolchain exists.
+
+    Validates section consistency first — the C kernel trusts its
+    inputs, so a corrupt blob must fail loudly HERE (parity with the
+    numpy fallback, which raises on the same shapes) rather than
+    memcpy past the payload or read before the output buffer."""
+    n = len(prefs)
+    if n:
+        if int(prefs[0]) != 0:
+            raise ValueError("fc blob corrupt: first row has nonzero prefix")
+        if prefs.min() < 0 or suf_lens.min() < 0:
+            raise ValueError("fc blob corrupt: negative length")
+        if int(suf_lens.sum()) != len(payload):
+            raise ValueError(
+                f"fc blob corrupt: payload {len(payload)} bytes, "
+                f"suffix lengths sum to {int(suf_lens.sum())}"
+            )
     lib = get_lib()
     if lib is None:
         return False
-    n = len(prefs)
     if n == 0:
         return True
     lib.fc_decode(

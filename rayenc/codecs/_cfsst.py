@@ -17,10 +17,6 @@ symbol i.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import os
-import subprocess
-import tempfile
 
 import numpy as np
 
@@ -138,38 +134,17 @@ _LIB = None
 _TRIED = False
 
 
-def _build_lib() -> str | None:
-    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"rayenc_cfsst_{digest}.so")
-    if os.path.exists(so_path):
-        return so_path
-    src = so_path + ".c"
-    with open(src, "w") as f:
-        f.write(_C_SRC)
-    tmp = so_path + f".tmp{os.getpid()}"
-    try:
-        subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-            check=True,
-            capture_output=True,
-            timeout=60,
-        )
-        os.replace(tmp, so_path)  # atomic: concurrent workers race safely
-        return so_path
-    except Exception:
-        return None
-
-
 def get_lib():
     """ctypes handle to the kernel, or None when no toolchain exists."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = _build_lib()
-    if path is None:
+    from ._cnative import compile_and_load
+
+    lib = compile_and_load("rayenc_cfsst", _C_SRC)
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     LL = ctypes.c_longlong
     U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     U16P = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")

@@ -1,0 +1,40 @@
+"""Shared compile-and-load discipline for on-demand C kernels.
+
+One implementation behind _cfsst.py and _cfc.py (the review rule:
+build-discipline fixes must not be made twice). The contract callers
+rely on: ANY failure — no gcc, unwritable /tmp, a corrupt cached .so —
+returns None, and the caller falls back to its pure-numpy path; the
+kernel is compiled once into /tmp keyed on the source digest and
+atomically published, so concurrent workers race safely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+
+def compile_and_load(prefix: str, c_src: str) -> ctypes.CDLL | None:
+    """Compile ``c_src`` into a cached /tmp .so and load it; None on any
+    failure (the numpy-fallback contract)."""
+    try:
+        digest = hashlib.sha256(c_src.encode()).hexdigest()[:16]
+        so_path = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}.so")
+        if not os.path.exists(so_path):
+            src = so_path + ".c"
+            with open(src, "w") as f:
+                f.write(c_src)
+            tmp = so_path + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(tmp, so_path)  # atomic: concurrent workers race safely
+        return ctypes.CDLL(so_path)
+    except Exception:
+        return None

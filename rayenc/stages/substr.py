@@ -120,6 +120,10 @@ def duplicate_spans(
     Adjacent/overlapping windows are NOT merged here — apply_spans (or
     any consumer) merges; this keeps the operator a pure inverted-index
     scan with one bucketed shuffle."""
+    if id_col in ("h", "pos", "_b"):
+        raise ValueError(
+            f"duplicate_spans reserved internal column name as id_col: {id_col}"
+        )
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -252,7 +256,7 @@ def apply_spans(
         np.cumsum(counts, out=starts[1:])
         total = int(starts[-1])
         covered = np.zeros(total + 1, dtype=np.int64)
-        if len(sp):
+        if len(sp) and len(ids):
             sid = sp[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             st = sp["__ss_start"].to_numpy(zero_copy_only=False).astype(np.int64)
             en = sp["__ss_end"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -267,9 +271,13 @@ def apply_spans(
             np.subtract.at(covered, hi, 1)
         keep_mask = np.cumsum(covered[:-1]) == 0
         kept_flat = flat.filter(pa.array(keep_mask)) if total else flat
-        kept_counts = np.zeros(len(counts), dtype=np.int64)
         if total:
-            np.add.at(kept_counts, np.repeat(np.arange(len(counts)), counts), keep_mask)
+            doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            kept_counts = np.bincount(
+                doc_of[keep_mask], minlength=len(counts)
+            ).astype(np.int64)
+        else:
+            kept_counts = np.zeros(len(counts), dtype=np.int64)
         kept_off = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(kept_counts, out=kept_off[1:])
         lists = pa.LargeListArray.from_arrays(

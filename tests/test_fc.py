@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from rayenc.blocks import decode_column, encode_column
 from rayenc.codecs.fc import PREFIX_WINDOW, FrontCodec, shared_prefix_lengths
@@ -122,3 +123,26 @@ def test_fc_native_and_fallback_agree(monkeypatch):
     assert decode_column(native_blob).to_pylist() == vals  # numpy reads native
     monkeypatch.undo()
     assert decode_column(fallback_blob).to_pylist() == vals  # native reads numpy
+
+
+def test_native_decode_rejects_corrupt_sections():
+    """The C kernel trusts its inputs; the wrapper must fail loudly on
+    inconsistent sections instead of reading out of bounds (review
+    finding)."""
+    from rayenc.codecs import _cfc
+
+    payload = np.frombuffer(b"abcdef", dtype=np.uint8)
+    out_off = np.array([0, 3, 6], dtype=np.int64)
+    out = np.empty(6, dtype=np.uint8)
+    with pytest.raises(ValueError, match="nonzero prefix"):
+        _cfc.native_decode(
+            payload, np.array([1, 0]), np.array([3, 3]), out_off, out
+        )
+    with pytest.raises(ValueError, match="suffix lengths"):
+        _cfc.native_decode(
+            payload, np.array([0, 0]), np.array([3, 9]), out_off, out
+        )
+    with pytest.raises(ValueError, match="negative"):
+        _cfc.native_decode(
+            payload, np.array([0, -1]), np.array([3, 3]), out_off, out
+        )

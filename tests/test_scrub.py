@@ -67,7 +67,8 @@ def test_chunk_exact_windows():
     words = [f"w{i}" for i in range(10)]
     t = _tbl([" ".join(words)], ids=[7])
     out = chunk_batch(t, max_tokens=4, overlap=1)
-    # step=3: windows [0:4],[3:7],[6:10],[9:10]
+    # step=3, ceil((10-1)/3)=3 windows: [0:4],[3:7],[6:10] — the last
+    # window reaches the end, so no redundant trailing chunk is emitted
     assert out["chunk_id"].to_pylist() == [0, 1, 2]
     assert out["n_tokens"].to_pylist() == [4, 4, 4]
     assert out["text"].to_pylist() == [

@@ -148,3 +148,23 @@ def test_random_corpus_matches_python_reference():
         exp_text, exp_removed = ref[r["doc_id"]]
         assert r["text"] == exp_text, r["doc_id"]
         assert r["removed_tokens"] == exp_removed, r["doc_id"]
+
+
+def test_span_only_bucket_does_not_crash():
+    """A doc bucket that receives only span rows (stray spans for an
+    absent doc_id) must be tolerated, not IndexError (review finding)."""
+    docs = _ds([{"doc_id": 0, "text": "a b c"}])
+    spans = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([42], type=pa.int64()),
+             "start": pa.array([0], type=pa.int64()),
+             "end": pa.array([2], type=pa.int64())}
+        )
+    )
+    df = _result(apply_spans(docs, spans, n_doc_buckets=32))
+    assert df.loc[0, "text"] == "a b c" and df.loc[0, "removed_tokens"] == 0
+
+
+def test_duplicate_spans_rejects_reserved_id_col():
+    with pytest.raises(ValueError, match="reserved"):
+        duplicate_spans(_ds([]), id_col="pos")
