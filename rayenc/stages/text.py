@@ -246,3 +246,141 @@ def langid_dataset(ds: "ray.data.Dataset", concurrency=(1, 4), **kw) -> "ray.dat
 
 def fingerprint_dataset(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return ds.map_batches(lambda b: fingerprint_batch(b, **kw), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+
+def _runs(doc: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort (doc, hash) pairs into equal-value runs; returns
+    (order, run_id_per_sorted_row, run_sizes)."""
+    order = np.lexsort((h, doc))
+    ds_, hs_ = doc[order], h[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    run_id = np.cumsum(first) - 1
+    run_sizes = np.bincount(run_id)
+    return order, run_id, run_sizes
+
+
+def repetition_scores(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+) -> pa.Table:
+    """Within-document repetition fractions — the Gopher repetition
+    filters, fully vectorized over the batch:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: lines (whitespace-
+      trimmed, empties ignored) occurring more than once in the doc,
+      as a fraction of lines / of line characters.
+    - ``top{n}gram_char_frac``: characters in occurrences of the doc's
+      MOST FREQUENT word n-gram over its total word characters.
+    - ``dup{n}gram_char_frac``: characters of words covered by any
+      n-gram occurring more than once in the doc (overlaps merged via
+      a difference-array cover, the substr.py idiom).
+
+    Null/empty docs score 0 everywhere. Thresholding (e.g. Gopher's
+    drop at dup_line_frac > 0.30) is the caller's policy.
+    """
+    from .substr import _token_hashes, _tokenize, _window_hashes
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    out = {
+        "dup_line_frac": np.zeros(n_docs),
+        "dup_line_char_frac": np.zeros(n_docs),
+        f"top{top_ngram}gram_char_frac": np.zeros(n_docs),
+        f"dup{dup_ngram}gram_char_frac": np.zeros(n_docs),
+    }
+
+    # --- line duplication ---------------------------------------------------
+    lines = pc.split_pattern(pc.cast(texts, pa.large_string()), "\n")
+    lflat = pc.list_flatten(lines)
+    if isinstance(lflat, pa.ChunkedArray):
+        lflat = lflat.combine_chunks()
+    lflat = pc.utf8_trim_whitespace(lflat)
+    lcounts = (
+        pc.list_value_length(lines).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    keep = np.asarray(pc.not_equal(pc.binary_length(lflat), 0))
+    if len(keep) and not keep.all():
+        ldoc_all = np.repeat(np.arange(n_docs, dtype=np.int64), lcounts)
+        lcounts = np.bincount(ldoc_all[keep], minlength=n_docs).astype(np.int64)
+        lflat = lflat.filter(pa.array(keep))
+    if len(lflat):
+        ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), lcounts)
+        lh = _token_hashes(lflat)
+        lchars = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+        order, run_id, run_sizes = _runs(ldoc, lh)
+        dup = run_sizes[run_id] > 1
+        d_sorted = ldoc[order]
+        dup_lines = np.bincount(d_sorted[dup], minlength=n_docs)
+        dup_chars = np.bincount(d_sorted[dup], weights=lchars[order][dup], minlength=n_docs)
+        tot_chars = np.bincount(ldoc, weights=lchars, minlength=n_docs)
+        out["dup_line_frac"] = dup_lines / np.maximum(lcounts, 1)
+        out["dup_line_char_frac"] = dup_chars / np.maximum(tot_chars, 1)
+
+    # --- word n-grams -------------------------------------------------------
+    wflat, wcounts = _tokenize(texts)
+    if len(wflat):
+        H = _token_hashes(wflat)
+        wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+        wstarts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(wcounts, out=wstarts[1:])
+        wtot = np.bincount(
+            np.repeat(np.arange(n_docs, dtype=np.int64), wcounts),
+            weights=wlen,
+            minlength=n_docs,
+        )
+        denom = np.maximum(wtot, 1)
+
+        # most-frequent top_ngram: chars over all its occurrences
+        h, d, p = _window_hashes(H, wcounts, top_ngram)
+        if len(h):
+            g = wstarts[d] + p  # global index of first word in window
+            occ_chars = sum(wlen[g + j] for j in range(top_ngram))
+            order, run_id, run_sizes = _runs(d, h)
+            run_chars = np.bincount(run_id, weights=occ_chars[order])
+            run_doc = d[order][np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]])]
+            run_count = run_sizes
+            # per-doc run with max count (ties: larger char mass wins)
+            sel = np.lexsort((run_chars, run_count, run_doc))
+            rd_, rc_ = run_doc[sel], run_chars[sel]
+            last = np.ones(len(sel), dtype=bool)
+            last[:-1] = rd_[1:] != rd_[:-1]
+            # only count if the winning n-gram actually repeats OR Gopher
+            # counts the most common n-gram regardless of repetition;
+            # follow Gopher: the most common n-gram, even if unique
+            out[f"top{top_ngram}gram_char_frac"][rd_[last]] = rc_[last] / denom[rd_[last]]
+
+        # duplicated dup_ngram cover
+        h, d, p = _window_hashes(H, wcounts, dup_ngram)
+        if len(h):
+            order, run_id, run_sizes = _runs(d, h)
+            dup = run_sizes[run_id] > 1
+            dd, dp = d[order][dup], p[order][dup]
+            total_words = int(wstarts[-1])
+            covered = np.zeros(total_words + 1, dtype=np.int64)
+            lo = wstarts[dd] + dp
+            np.add.at(covered, lo, 1)
+            np.subtract.at(covered, np.minimum(lo + dup_ngram, wstarts[dd + 1]), 1)
+            mask = np.cumsum(covered[:-1]) > 0
+            wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)
+            cov_chars = np.bincount(wdoc[mask], weights=wlen[mask], minlength=n_docs)
+            out[f"dup{dup_ngram}gram_char_frac"] = cov_chars / denom
+
+    cols = {id_col: batch[id_col]}
+    for k, v in out.items():
+        cols[k] = pa.array(v, type=pa.float64())
+    return pa.table(cols)
+
+
+def repetition_dataset(ds: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    return ds.map_batches(lambda b: repetition_scores(b, **kw), batch_format="pyarrow")
