@@ -5,7 +5,8 @@ The reference has no text analysis, dedup, or similarity ops
 required by the brief: text analysis (lang-id, quality, tokens,
 fingerprints), deduplication (exact, MinHash-LSH, SimHash, embedding
 cosine, duplicated-substring span removal), PII scrubbing, document
-chunking, ANN search, and multimodal plumbing stubs. All are
+chunking, benchmark decontamination, ANN search, and multimodal
+plumbing stubs. All are
 Dataset-first map_batches stages; shuffles only where semantics demand
 (LSH bucket groupbys).
 """
