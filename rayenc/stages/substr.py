@@ -44,29 +44,41 @@ _SPAN_FIELDS = [("start", pa.int64()), ("end", pa.int64())]
 _RESERVED = ("__ss_kind", "__ss_b", "__ss_start", "__ss_end")
 
 
-def _tokenize(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """(flat token array, per-doc token counts). Null docs count 0."""
-    toks = pc.utf8_split_whitespace(texts)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+def flatten_nonempty(
+    lists: pa.ChunkedArray | pa.Array,
+    transform=None,
+) -> tuple[pa.Array, np.ndarray]:
+    """Flatten a list<string> column to (flat elements, per-row counts),
+    dropping empty elements (split kernels emit them at string edges:
+    "  a " -> ["", "a", ""]). Null rows count 0. ``transform`` runs on
+    the flat array BEFORE the empty-drop (e.g. trim). The one
+    implementation behind word tokenization here and line splitting in
+    text.py (review rule: the filter/bincount idiom must not fork)."""
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
     counts = (
-        pc.list_value_length(toks)
+        pc.list_value_length(lists)
         .fill_null(0)
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    flat = pc.list_flatten(toks)
+    flat = pc.list_flatten(lists)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
-    # split_whitespace emits empty tokens at string edges ("  a " ->
-    # ["", "a", ""]); drop them so windows are over real tokens
+    if transform is not None:
+        flat = transform(flat)
     nonempty = pc.not_equal(pc.binary_length(flat), 0)
     ne = np.asarray(nonempty)
-    if not ne.all():
+    if len(ne) and not ne.all():
         doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         counts = np.bincount(doc_of[ne], minlength=len(counts)).astype(np.int64)
         flat = flat.filter(nonempty)
     return flat, counts
+
+
+def _tokenize(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(flat token array, per-doc token counts). Null docs count 0."""
+    return flatten_nonempty(pc.utf8_split_whitespace(texts))
 
 
 def _token_hashes(flat: pa.Array) -> np.ndarray:

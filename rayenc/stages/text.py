@@ -287,7 +287,12 @@ def repetition_scores(
     Null/empty docs score 0 everywhere. Thresholding (e.g. Gopher's
     drop at dup_line_frac > 0.30) is the caller's policy.
     """
-    from .substr import _token_hashes, _tokenize, _window_hashes
+    from .substr import (
+        _token_hashes,
+        _tokenize,
+        _window_hashes,
+        flatten_nonempty,
+    )
 
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
@@ -301,19 +306,10 @@ def repetition_scores(
     }
 
     # --- line duplication ---------------------------------------------------
-    lines = pc.split_pattern(pc.cast(texts, pa.large_string()), "\n")
-    lflat = pc.list_flatten(lines)
-    if isinstance(lflat, pa.ChunkedArray):
-        lflat = lflat.combine_chunks()
-    lflat = pc.utf8_trim_whitespace(lflat)
-    lcounts = (
-        pc.list_value_length(lines).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    lflat, lcounts = flatten_nonempty(
+        pc.split_pattern(pc.cast(texts, pa.large_string()), "\n"),
+        transform=pc.utf8_trim_whitespace,
     )
-    keep = np.asarray(pc.not_equal(pc.binary_length(lflat), 0))
-    if len(keep) and not keep.all():
-        ldoc_all = np.repeat(np.arange(n_docs, dtype=np.int64), lcounts)
-        lcounts = np.bincount(ldoc_all[keep], minlength=n_docs).astype(np.int64)
-        lflat = lflat.filter(pa.array(keep))
     if len(lflat):
         ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), lcounts)
         lh = _token_hashes(lflat)
@@ -334,11 +330,8 @@ def repetition_scores(
         wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
         wstarts = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(wcounts, out=wstarts[1:])
-        wtot = np.bincount(
-            np.repeat(np.arange(n_docs, dtype=np.int64), wcounts),
-            weights=wlen,
-            minlength=n_docs,
-        )
+        wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)
+        wtot = np.bincount(wdoc, weights=wlen, minlength=n_docs)
         denom = np.maximum(wtot, 1)
 
         # most-frequent top_ngram: chars over all its occurrences
@@ -355,9 +348,9 @@ def repetition_scores(
             rd_, rc_ = run_doc[sel], run_chars[sel]
             last = np.ones(len(sel), dtype=bool)
             last[:-1] = rd_[1:] != rd_[:-1]
-            # only count if the winning n-gram actually repeats OR Gopher
-            # counts the most common n-gram regardless of repetition;
-            # follow Gopher: the most common n-gram, even if unique
+            # Gopher counts the most common n-gram even when it occurs
+            # only once — the fraction measures concentration, not
+            # repetition per se
             out[f"top{top_ngram}gram_char_frac"][rd_[last]] = rc_[last] / denom[rd_[last]]
 
         # duplicated dup_ngram cover
@@ -372,7 +365,6 @@ def repetition_scores(
             np.add.at(covered, lo, 1)
             np.subtract.at(covered, np.minimum(lo + dup_ngram, wstarts[dd + 1]), 1)
             mask = np.cumsum(covered[:-1]) > 0
-            wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)
             cov_chars = np.bincount(wdoc[mask], weights=wlen[mask], minlength=n_docs)
             out[f"dup{dup_ngram}gram_char_frac"] = cov_chars / denom
 

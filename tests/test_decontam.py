@@ -72,3 +72,24 @@ def test_benchmark_hashes_sorted_unique():
     h = benchmark_ngram_hashes([EVAL_ITEM, EVAL_ITEM, EVAL_ITEM + " extra"], k=12)
     assert len(h) == 2  # one window for the 12-token item, one more for +1 token
     assert np.all(np.diff(h.astype(np.uint64)) > 0)
+
+
+def test_near_verbatim_quote_normalized_and_flagged():
+    """Capitalization and punctuation drift must not defeat the rule
+    (review finding: the published rule normalizes text first)."""
+    quoted = "What is the capital of France? The answer is Paris, obviously, today."
+    docs = _docs(["my quiz says: " + quoted + " end of quote"])
+    df = _run(docs, [EVAL_ITEM], k=12)
+    assert df.loc[0, "contaminated"]
+
+
+def test_non_latin_text_survives_normalization():
+    # normalization is utf8_lower + punctuation strip, NOT full Unicode
+    # case folding (Greek final sigma: upper('ς')->'Σ'->lower->'σ'), so
+    # the realistic drift here is sentence capitalization + punctuation
+    item = "τι είναι η πρωτεύουσα της γαλλίας η απάντηση είναι το παρίσι σήμερα"
+    quoted = "Τι είναι η πρωτεύουσα της γαλλίας; Η απάντηση είναι το παρίσι, σήμερα."
+    docs = _docs(["quote: " + quoted, "άσχετο κείμενο χωρίς καμία επικάλυψη"])
+    df = _run(docs, [item], k=12)
+    assert df.loc[0, "contaminated"]
+    assert not df.loc[1, "contaminated"]
