@@ -134,8 +134,13 @@ def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
     """Length / charset-ratio quality features, all Arrow kernels.
 
     alpha/digit/space/punct ratios over characters, mean token length,
-    plus a composite [0,1] quality score (monotone blend used for
-    filtering thresholds downstream)."""
+    stopword_ratio (fraction of lowercased tokens in the union stopword
+    table — Gopher's "must contain stopwords" gate; membership tested
+    on UNIQUE tokens only, the LangId discipline), plus a composite
+    [0,1] quality score (monotone blend used for filtering thresholds
+    downstream)."""
+    from .substr import flatten_nonempty
+
     text = batch[text_col]
     n_chars = pc.utf8_length(text).cast(pa.float64())
     denom = pc.max_element_wise(n_chars, 1.0)
@@ -149,6 +154,24 @@ def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
     mean_tok_len = pc.divide(
         pc.subtract(n_chars, space), pc.max_element_wise(tokens, 1.0)
     )
+    # stopword fraction over the batch's one concatenated token stream:
+    # dictionary-encode, test only the unique tokens, bincount per doc
+    n_docs = len(batch)
+    sw_ratio = np.zeros(n_docs)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    flat, counts = flatten_nonempty(
+        pc.utf8_split_whitespace(pc.utf8_lower(pc.cast(text, pa.large_string())))
+    )
+    if len(flat):
+        all_sw = pa.array(sorted(frozenset().union(*_STOPWORDS.values())))
+        d = pc.dictionary_encode(flat)
+        uniq_hit = pc.is_in(d.dictionary, value_set=all_sw)
+        hit = np.asarray(uniq_hit)[
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        sw_ratio = np.bincount(doc_of[hit], minlength=n_docs) / np.maximum(counts, 1)
     # composite: favor alpha-heavy, penalize digit-heavy and degenerate
     # whitespace; clamp to [0,1]
     comp = pc.subtract(alpha_ratio, pc.multiply(digit_ratio, 0.5))
@@ -162,6 +185,7 @@ def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
             "digit_ratio": digit_ratio,
             "space_ratio": space_ratio,
             "mean_token_len": mean_tok_len,
+            "stopword_ratio": pa.array(sw_ratio, type=pa.float64()),
             "quality": comp,
         }
     )

@@ -47,6 +47,28 @@ def test_quality_scores(ray_session, docs_ds):
     out = quality_dataset(docs_ds).to_pandas().sort_values("doc_id")
     assert ((out["alpha_ratio"] >= 0) & (out["alpha_ratio"] <= 1)).all()
     assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert ((out["stopword_ratio"] >= 0) & (out["stopword_ratio"] <= 1)).all()
+
+
+def test_quality_stopword_ratio_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rayenc.stages.text import quality_dataset
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "The cat sat ON the mat",  # the/on/the: 3 of 6 (lowercased)
+                "zzz qqq xxx",  # none of 3
+                None,
+            ],
+        }
+    )
+    out = quality_dataset(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert abs(out["stopword_ratio"].iloc[0] - 0.5) < 1e-12
+    assert out["stopword_ratio"].iloc[1] == 0.0
+    assert out["stopword_ratio"].iloc[2] == 0.0
 
 
 def test_lang_id(ray_session, docs_ds):
