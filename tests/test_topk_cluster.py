@@ -326,3 +326,54 @@ def test_agg_topk_unbumpable_string_max_still_decodes(ray_session):
     # ascending still exact (min bounds always exist for non-null blocks)
     got_asc = agg_topk(blocks, "w", 2, descending=False, tie_cols=["doc_id"])
     assert got_asc["w"].to_pylist() == ["zebra000", "zebra001"]
+
+
+def test_cluster_by_unlocks_front_coding_on_shuffled_paths(ray_session, tmp_path):
+    """cluster_by x fc synergy: a shuffled path column gives front coding
+    little shared prefix between consecutive rows, but clustering by the
+    path sorts each partition first — the selector's measured
+    prefix_ratio crosses the fc gate and the path blobs shrink. The two
+    layouts must hold the identical row multiset either way."""
+    import json
+
+    from rayenc.corpus import gen_corpus
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    paths = sorted(gen_corpus(n)["path"].to_pylist())
+    order = rng.permutation(n)
+    t = pa.table(
+        {
+            "path": pa.array([paths[i] for i in order]),
+            "doc_id": pa.array(order.astype(np.int64)),
+        }
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=1000)
+    out_c, out_u = tmp_path / "clustered", tmp_path / "unsorted"
+    for out, cluster in ((out_c, ["path"]), (out_u, None)):
+        run_encode_job(
+            str(src), str(out), block_rows=1000, hash_column=None,
+            max_partition_bytes=1 << 40, cluster_by=cluster, concurrency=2,
+        )
+    bc = rd.read_parquet(str(out_c / "blocks")).materialize()
+    bu = rd.read_parquet(str(out_u / "blocks")).materialize()
+
+    def path_codecs_and_bytes(blocks):
+        rows = blocks.select_columns(["lineage", "col_path"]).take_all()
+        codecs = {json.loads(r["lineage"])["path"]["codec"] for r in rows}
+        return codecs, sum(len(r["col_path"]) for r in rows)
+
+    codecs_c, bytes_c = path_codecs_and_bytes(bc)
+    codecs_u, bytes_u = path_codecs_and_bytes(bu)
+    assert any(c.startswith("fc") for c in codecs_c), codecs_c
+    assert bytes_c < bytes_u, (bytes_c, bytes_u)
+
+    # same rows either way (clustered order differs; multiset identical)
+    for blocks in (bc, bu):
+        dec = pa.concat_tables(
+            decode_dataset(blocks).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        assert dec.sort_by("doc_id").equals(t.sort_by("doc_id"))
