@@ -163,6 +163,14 @@ def native_decode(
                 f"fc blob corrupt: payload {len(payload)} bytes, "
                 f"suffix lengths sum to {int(suf_lens.sum())}"
             )
+        # A prefix longer than the previous (already-decoded) row would
+        # make the C kernel memcpy bytes past that row's end — in-buffer
+        # but overlapping/undefined, returning garbage instead of the
+        # loud failure this function promises.
+        if n > 1 and np.any(prefs[1:] > (prefs + suf_lens)[:-1]):
+            raise ValueError(
+                "fc blob corrupt: prefix exceeds previous row length"
+            )
     lib = get_lib()
     if lib is None:
         return False

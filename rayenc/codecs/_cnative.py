@@ -17,12 +17,27 @@ import subprocess
 import tempfile
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir under the system tempdir.
+
+    ctypes.CDLL on a world-writable shared /tmp path would let another
+    local user pre-plant a .so at the predictable digest-derived name;
+    a uid-suffixed directory created 0700 (and verified owned-by-us and
+    non-world-writable if it already exists) closes that."""
+    d = os.path.join(tempfile.gettempdir(), f"rayenc-native-{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise RuntimeError(f"native cache dir {d} has unsafe ownership/mode")
+    return d
+
+
 def compile_and_load(prefix: str, c_src: str) -> ctypes.CDLL | None:
-    """Compile ``c_src`` into a cached /tmp .so and load it; None on any
-    failure (the numpy-fallback contract)."""
+    """Compile ``c_src`` into a cached per-user .so and load it; None on
+    any failure (the numpy-fallback contract)."""
     try:
         digest = hashlib.sha256(c_src.encode()).hexdigest()[:16]
-        so_path = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}.so")
+        so_path = os.path.join(_cache_dir(), f"{prefix}_{digest}.so")
         if not os.path.exists(so_path):
             src = so_path + ".c"
             with open(src, "w") as f:

@@ -93,8 +93,11 @@ def chunk_batch(
     token-space contract). Null/empty docs emit zero chunks. Fully
     vectorized: per-chunk token offsets are computed batch-wide, chunk
     text is one LargeListArray take + binary_join."""
-    if overlap >= max_tokens:
-        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap {overlap} must satisfy 0 <= overlap < max_tokens "
+            f"{max_tokens} (negative overlap silently drops tokens)"
+        )
     step = max_tokens - overlap
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     flat, counts = _tokenize(batch[text_col])

@@ -146,3 +146,14 @@ def test_native_decode_rejects_corrupt_sections():
         _cfc.native_decode(
             payload, np.array([0, -1]), np.array([3, 3]), out_off, out
         )
+    # Prefix longer than the previous decoded row: sections are
+    # internally consistent byte-count-wise but the kernel would copy
+    # overlapping/uninitialized bytes (ADVICE r4).
+    with pytest.raises(ValueError, match="exceeds previous row"):
+        _cfc.native_decode(
+            np.frombuffer(b"abcd", dtype=np.uint8),
+            np.array([0, 5]),
+            np.array([2, 2]),
+            np.array([0, 2, 9], dtype=np.int64),
+            np.empty(9, dtype=np.uint8),
+        )

@@ -93,6 +93,10 @@ def test_chunk_short_null_empty_docs():
 def test_chunk_rejects_bad_overlap():
     with pytest.raises(ValueError, match="overlap"):
         chunk_batch(_tbl(["a"]), max_tokens=4, overlap=4)
+    # Negative overlap makes step > max_tokens: silent token loss
+    # between consecutive windows (ADVICE r4).
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_batch(_tbl(["a"]), max_tokens=4, overlap=-1)
 
 
 def test_chunk_dataset_coverage_property():
