@@ -110,6 +110,52 @@ void fsst_unpack(const unsigned char *in, long long n, int width,
     }
 }
 
+/* fused decode: unpack width-bit LSB-first tokens straight into expanded
+   bytes, accumulating per-row byte lengths — the full-decode hot path.
+   Avoids materializing the u16 token array and the per-token length
+   gather + cumsum (the two dominant numpy costs). out_cap must include
+   8 slack bytes past the true size: symbols are copied with a fixed
+   8-byte memcpy (word copy) and the cursor advanced by the real length.
+   returns total bytes written, -1 on output overflow, -2 on a token id
+   past the symbol table (corrupt blob). */
+long long fsst_unpack_expand(const unsigned char *in, int width,
+                             const long long *row_counts, long long n_rows,
+                             const unsigned char *syms,
+                             const unsigned char *sym_lens, int n_syms,
+                             unsigned char *out, long long out_cap,
+                             long long *row_lens) {
+    unsigned int acc = 0;
+    int bits = 0;
+    long long ipos = 0;
+    unsigned int mask = (1u << width) - 1u;
+    long long o = 0;
+    for (long long r = 0; r < n_rows; r++) {
+        long long o0 = o;
+        long long cnt = row_counts[r];
+        for (long long k = 0; k < cnt; k++) {
+            while (bits < width) {
+                acc |= ((unsigned int)in[ipos++]) << bits;
+                bits += 8;
+            }
+            unsigned int tok = acc & mask;
+            acc >>= width;
+            bits -= width;
+            if (tok < 256u) {
+                if (o + 1 > out_cap) return -1;
+                out[o++] = (unsigned char)tok;
+            } else {
+                int s = (int)tok - 256;
+                if (s >= n_syms) return -2;
+                if (o + 8 > out_cap) return -1;
+                memcpy(out + o, syms + (long long)s * 8, 8);
+                o += sym_lens[s];
+            }
+        }
+        row_lens[r] = o - o0;
+    }
+    return o;
+}
+
 /* expand tokens back to bytes; out must hold the exact decoded size. */
 long long fsst_decode(const unsigned short *tokens, long long n_tokens,
                       const unsigned char *syms, const unsigned char *sym_lens,
@@ -157,6 +203,10 @@ def get_lib():
     lib.fsst_pack.argtypes = [U16P, LL, ctypes.c_int, U8P]
     lib.fsst_unpack.restype = None
     lib.fsst_unpack.argtypes = [U8P, LL, ctypes.c_int, U16P]
+    lib.fsst_unpack_expand.restype = LL
+    lib.fsst_unpack_expand.argtypes = [
+        U8P, ctypes.c_int, LLP, LL, U8P, U8P, ctypes.c_int, U8P, LL, LLP,
+    ]
     _LIB = lib
     return _LIB
 
@@ -220,6 +270,54 @@ def native_unpack(buf: bytes, width: int, n: int) -> np.ndarray | None:
         raw = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
         lib.fsst_unpack(raw, n, width, out)
     return out[:n]
+
+
+def native_unpack_expand(
+    buf: bytes,
+    width: int,
+    token_counts: np.ndarray,
+    symbols: list[bytes],
+    out_size: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused bit-unpack + token expansion for the full-decode path:
+    (decoded byte stream, per-row byte lengths), or None when no kernel.
+    Raises ValueError on a corrupt blob (bad token id, size mismatch)
+    rather than returning garbage."""
+    lib = get_lib()
+    if lib is None or width > 16:
+        return None
+    token_counts = np.ascontiguousarray(token_counts, dtype=np.int64)
+    n_rows = len(token_counts)
+    ntok = int(token_counts.sum())
+    raw = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+    if len(raw) < (ntok * width + 7) // 8:
+        raise ValueError(
+            f"fsst blob corrupt: {len(raw)} token bytes < "
+            f"{(ntok * width + 7) // 8} needed for {ntok} tokens @ w={width}"
+        )
+    syms, lens = pack_symbols(symbols)
+    # +8 slack: the kernel copies symbols with a fixed 8-byte word memcpy
+    out = np.empty(out_size + 8, dtype=np.uint8)
+    row_lens = np.empty(max(n_rows, 1), dtype=np.int64)
+    n = lib.fsst_unpack_expand(
+        raw if raw.size else np.zeros(1, np.uint8),
+        width,
+        token_counts if n_rows else np.zeros(1, np.int64),
+        n_rows,
+        syms,
+        lens,
+        len(symbols),
+        out,
+        out_size + 8,
+        row_lens,
+    )
+    if n == -2:
+        raise ValueError("fsst blob corrupt: token id past the symbol table")
+    if n != out_size:
+        raise ValueError(
+            f"fsst blob corrupt: decoded {n} bytes, expected {out_size}"
+        )
+    return out[:out_size], row_lens[:n_rows]
 
 
 def native_decode(

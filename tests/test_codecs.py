@@ -221,6 +221,48 @@ def test_fsst_native_and_fallback_agree(monkeypatch):
     assert decode_column(fallback_blob).equals(arr)
 
 
+def test_fsst_fused_decode_legacy_and_corrupt():
+    """Round-5 fused decode path: blocks without the new `nbytes` param
+    (legacy job dirs) must still decode via the skeleton path, and a
+    corrupt fused blob must fail LOUDLY, never return garbage."""
+    import numpy as np
+    import pytest
+
+    from rayenc.codecs import _cfsst
+    from rayenc.codecs.fsst import FsstCodec
+
+    arr = pa.array(
+        ["the quick brown fox jumps", "the quick brown dog sits", None, ""] * 100,
+        type=pa.string(),
+    )
+    c = FsstCodec()
+    params, sections = c.encode(arr, 3)
+    assert "nbytes" in params
+    # codec layer sees nulls as empty strings (validity lives in the
+    # blocks layer)
+    filled = pa.compute.fill_null(arr, "")
+    assert c.decode(params, sections, len(arr), arr.type).equals(filled)
+    # legacy block: no nbytes -> skeleton path, same result
+    legacy = {k: v for k, v in params.items() if k != "nbytes"}
+    assert c.decode(legacy, sections, len(arr), arr.type).equals(filled)
+    if _cfsst.get_lib() is None:
+        return
+    # corrupt: claimed size mismatch
+    bad = dict(params, nbytes=params["nbytes"] + 7)
+    with pytest.raises(ValueError, match="corrupt"):
+        c.decode(bad, sections, len(arr), arr.type)
+    # corrupt: token buffer truncated below what ntokens*w requires
+    short = dict(sections, tokens=sections["tokens"][: max(len(sections["tokens"]) // 4, 1)])
+    with pytest.raises(Exception):
+        c.decode(params, short, len(arr), arr.type)
+    # corrupt: token id past the symbol table (raw kernel contract)
+    counts = np.array([2], dtype=np.int64)
+    toks = np.array([256 + 250, 65], dtype=np.uint16)  # symbol 250 of 1
+    packed = _cfsst.native_pack(toks, 10)
+    with pytest.raises(ValueError, match="symbol table"):
+        _cfsst.native_unpack_expand(packed, 10, counts, [b"ab"], 3)
+
+
 def test_temporal_types_roundtrip_all_codecs():
     """date64/time32/time64/duration are is_intlike but used to die in
     int_view (no direct int64 view) or type_from_str (no duration
