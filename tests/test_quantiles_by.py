@@ -60,3 +60,36 @@ def test_grouped_quantiles_int_keys_schema_stable(ray_session):
     assert out.schema.field("k").type == pa.int64()
     rows = {r["k"]: r["n"] for r in out.to_pylist()}
     assert rows == {1: 3, 2: 2, None: 1}
+
+
+def test_quantiles_prices_exact_rank_full_column(ray_session):
+    """Full-column exact-rank assertion for q_approx_quantiles_prices —
+    moved here from the shipped query (VERDICT r4 #3): the query now
+    carries a seeded sample-based check; the 1%/2% exact-rank bounds on
+    the REAL lineitem column live in this test."""
+    import pyarrow.parquet as pq
+
+    from rayenc.decode import agg_approx_quantiles
+    from rayenc.encode import encode_dataset
+    from rayenc.stages.sketch import approx_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = approx_quantiles(ds, "l_extendedprice", qs)
+    vals = np.sort(
+        pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])[
+            "l_extendedprice"
+        ].to_numpy(zero_copy_only=False)
+    )
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(vals, e) / len(vals)
+        assert abs(rank - q) < 0.01, (q, e, rank)
+    blocks = encode_dataset(
+        ds, block_rows=1000, hash_column=None, kll=True,
+        forced_codecs={"l_extendedprice": "bss"},
+    ).materialize()
+    meta_est = agg_approx_quantiles(blocks, "l_extendedprice", qs)
+    for q, e in zip(qs, meta_est):
+        rank = np.searchsorted(vals, e) / len(vals)
+        assert abs(rank - q) < 0.02, ("meta", q, e, rank)
