@@ -30,6 +30,7 @@ import os
 import time
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -955,6 +956,49 @@ class PartitionCompactor:
         }
 
 
+def _backfill_row_start(batch: pa.Table, blocks_dir: str) -> pa.Table:
+    """Per-partition ``row_start`` backfill: a METADATA-ONLY rewrite of a
+    legacy (pre-row_start) partition blocks file — blocks sorted by
+    block_seq, the exclusive cumsum of n_rows written as row_start, the
+    parquet swapped atomically. No blobs are decoded or re-encoded, so
+    block_ids / sha256 chains / the manifest block inventory all stay
+    valid. This is the remediation path RowStartRequired names (VERDICT
+    r4 #7: the O(n_blocks) driver offset map is retired). Partitions
+    already carrying non-null row_start are detected from the parquet
+    FOOTER statistics alone — a healthy job dir pays one footer read per
+    partition, never a data read."""
+    out: list[dict] = []
+    for row in batch.to_pylist():
+        pid = row["partition_id"]
+        f = Path(blocks_dir) / f"{pid}.parquet"
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        needs = "row_start" not in names
+        if not needs:
+            idx = names.index("row_start")
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.null_count is None or st.null_count > 0:
+                    needs = True  # nulls (or no stats to prove otherwise)
+                    break
+        if not needs:
+            out.append({"partition_id": pid, "backfilled": False})
+            continue
+        t = pq.read_table(f).sort_by([("block_seq", "ascending")])
+        n_rows = t["n_rows"].to_numpy(zero_copy_only=False).astype("int64")
+        rs = np.zeros(len(n_rows), dtype=np.int64)
+        np.cumsum(n_rows[:-1], out=rs[1:])
+        if "row_start" in t.column_names:
+            t = t.drop_columns(["row_start"])
+        t = t.append_column("row_start", pa.array(rs, type=pa.int64()))
+        tmp = _tmp_path(f)
+        pq.write_table(t, tmp, compression="none")
+        os.replace(tmp, f)
+        out.append({"partition_id": pid, "backfilled": True})
+    return pa.Table.from_pylist(out)
+
+
 def compact_job(
     out_root: str,
     target_block_rows: int,
@@ -1002,15 +1046,38 @@ def compact_job(
     summary = {
         "partitions_compacted": 0,
         "partitions_skipped": skipped,
+        "partitions_backfilled": 0,
         "blocks_before": 0,
         "blocks_after": 0,
         "encoded_bytes_before": 0,
         "encoded_bytes_after": 0,
     }
-    if not pending:
-        return summary
     if concurrency is None:
         concurrency = (1, max(2, cluster_cpus() - 2))
+    # row_start backfill sweep over partitions NOT being re-encoded
+    # (compaction itself re-derives row_start): legacy pre-row_start
+    # dirs become random-access capable in place; healthy partitions
+    # cost one parquet footer read each. See _backfill_row_start.
+    compacting = {e["partition_id"] for e in pending}
+    candidates = [
+        {"partition_id": e["partition_id"]}
+        for e in manifest.entries()
+        if e.get("output") and e.get("rows")
+        and e["partition_id"] not in compacting
+    ]
+    if candidates:
+        bf = (
+            ray.data.from_items(candidates)
+            .map_batches(
+                _backfill_row_start,
+                fn_kwargs={"blocks_dir": str(Path(out_root) / "blocks")},
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        summary["partitions_backfilled"] = sum(1 for r in bf if r["backfilled"])
+    if not pending:
+        return summary
     results = (
         ray.data.from_items(pending)
         .map_batches(

@@ -68,13 +68,16 @@ def test_take_rows_random_access(ray_session, corpus_parquet):
         take_rows(blocks, [3000])
 
 
-def test_take_rows_and_row_numbers_legacy_blocks(ray_session, corpus_parquet):
-    """Blocks WITHOUT row_start (pre-round-4 layout) fall back to the
-    driver-built offset map; results identical to the fast path."""
+def test_take_rows_and_row_numbers_require_row_start(ray_session, corpus_parquet):
+    """Blocks WITHOUT row_start raise the named RowStartRequired error
+    (the O(n_blocks) driver offset map is retired, VERDICT r4 #7); the
+    remediation path — compact_job's metadata-only backfill — is
+    covered in tests/test_compact.py."""
     import numpy as np
+    import pytest
     import ray.data  # noqa: F401
 
-    from rayenc.decode import attach_global_row_numbers, take_rows
+    from rayenc.decode import RowStartRequired, attach_global_row_numbers, take_rows
     from rayenc.jobs import encode_dataset_ordered
 
     src = pq.read_table(corpus_parquet, columns=["repo", "path"])
@@ -88,19 +91,15 @@ def test_take_rows_and_row_numbers_legacy_blocks(ray_session, corpus_parquet):
     # ordered encodes record the within-partition offset at encode time
     assert "row_start" in blocks.schema().names
 
-    legacy = blocks.drop_columns(["row_start"]).materialize()
     idx = np.array([5, 2999, 1400, 5])
-    fast, slow = take_rows(blocks, idx), take_rows(legacy, idx)
-    assert fast.equals(slow)
+    fast = take_rows(blocks, idx)
     assert fast.select(src.column_names).equals(src.take(pa.array(idx)))
 
-    rn_slow = pa.concat_tables(
-        attach_global_row_numbers(legacy, concurrency=(1, 2), base=0).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    ).sort_by("rn")
-    assert rn_slow["rn"].to_pylist() == list(range(src.num_rows))
-    assert rn_slow.select(src.column_names).equals(src)
+    legacy = blocks.drop_columns(["row_start"]).materialize()
+    with pytest.raises(RowStartRequired, match="compact_job"):
+        take_rows(legacy, idx)
+    with pytest.raises(RowStartRequired, match="compact_job"):
+        attach_global_row_numbers(legacy, concurrency=(1, 2), base=0)
 
 
 def test_partition_bases_catch_compensating_corruption(ray_session, corpus_parquet):

@@ -34,16 +34,18 @@ def test_take_rows_rejects_unioned_encodes(ray_session, corpus_parquet):
         take_rows(doubled, [0, 1])
 
 
-def test_take_rows_null_row_start_falls_back_to_legacy(
+def test_take_rows_null_row_start_raises_named_error(
     ray_session, corpus_parquet
 ):
     """row_start present in the schema but null for every block (a
-    pre-row_start job dir read with round-4 code unifies schemas this
-    way): take_rows must fall back to the legacy offset map and still
-    return the right rows."""
-    from rayenc.decode import take_rows
+    pre-row_start job dir read with newer code unifies schemas this
+    way): round 5 retires the legacy driver offset map (VERDICT r4 #7),
+    so both random-access entry points raise the named RowStartRequired
+    pointing at compact_job's metadata-only backfill."""
+    import pytest
 
-    src = pq.read_table(corpus_parquet, columns=["repo", "path"])
+    from rayenc.decode import RowStartRequired, attach_global_row_numbers, take_rows
+
     blocks = _ordered_blocks(corpus_parquet)
 
     def null_rs(t: pa.Table) -> pa.Table:
@@ -51,31 +53,10 @@ def test_take_rows_null_row_start_falls_back_to_legacy(
         return t.set_column(i, "row_start", pa.nulls(t.num_rows, pa.int64()))
 
     legacy = blocks.map_batches(null_rs, batch_format="pyarrow")
-    idx = np.array([0, 1234, 2999])
-    got = take_rows(legacy, idx)
-    assert got.select(src.column_names).equals(src.take(pa.array(idx)))
-
-
-def test_attach_row_numbers_null_row_start_falls_back(
-    ray_session, corpus_parquet
-):
-    from rayenc.decode import attach_global_row_numbers
-
-    src = pq.read_table(corpus_parquet, columns=["repo", "path"])
-    blocks = _ordered_blocks(corpus_parquet)
-
-    def null_rs(t: pa.Table) -> pa.Table:
-        i = t.column_names.index("row_start")
-        return t.set_column(i, "row_start", pa.nulls(t.num_rows, pa.int64()))
-
-    legacy = blocks.map_batches(null_rs, batch_format="pyarrow")
-    t = pa.concat_tables(
-        attach_global_row_numbers(legacy, concurrency=(1, 2), base=0).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    ).sort_by("rn")
-    assert t["rn"].to_pylist() == list(range(src.num_rows))
-    assert t.select(src.column_names).equals(src)
+    with pytest.raises(RowStartRequired, match="compact_job"):
+        take_rows(legacy, np.array([0, 1234, 2999]))
+    with pytest.raises(RowStartRequired, match="compact_job"):
+        attach_global_row_numbers(legacy, concurrency=(1, 2), base=0)
 
 
 def test_retrial_zero_disables_runoff_cache(ray_session):

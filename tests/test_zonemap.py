@@ -169,7 +169,9 @@ def test_take_rows_rejects_unordered_blocks(ray_session):
     blocks = encode_dataset(
         rd.from_arrow(t).repartition(3), block_rows=100, hash_column=None, concurrency=1
     ).materialize()
-    with _pytest.raises(ValueError, match="total order"):
+    # plain streaming encode records no row_start (its blocks have no
+    # meaningful total order) -> the named random-access refusal
+    with _pytest.raises(ValueError, match="row_start"):
         take_rows(blocks, [0])
 
 
