@@ -288,6 +288,11 @@ def native_unpack_expand(
         return None
     token_counts = np.ascontiguousarray(token_counts, dtype=np.int64)
     n_rows = len(token_counts)
+    # an aggregate-only check would accept compensating negatives
+    # ([2**20, 12-2**20] sums fine) and drive the kernel's inner loop
+    # into an unbounded OOB read before any guard fires
+    if n_rows and int(token_counts.min()) < 0:
+        raise ValueError("fsst blob corrupt: negative token count")
     ntok = int(token_counts.sum())
     raw = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
     if len(raw) < (ntok * width + 7) // 8:

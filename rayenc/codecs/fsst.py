@@ -317,7 +317,10 @@ class FsstCodec(Codec):
         self, params: dict, sections: dict[str, bytes], n: int, typ: pa.DataType
     ) -> pa.Array:
         nbytes = params.get("nbytes")
-        if nbytes is not None:
+        # availability-gated BEFORE the tokens decompress: without the
+        # kernel the skeleton path below redoes both the zstd and the
+        # token_counts decode — double work on the slowest path
+        if nbytes is not None and _cfsst.get_lib() is not None and params["w"] <= 16:
             # fused native path: bit-packed buffer -> expanded bytes +
             # per-row lengths in ONE C pass — no u16 token array, no
             # per-token length gather/cumsum (those two dominated the

@@ -991,7 +991,16 @@ def _backfill_row_start(batch: pa.Table, blocks_dir: str) -> pa.Table:
         np.cumsum(n_rows[:-1], out=rs[1:])
         if "row_start" in t.column_names:
             t = t.drop_columns(["row_start"])
-        t = t.append_column("row_start", pa.array(rs, type=pa.int64()))
+        # canonical slot (after content_sha256, matching encode_table):
+        # appending at the END gives a MIXED job dir (some partitions
+        # encoded with row_start, some backfilled) permuted per-file
+        # schemas — Ray Data warns per RefBundle and positional
+        # concatenation breaks downstream
+        t = t.add_column(
+            t.column_names.index("content_sha256") + 1,
+            "row_start",
+            pa.array(rs, type=pa.int64()),
+        )
         tmp = _tmp_path(f)
         pq.write_table(t, tmp, compression="none")
         os.replace(tmp, f)

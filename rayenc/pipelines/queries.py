@@ -8,6 +8,8 @@ values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -363,7 +365,13 @@ def q_selector_stats_by_lang(sf_dir: str) -> pa.Table:
     )
     g = pairs.groupby("lang", dropna=False)
     out = (
-        g.agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+        # min_count=1 keeps SUM-over-all-NULL -> NULL (SQL parity —
+        # grouped_agg_lowcard enforces it in the partials; a default
+        # pandas sum here would fold a NaN partial to 0)
+        g.agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", lambda s: s.sum(min_count=1)),
+        )
         .join(g.size().rename("n_sources"))
         .reset_index()
         .sort_values("lang")
@@ -372,7 +380,7 @@ def q_selector_stats_by_lang(sf_dir: str) -> pa.Table:
         {
             "lang": pa.array(out["lang"], type=pa.string()),
             "n_docs": pa.array(out["n_docs"].astype("int64")),
-            "total_chars": pa.array(out["total_chars"].astype("int64")),
+            "total_chars": pa.array(out["total_chars"].astype("Int64")),
             "n_sources": pa.array(out["n_sources"].astype("int64")),
         }
     )
@@ -982,7 +990,12 @@ def q_approx_quantiles_prices(sf_dir: str) -> pa.Table:
     # sketches and answer the same quantiles from block metadata alone
     # (agg_approx_quantiles) — rank error must hold through the
     # per-block-sketch + merge path too
-    if sf_dir not in _KLL_META_CACHE:
+    # cache key includes the source file's identity (mtime+size): a
+    # harness that regenerates data at the same path must not compare
+    # fresh samples against sketches of the OLD data
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if cache_key not in _KLL_META_CACHE:
         from ..decode import agg_approx_quantiles
         from ..encode import encode_dataset
 
@@ -992,8 +1005,8 @@ def q_approx_quantiles_prices(sf_dir: str) -> pa.Table:
             # force the numeric codec to skip per-actor trial encodes
             forced_codecs={"l_extendedprice": "bss"},
         ).materialize()
-        _KLL_META_CACHE[sf_dir] = agg_approx_quantiles(blocks, "l_extendedprice", qs)
-    for q, e in zip(qs, _KLL_META_CACHE[sf_dir]):
+        _KLL_META_CACHE[cache_key] = agg_approx_quantiles(blocks, "l_extendedprice", qs)
+    for q, e in zip(qs, _KLL_META_CACHE[cache_key]):
         rank = np.searchsorted(vals, e) / len(vals)
         assert abs(rank - q) < 0.03, ("meta", q, e, rank)
     return pa.table(

@@ -261,6 +261,12 @@ def test_fsst_fused_decode_legacy_and_corrupt():
     packed = _cfsst.native_pack(toks, 10)
     with pytest.raises(ValueError, match="symbol table"):
         _cfsst.native_unpack_expand(packed, 10, counts, [b"ab"], 3)
+    # corrupt: compensating-negative token counts sum fine but would
+    # drive the C kernel into an unbounded OOB read — must raise BEFORE
+    # the kernel
+    neg = np.array([2**20, 2 - 2**20], dtype=np.int64)
+    with pytest.raises(ValueError, match="negative token count"):
+        _cfsst.native_unpack_expand(packed, 10, neg, [b"ab"], 3)
 
 
 def test_temporal_types_roundtrip_all_codecs():

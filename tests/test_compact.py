@@ -99,14 +99,26 @@ def test_compact_backfills_row_start_on_legacy_dir(ray_session, tmp_path):
     src = tmp_path / "src.parquet"
     pq.write_table(t, src, row_group_size=500)
     root = tmp_path / "job"
-    run_encode_job(str(src), str(root), block_rows=128, concurrency=2)
+    run_encode_job(
+        str(src), str(root), block_rows=128, concurrency=2,
+        max_partition_bytes=t.nbytes // 3,  # force a multi-partition job
+    )
 
     blocks_dir = root / "blocks"
     block_ids_before = {}
-    for f in sorted(blocks_dir.glob("*.parquet")):
+    files = sorted(blocks_dir.glob("*.parquet"))
+    assert len(files) >= 2, "test needs a multi-partition job"
+    for f in files:
         bt = pq.read_table(f)
         block_ids_before[f.name] = bt["block_id"].to_pylist()
-        pq.write_table(bt.drop_columns(["row_start"]), f, compression="none")
+    # MIXED dir: strip row_start from only the first half — the backfill
+    # must restore the canonical column ORDER, not append at the end
+    # (permuted per-file schemas make Ray Data warn per RefBundle and
+    # break positional concatenation downstream)
+    for f in files[: len(files) // 2]:
+        pq.write_table(
+            pq.read_table(f).drop_columns(["row_start"]), f, compression="none"
+        )
 
     with pytest.raises(RowStartRequired, match="compact_job"):
         take_rows(read_blocks(str(blocks_dir)).materialize(), [3, 1999])
@@ -119,6 +131,9 @@ def test_compact_backfills_row_start_on_legacy_dir(ray_session, tmp_path):
     got = take_rows(blocks, [3, 1999, 0])
     assert got["doc_id"].to_pylist() == [3, 1999, 0]
     assert verify_blocks(blocks)["ok"]
+    # every partition file — backfilled or untouched — shares ONE schema
+    orders = {tuple(pq.ParquetFile(f).schema_arrow.names) for f in files}
+    assert len(orders) == 1, orders
     for f in sorted(blocks_dir.glob("*.parquet")):
         assert pq.read_table(f)["block_id"].to_pylist() == block_ids_before[f.name]
     # idempotent: healthy dir pays footer reads only, nothing rewritten
