@@ -240,6 +240,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         columns=args.columns.split(",") if args.columns else None,
         filter=_parse_filters(args.filter),
         ordered=not args.unordered,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
     print(json.dumps(summary))
     return 0
@@ -548,6 +549,13 @@ def main() -> int:
         "--unordered",
         action="store_true",
         help="skip the per-partition block_seq sort (faster; row order unspecified)",
+    )
+    ex.add_argument(
+        "--partition-by",
+        default=None,
+        metavar="COL[,COL...]",
+        help="hive-style output layout: one col=value/ directory per "
+        "distinct key combination (resume token: per-partition _done marker)",
     )
     ex.set_defaults(fn=cmd_export)
 

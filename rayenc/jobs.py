@@ -1140,12 +1140,26 @@ def _tmp_path(out_file: Path) -> Path:
     return out_file.with_name("_" + out_file.name + ".tmp")
 
 
-def _export_params(blocks_root: str, columns, row_filter, ordered: bool) -> dict:
+def _hive_val(v) -> str:
+    """Path-safe hive-style key segment: None uses the hive default
+    partition name; everything else percent-encodes so '/', '=', spaces
+    and unicode can't break the directory layout."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    from urllib.parse import quote
+
+    return quote(str(v), safe="")
+
+
+def _export_params(
+    blocks_root: str, columns, row_filter, ordered: bool, partition_by=None
+) -> dict:
     from .decode import normalize_dnf
 
     return {
         "blocks_root": str(Path(blocks_root).resolve()),
         "columns": list(columns) if columns else None,
+        "partition_by": list(partition_by) if partition_by else None,
         "filter": (
             [
                 [_jsonable_predicate(p) for p in conj]
@@ -1182,7 +1196,8 @@ def check_export_job(out_root: str | os.PathLike, params: dict) -> None:
             for k in params
             if canon_param(k, rec["params"].get(k)) != canon_param(k, params.get(k))
         }
-        published = any(Path(out_root).glob("part-*.parquet"))
+        # rglob: partition_by exports publish under key subdirectories
+        published = any(Path(out_root).rglob("part-*.parquet"))
         if mismatched and published:
             raise ValueError(
                 f"export resume parameter mismatch for {out_root}: "
@@ -1218,6 +1233,7 @@ class PartitionExporter:
         columns: list[str] | None = None,
         row_filter: list | None = None,
         ordered: bool = True,
+        partition_by: list[str] | None = None,
     ):
         from .decode import BlockDecoder, normalize_dnf
 
@@ -1225,6 +1241,7 @@ class PartitionExporter:
         self.out_root = Path(out_root)
         self.out_root.mkdir(parents=True, exist_ok=True)
         self.columns = columns
+        self.partition_by = list(partition_by) if partition_by else None
         self.dnf = normalize_dnf(row_filter) if row_filter else None
         decode_cols = columns
         if columns and self.dnf:
@@ -1248,8 +1265,18 @@ class PartitionExporter:
         t0 = time.perf_counter()
         src = self.blocks_dir / f"{pid}.parquet"
         # racing-rerun skip BEFORE any block bytes are read (the seq in
-        # the published name is unknown here, so match by pid)
-        if next(self.out_root.glob(f"part-*-{pid}.parquet"), None) is not None:
+        # the published name is unknown here, so match by pid). A
+        # partition_by export publishes SEVERAL files per partition, so
+        # its commit token is the per-partition _done marker written
+        # after the last key file (underscore-prefixed: parquet dataset
+        # discovery over out_root ignores it)
+        done_marker = self.out_root / f"_done-{pid}"
+        published = (
+            done_marker.exists()
+            if self.partition_by
+            else next(self.out_root.glob(f"part-*-{pid}.parquet"), None) is not None
+        )
+        if published:
             return {"partition_id": pid, "rows": -1, "skipped": True, "wall_s": 0.0}
         # projection pushdown at the file read: only the decoded columns'
         # col_* blobs leave the parquet — an exported 2-column projection
@@ -1295,15 +1322,76 @@ class PartitionExporter:
             if self.columns:
                 dec = dec.select(self.columns)
             dec = dec.slice(0, 0)
-        tmp = _tmp_path(out_file)
-        pq.write_table(dec, tmp, compression="zstd")
-        os.replace(tmp, out_file)  # atomic publish: existence == committed
+        if self.partition_by:
+            self._write_partitioned(dec, seq, pid, done_marker)
+        else:
+            tmp = _tmp_path(out_file)
+            pq.write_table(dec, tmp, compression="zstd")
+            os.replace(tmp, out_file)  # atomic publish: existence == committed
         return {
             "partition_id": pid,
             "rows": len(dec),
             "skipped": False,
             "wall_s": round(time.perf_counter() - t0, 3),
         }
+
+    def _write_partitioned(
+        self, dec: pa.Table, seq: int, pid: str, done_marker: Path
+    ) -> None:
+        """Hive-layout publish: rows route to one `key=value/` directory
+        per distinct partition-key combination (the brief's "one
+        directory per key range" output rule), each holding this
+        partition's `part-{seq:06d}-{pid}.parquet`. Multi-file publish
+        can't be one atomic rename, so the commit token is the _done
+        marker written LAST: a crash mid-partition leaves some key files
+        on disk but no marker, and the rerun redecodes the partition and
+        os.replace()s every key file with identical content before
+        re-writing the marker — exactly-once semantics at the partition
+        level. Key columns stay IN the files (the directories are
+        routing, not the only copy), so plain recursive read_parquet
+        reconstructs the full table with no hive-parsing dependency."""
+        import pyarrow.compute as pc
+
+        keys = self.partition_by
+        for c in keys:
+            f = dec.schema.field(c)
+            if pa.types.is_floating(f.type) or pa.types.is_nested(f.type):
+                raise ValueError(
+                    f"partition_by column {c!r} has type {f.type}: float keys "
+                    "are not routable (NaN breaks equality) and nested keys "
+                    "have no path form"
+                )
+        combos = (
+            dec.select(keys).group_by(keys).aggregate([]).to_pylist()
+            if len(dec)
+            else []
+        )
+        for combo in sorted(
+            combos, key=lambda c: tuple(_hive_val(c[k]) for k in keys)
+        ):
+            mask = None
+            for c in keys:
+                v = combo[c]
+                m = (
+                    pc.is_null(dec[c])
+                    if v is None
+                    else pc.fill_null(
+                        pc.equal(dec[c], pa.scalar(v, type=dec.schema.field(c).type)),
+                        False,
+                    )
+                )
+                mask = m if mask is None else pc.and_(mask, m)
+            sub = dec.filter(mask)
+            d = self.out_root.joinpath(*[f"{c}={_hive_val(combo[c])}" for c in keys])
+            d.mkdir(parents=True, exist_ok=True)
+            out_file = d / f"part-{seq:06d}-{pid}.parquet"
+            tmp = _tmp_path(out_file)
+            pq.write_table(sub, tmp, compression="zstd")
+            os.replace(tmp, out_file)
+        tmp = _tmp_path(done_marker)
+        with open(tmp, "w") as f:
+            json.dump({"files": len(combos), "rows": len(dec)}, f)
+        os.replace(tmp, done_marker)  # commit: marker existence == done
 
 
 def run_export_job(
@@ -1313,6 +1401,7 @@ def run_export_job(
     filter: list | None = None,
     ordered: bool = True,
     concurrency: int | tuple[int, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Resumable distributed decode-export. Returns a summary dict.
 
@@ -1323,7 +1412,19 @@ def run_export_job(
     file, so file-order + row-order == original row order for ordered
     encodes). Rerun-safe: published partitions are skipped before any
     block is read; the export record refuses a filter/columns change
-    onto a half-finished dir (same class as the encode job record)."""
+    onto a half-finished dir (same class as the encode job record).
+
+    ``partition_by=[col, ...]`` switches to a hive-style layout:
+    ``out_root/col=value/part-{seq:06d}-{pid}.parquet`` — one directory
+    per distinct key combination (the brief's "one directory per key
+    range" output rule; pair with a ``cluster_by`` encode on the same
+    key for disjoint key ranges per file). Keys must be string/int/bool/
+    date-like (float keys are refused: NaN breaks equality routing) and,
+    under a projection, included in ``columns``. The per-partition
+    commit token becomes an underscore-prefixed ``_done-{pid}`` marker
+    written after the last key file (multi-file publish can't be one
+    rename), so reruns and crash recovery keep exactly-once semantics at
+    the partition level."""
     from .decode import normalize_dnf, validate_predicate_shapes
 
     manifest = Manifest(blocks_root)
@@ -1349,12 +1450,37 @@ def run_export_job(
         }
         for conj in normalize_dnf(filter):
             validate_predicate_shapes(conj, cols, "block table")
-    params = _export_params(blocks_root, columns, filter, ordered)
+    if partition_by:
+        if columns:
+            missing = [c for c in partition_by if c not in columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns {missing} must be included in the "
+                    f"export projection {columns}"
+                )
+        if nonempty:
+            first = Path(blocks_root) / "blocks" / f"{nonempty[0]}.parquet"
+            names = pq.read_schema(str(first)).names
+            have = {c[4:] for c in names if c.startswith("col_")}
+            bad = [c for c in partition_by if c not in have]
+            if bad:
+                raise ValueError(
+                    f"partition_by columns {bad} not in the block table "
+                    f"(have: {sorted(have)})"
+                )
+    params = _export_params(blocks_root, columns, filter, ordered, partition_by)
     check_export_job(out_root, params)
-    done = {
-        f.name.split("-", 2)[2].removesuffix(".parquet")
-        for f in Path(out_root).glob("part-*-*.parquet")
-    }
+    if partition_by:
+        done = {
+            f.name.removeprefix("_done-")
+            for f in Path(out_root).glob("_done-*")
+            if not f.name.endswith(".tmp")
+        }
+    else:
+        done = {
+            f.name.split("-", 2)[2].removesuffix(".parquet")
+            for f in Path(out_root).glob("part-*-*.parquet")
+        }
     pending = [p for p in nonempty if p not in done]
     summary = {
         "partitions_total": len(committed),
@@ -1376,6 +1502,7 @@ def run_export_job(
                     "columns": columns,
                     "row_filter": filter,
                     "ordered": ordered,
+                    "partition_by": partition_by,
                 },
                 batch_format="pyarrow",
                 batch_size=1,

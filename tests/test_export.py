@@ -202,3 +202,137 @@ def test_export_projection_never_reads_unneeded_blobs(encoded_root, tmp_path):
     s = run_export_job(root, out, columns=["repo", "path"], concurrency=2)
     got = _read_export(out)
     assert got.column_names == ["repo", "path"] and got.num_rows == s["rows"] > 0
+
+
+def _read_hive(out_dir: str) -> pa.Table:
+    files = sorted(Path(out_dir).rglob("part-*.parquet"))
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+
+
+def test_export_partition_by_hive_layout(encoded_root, tmp_path):
+    """partition_by=lang publishes one lang=value/ dir per distinct key,
+    each file holds ONLY its key's rows, key columns stay in the files,
+    and the union equals the plain export row-for-row as a multiset."""
+    root, src = encoded_root
+    out = str(tmp_path / "hive")
+    s = run_export_job(root, out, partition_by=["lang"], concurrency=2)
+    assert s["partitions_exported"] == s["partitions_total"] > 1
+
+    table = pq.read_table(src)
+    langs = set(table["lang"].to_pylist())
+    dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert dirs == {f"lang={v}" for v in langs}
+    for d in Path(out).iterdir():
+        if not d.is_dir():
+            continue
+        v = d.name.split("=", 1)[1]
+        sub = _read_hive(str(d))
+        assert set(sub["lang"].to_pylist()) == {v}
+    got = _read_hive(out).select(table.column_names)
+    assert got.num_rows == table.num_rows
+    key = [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")]
+    assert got.sort_by(key).equals(table.sort_by(key))
+    # markers are underscore-prefixed: a recursive parquet dataset read
+    # over out_root must not trip on them
+    assert all(f.name.startswith("_done-") for f in Path(out).glob("_done-*"))
+
+
+def test_export_partition_by_resume_and_crash_recovery(encoded_root, tmp_path):
+    """The _done marker is the commit token: a rerun skips marked
+    partitions; deleting one marker (simulating a crash after some key
+    files landed) re-exports exactly that partition and converges to the
+    same bytes."""
+    root, _ = encoded_root
+    out = str(tmp_path / "hive")
+    s1 = run_export_job(root, out, partition_by=["lang"], concurrency=2)
+    s2 = run_export_job(root, out, partition_by=["lang"], concurrency=2)
+    assert s2["partitions_exported"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+
+    before = {
+        str(f.relative_to(out)): f.stat().st_size
+        for f in Path(out).rglob("part-*.parquet")
+    }
+    markers = sorted(Path(out).glob("_done-*"))
+    markers[0].unlink()  # crash simulation: marker lost, key files remain
+    s3 = run_export_job(root, out, partition_by=["lang"], concurrency=2)
+    assert s3["partitions_exported"] == 1
+    after = {
+        str(f.relative_to(out)): f.stat().st_size
+        for f in Path(out).rglob("part-*.parquet")
+    }
+    assert before == after  # idempotent re-publish, same content
+
+
+def test_export_partition_by_param_drift_refused(encoded_root, tmp_path):
+    root, _ = encoded_root
+    out = str(tmp_path / "hive")
+    run_export_job(root, out, partition_by=["lang"], concurrency=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        run_export_job(root, out, partition_by=["repo"], concurrency=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        run_export_job(root, out, concurrency=2)  # plain onto a hive dir
+
+
+def test_export_partition_by_validation(encoded_root, tmp_path):
+    root, _ = encoded_root
+    with pytest.raises(ValueError, match="not in the block table"):
+        run_export_job(
+            root, str(tmp_path / "h1"), partition_by=["nope"], concurrency=2
+        )
+    with pytest.raises(ValueError, match="must be included in the"):
+        run_export_job(
+            root,
+            str(tmp_path / "h2"),
+            columns=["repo", "path"],
+            partition_by=["lang"],
+            concurrency=2,
+        )
+
+
+def test_export_partition_by_null_key_and_filter(ray_session, tmp_path):
+    """Null keys route to the hive default-partition directory; a row
+    filter composes with the hive layout; float keys are refused with a
+    named error."""
+    import numpy as np
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "grp": pa.array(
+                [None if i % 5 == 0 else f"g{i % 3}" for i in range(n)],
+                type=pa.string(),
+            ),
+            "score": pa.array(np.linspace(0, 1, n), type=pa.float64()),
+        }
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=100)
+    root = str(tmp_path / "job")
+    run_encode_job(str(src), root, block_rows=64, hash_column=None, concurrency=2)
+
+    out = str(tmp_path / "hive")
+    s = run_export_job(
+        root,
+        out,
+        partition_by=["grp"],
+        filter=[("doc_id", "<", 200)],
+        concurrency=2,
+    )
+    assert s["rows"] == 200
+    dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert dirs == {"grp=__HIVE_DEFAULT_PARTITION__", "grp=g0", "grp=g1", "grp=g2"}
+    null_rows = _read_hive(str(Path(out) / "grp=__HIVE_DEFAULT_PARTITION__"))
+    assert set(null_rows["grp"].to_pylist()) == {None}
+    ids = null_rows["doc_id"].to_pylist()
+    assert ids == [i for i in range(200) if i % 5 == 0]
+    got = _read_hive(out)
+    assert sorted(got["doc_id"].to_pylist()) == list(range(200))
+
+    with pytest.raises(Exception, match="float keys"):
+        run_export_job(
+            root, str(tmp_path / "hf"), partition_by=["score"], concurrency=2
+        )

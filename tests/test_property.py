@@ -5,11 +5,19 @@ bit-identically through the block container. No Ray involved."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
 from rayenc.blocks import decode_column, encode_column
+
+
+def _ex(n: int) -> int:
+    """Soak knob: RAYENC_FUZZ_MULT=10 multiplies every test's example
+    count for long fuzzing sessions (default 1 keeps CI fast)."""
+    return n * int(os.environ.get("RAYENC_FUZZ_MULT", "1"))
 from rayenc.codecs import codecs_for_type
 from rayenc.selector import encode_column_auto
 
@@ -46,25 +54,25 @@ def roundtrip_all(arr: pa.Array):
                 assert got == want, (codec.name, got, want)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(st.lists(TEXT, max_size=60))
 def test_string_roundtrip_property(values):
     roundtrip_all(pa.array(values, type=pa.string()))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(st.lists(INTS, max_size=60))
 def test_int_roundtrip_property(values):
     roundtrip_all(pa.array(values, type=pa.int64()))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(st.lists(FLOATS, max_size=60))
 def test_float_roundtrip_property(values):
     roundtrip_all(pa.array(values, type=pa.float64()))
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(st.lists(st.one_of(st.none(), st.lists(INTS, max_size=8)), max_size=30))
 def test_list_int_roundtrip_property(values):
     arr = pa.array(values, type=pa.list_(pa.int64()))
@@ -74,7 +82,7 @@ def test_list_int_roundtrip_property(values):
     assert out2.equals(arr)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(st.lists(TEXT, max_size=60))
 def test_auto_selection_roundtrip_property(values):
     arr = pa.array(values, type=pa.string())
@@ -85,7 +93,7 @@ def test_auto_selection_roundtrip_property(values):
 STRUCT_T = pa.struct([("a", pa.int64()), ("b", pa.string())])
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -102,7 +110,7 @@ def test_struct_roundtrip_property(values):
         assert out.equals(arr), codec
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -119,7 +127,7 @@ def test_map_roundtrip_property(values):
     assert out.to_pylist() == arr.to_pylist()
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     st.lists(
         st.one_of(st.none(), st.decimals(min_value=-(10**9), max_value=10**9, places=2)),
@@ -133,7 +141,7 @@ def test_decimal_roundtrip_property(values):
         assert out.equals(arr), codec
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     st.lists(TEXT, min_size=1, max_size=40),
     st.data(),
@@ -152,7 +160,7 @@ def test_decode_rows_property(values, data):
         assert got.equals(want), codec.name
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     st.lists(TEXT, min_size=1, max_size=60),
     st.integers(min_value=1, max_value=20),
@@ -170,7 +178,7 @@ def test_paged_roundtrip_property(values, page_rows):
     assert got.to_pylist() == [arr[int(i)].as_py() for i in idx]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=200))
 def test_bloom_no_false_negative_property(values):
     from rayenc.bloom import bloom_build, bloom_may_contain
@@ -181,7 +189,7 @@ def test_bloom_no_false_negative_property(values):
         assert bloom_may_contain(bf, v)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=300),
     st.integers(min_value=0, max_value=64),
@@ -200,7 +208,7 @@ def test_pack_planes_roundtrip_property(values, width):
     assert np.array_equal(out, v)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -272,7 +280,7 @@ def _tables_agree(got: pa.Table, want: pa.Table):
                 assert g == w, (name, g, w)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 @given(
     _random_table(),
     st.sampled_from(["none", "block", "page"]),
