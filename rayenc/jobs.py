@@ -1196,8 +1196,14 @@ def check_export_job(out_root: str | os.PathLike, params: dict) -> None:
             for k in params
             if canon_param(k, rec["params"].get(k)) != canon_param(k, params.get(k))
         }
-        # rglob: partition_by exports publish under key subdirectories
-        published = any(Path(out_root).rglob("part-*.parquet"))
+        # rglob: partition_by exports publish under key subdirectories.
+        # _done markers count too: an all-empty hive export (every row
+        # filtered out) publishes markers and ZERO part files — without
+        # this, a param-drift rerun would rewrite the record while the
+        # stale markers silently skip every partition
+        published = any(Path(out_root).rglob("part-*.parquet")) or any(
+            Path(out_root).glob("_done-*")
+        )
         if mismatched and published:
             raise ValueError(
                 f"export resume parameter mismatch for {out_root}: "
@@ -1295,7 +1301,6 @@ class PartitionExporter:
             if "partition_seq" in blocks.column_names and len(blocks)
             else 0
         )
-        out_file = self.out_root / f"part-{seq:06d}-{pid}.parquet"
         if self.ordered and "block_seq" in blocks.column_names:
             blocks = blocks.sort_by("block_seq")
         if self.dnf and "zonemap" in blocks.column_names:
@@ -1325,6 +1330,7 @@ class PartitionExporter:
         if self.partition_by:
             self._write_partitioned(dec, seq, pid, done_marker)
         else:
+            out_file = self.out_root / f"part-{seq:06d}-{pid}.parquet"
             tmp = _tmp_path(out_file)
             pq.write_table(dec, tmp, compression="zstd")
             os.replace(tmp, out_file)  # atomic publish: existence == committed
@@ -1361,11 +1367,37 @@ class PartitionExporter:
                     "are not routable (NaN breaks equality) and nested keys "
                     "have no path form"
                 )
-        combos = (
-            dec.select(keys).group_by(keys).aggregate([]).to_pylist()
+        combo_t = (
+            dec.select(keys).group_by(keys).aggregate([])
             if len(dec)
-            else []
+            else dec.select(keys).slice(0, 0)
         )
+        # cardinality guard BEFORE to_pylist (a near-unique key would
+        # otherwise materialize millions of per-row dicts just to trip it)
+        if combo_t.num_rows > 10_000:
+            raise ValueError(
+                f"partition_by {keys} yields {combo_t.num_rows} distinct key "
+                "combinations in one partition — a high-cardinality key "
+                "would write that many files PER PARTITION; partition by a "
+                "low-cardinality column (or bucket the key first)"
+            )
+        combos = combo_t.to_pylist()
+        # case-folded collision check: values differing only by case
+        # ('C' vs 'c') would route to ONE directory + identical file name
+        # on a case-insensitive filesystem (macOS/Windows) and the second
+        # os.replace would silently drop the first combo's rows — refuse
+        # on every platform rather than lose rows on some
+        folded: dict[str, tuple] = {}
+        for combo in combos:
+            seg = "/".join(f"{c}={_hive_val(combo[c])}" for c in keys)
+            prev = folded.setdefault(seg.lower(), tuple(combo[c] for c in keys))
+            if prev != tuple(combo[c] for c in keys):
+                raise ValueError(
+                    f"partition_by key values {prev!r} and "
+                    f"{tuple(combo[c] for c in keys)!r} collide case-folded "
+                    "(same path on a case-insensitive filesystem); normalize "
+                    "or bucket the key first"
+                )
         for combo in sorted(
             combos, key=lambda c: tuple(_hive_val(c[k]) for k in keys)
         ):
@@ -1439,17 +1471,18 @@ def run_export_job(
     nonempty = sorted(
         e["partition_id"] for e in entries if int(e.get("blocks", 0)) > 0
     )
-    if filter and nonempty:
-        # all-empty jobs skip validation: there is no schema file to
-        # check against and nothing to export — the summary is empty
-        # either way (a filtered encode can legitimately commit only
-        # zero-block partitions)
+    # all-empty jobs skip validation: there is no schema file to check
+    # against and nothing to export — the summary is empty either way (a
+    # filtered encode can legitimately commit only zero-block partitions)
+    have: set[str] = set()
+    if nonempty and (filter or partition_by):
         first = Path(blocks_root) / "blocks" / f"{nonempty[0]}.parquet"
-        cols = {
+        have = {
             c[4:] for c in pq.read_schema(str(first)).names if c.startswith("col_")
         }
+    if filter and nonempty:
         for conj in normalize_dnf(filter):
-            validate_predicate_shapes(conj, cols, "block table")
+            validate_predicate_shapes(conj, have, "block table")
     if partition_by:
         if columns:
             missing = [c for c in partition_by if c not in columns]
@@ -1459,22 +1492,36 @@ def run_export_job(
                     f"export projection {columns}"
                 )
         if nonempty:
-            first = Path(blocks_root) / "blocks" / f"{nonempty[0]}.parquet"
-            names = pq.read_schema(str(first)).names
-            have = {c[4:] for c in names if c.startswith("col_")}
             bad = [c for c in partition_by if c not in have]
             if bad:
                 raise ValueError(
                     f"partition_by columns {bad} not in the block table "
                     f"(have: {sorted(have)})"
                 )
+            # key-TYPE gate at the driver, BEFORE the record is written
+            # and any actor decodes a whole partition: decode one block
+            # row's key columns and refuse float/nested keys here (the
+            # in-task check stays as defense in depth)
+            from .decode import BlockDecoder
+
+            probe = BlockDecoder(columns=list(partition_by))(
+                pq.read_table(str(first)).slice(0, 1)
+            )
+            for c in partition_by:
+                f = probe.schema.field(c)
+                if pa.types.is_floating(f.type) or pa.types.is_nested(f.type):
+                    raise ValueError(
+                        f"partition_by column {c!r} has type {f.type}: float "
+                        "keys are not routable (NaN breaks equality) and "
+                        "nested keys have no path form"
+                    )
     params = _export_params(blocks_root, columns, filter, ordered, partition_by)
     check_export_job(out_root, params)
     if partition_by:
+        # marker tmp files are '__done-*.tmp' (_tmp_path prefixes '_'),
+        # which the '_done-*' glob can never match — no filter needed
         done = {
-            f.name.removeprefix("_done-")
-            for f in Path(out_root).glob("_done-*")
-            if not f.name.endswith(".tmp")
+            f.name.removeprefix("_done-") for f in Path(out_root).glob("_done-*")
         }
     else:
         done = {

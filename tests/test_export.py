@@ -336,3 +336,68 @@ def test_export_partition_by_null_key_and_filter(ray_session, tmp_path):
         run_export_job(
             root, str(tmp_path / "hf"), partition_by=["score"], concurrency=2
         )
+
+
+def test_export_partition_by_all_empty_still_counts_as_published(
+    encoded_root, tmp_path
+):
+    """An all-filtered-out hive export publishes ONLY _done markers (no
+    part files); a later param-drift rerun must still REFUSE — markers
+    are the hive commit token and count as 'published' (review finding:
+    the record was silently rewritten while stale markers skipped every
+    partition, leaving an empty export claiming the new filter ran)."""
+    root, _ = encoded_root
+    out = str(tmp_path / "hive")
+    s = run_export_job(
+        root,
+        out,
+        partition_by=["lang"],
+        filter=[("repo", "==", "no-such-repo")],
+        concurrency=2,
+    )
+    assert s["rows"] == 0
+    assert not list(Path(out).rglob("part-*.parquet"))
+    assert list(Path(out).glob("_done-*"))
+    with pytest.raises(ValueError, match="mismatch"):
+        run_export_job(root, out, partition_by=["lang"], concurrency=2)
+
+
+def test_export_partition_by_case_folded_collision_refused(ray_session, tmp_path):
+    """Key values differing only by case would merge into one directory
+    (and one identical file name) on a case-insensitive filesystem,
+    silently dropping rows — refused on every platform."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "k": pa.array(["Cc" if i % 2 else "cC" for i in range(40)]),
+        }
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src)
+    root = str(tmp_path / "job")
+    run_encode_job(str(src), root, block_rows=16, hash_column=None, concurrency=2)
+    with pytest.raises(Exception, match="case-folded"):
+        run_export_job(
+            root, str(tmp_path / "hive"), partition_by=["k"], concurrency=2
+        )
+
+
+def test_export_partition_by_float_key_refused_at_driver(ray_session, tmp_path):
+    """The float/nested key-type gate runs on the DRIVER before the
+    export record is written or any actor decodes a partition."""
+    from rayenc.jobs import export_record_path
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "score": pa.array([i / 7 for i in range(30)], type=pa.float64()),
+        }
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src)
+    root = str(tmp_path / "job")
+    run_encode_job(str(src), root, block_rows=16, hash_column=None, concurrency=2)
+    out = str(tmp_path / "hive")
+    with pytest.raises(ValueError, match="float keys"):
+        run_export_job(root, out, partition_by=["score"], concurrency=2)
+    assert not export_record_path(out).exists()  # refused BEFORE recording

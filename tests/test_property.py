@@ -12,14 +12,14 @@ import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
 from rayenc.blocks import decode_column, encode_column
+from rayenc.codecs import codecs_for_type
+from rayenc.selector import encode_column_auto
 
 
 def _ex(n: int) -> int:
     """Soak knob: RAYENC_FUZZ_MULT=10 multiplies every test's example
     count for long fuzzing sessions (default 1 keeps CI fast)."""
     return n * int(os.environ.get("RAYENC_FUZZ_MULT", "1"))
-from rayenc.codecs import codecs_for_type
-from rayenc.selector import encode_column_auto
 
 TEXT = st.one_of(
     st.none(),
