@@ -31,6 +31,11 @@ echo "== 7a2. resumable decode-export (atomic per-partition publish; rerun skips
 python -m rayenc export "$D/job" "$D/export"
 python -m rayenc export "$D/job" "$D/export"   # no-op rerun: everything skipped
 
+echo "== 7a3. hive-partitioned export (one lang=value/ dir per key; marker-token resume) =="
+python -m rayenc export "$D/job" "$D/export_hive" --partition-by lang
+python -m rayenc export "$D/job" "$D/export_hive" --partition-by lang  # no-op rerun
+ls -d "$D"/export_hive/lang=*/ | head -3
+
 echo "== 7b. zone-map filtered decode (predicate pushdown) =="
 python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python" --filter "path:prefix:src/module00" --columns repo,path,lang
 
