@@ -220,7 +220,10 @@ def agg_count(
     worth of payload; everything else is metadata arithmetic. Unfiltered,
     it is a pure n_rows sum."""
     if not filter:
-        return int(blocks.sum("n_rows"))
+        n = blocks.sum("n_rows")  # Ray returns None on an EMPTY dataset
+        return int(n) if n is not None else 0
+    if blocks.schema() is None:  # empty block table: nothing to count
+        return 0
     validate_predicates(blocks, filter)
     dnf = normalize_dnf(filter)
     pred_cols = sorted({c for conj in dnf for (c, _, _) in conj})
@@ -290,6 +293,13 @@ def agg_min_max(blocks: "ray.data.Dataset", col: str) -> dict:
             }
         )
 
+    # metadata projection: without it every multi-MB col_* blob ships
+    # through the fold tasks just to read a few zone fields per block
+    schema = blocks.schema()
+    if schema is not None:
+        blocks = blocks.select_columns(
+            [c for c in ("block_id", "zonemap", "n_rows") if c in schema.names]
+        )
     parts = [
         json.loads(r["part"])
         for r in blocks.map_batches(part, batch_format="pyarrow").take_all()
@@ -328,6 +338,8 @@ def agg_sum(
     free; raises only when a needed block lacks BOTH a usable zone sum
     and a decodable numeric column. SQL semantics: nulls skipped, SUM
     over zero rows is None."""
+    if blocks.schema() is None:  # empty block table: SUM over zero rows
+        return None
     if filter:
         validate_predicates(blocks, filter)
     dnf = normalize_dnf(filter) if filter else None
@@ -380,8 +392,17 @@ def agg_sum(
                     f"agg_sum: column {col!r} is {t} — SUM is defined for "
                     "numeric/bool columns only"
                 )
-            s = pc.sum(decoded[col]).as_py()
-            add(int(s) if s is not None and not pa.types.is_floating(t) else s)
+            if pa.types.is_floating(t):
+                s = pc.sum(decoded[col]).as_py()
+            else:
+                # Python-int fold: pc.sum silently WRAPS int64 — and the
+                # blocks on this path are exactly the ones whose stored
+                # zone sum was skipped for worst-case overflow risk.
+                # Boundary blocks are few by design, so the Python sum is
+                # off the hot path.
+                vals = decoded[col].drop_null().to_pylist()
+                s = sum(vals) if vals else None
+            add(s)
         return pa.table({"s": pa.array([json.dumps(total)], type=pa.string())})
 
     parts = [
@@ -1119,18 +1140,34 @@ def decode_dataset(
         flat = [p for conj in normalize_dnf(filter) for p in conj]
         extra = [c for c, _, _ in flat if c not in columns]
         decode_cols = columns + sorted(set(extra))
-    if decode_cols:
+    if decode_cols and blocks.schema() is not None:
         # block-level projection pushdown: only the requested columns'
         # blobs leave the block table (the prune-at-the-read rule applied
         # to our own format; a reader that ships every blob for a
         # 2-column decode would be wrong)
+        names = blocks.schema().names
+        have = {c[4:] for c in names if c.startswith("col_")}
+        filled = set(
+            fill_missing.names
+            if isinstance(fill_missing, pa.Schema)
+            else (fill_missing or {})
+        )
+        unknown = [c for c in decode_cols if c not in have and c not in filled]
+        if unknown:
+            # fail LOUDLY like take_rows/agg_topk do — silently dropping
+            # a misspelled column returned an empty/narrower dataset
+            raise ValueError(
+                f"decode_dataset: column(s) {unknown} not in the block "
+                f"table (have: {sorted(have)}); pass fill_missing for "
+                "columns a block legitimately predates"
+            )
         keep = ["block_id"] + [
             c
             for c in ("partition_id", "partition_seq", "block_seq", "n_rows", "row_start")
-            if c in blocks.schema().names
+            if c in names
         ]
         keep += [f"col_{c}" for c in decode_cols]
-        blocks = blocks.select_columns([c for c in keep if c in blocks.schema().names])
+        blocks = blocks.select_columns([c for c in keep if c in names])
     out = blocks.map_batches(
         BlockDecoder,
         fn_constructor_kwargs={
@@ -1216,7 +1253,14 @@ def explain_decode(
             kbytes += row_bytes
             pnames, pblobs = [], []
             for c in pred_cols:
-                cell = batch.column(f"col_{c}")[i].as_py() if f"col_{c}" in names else None
+                # zero-copy memoryview of the blob (the BlockDecoder
+                # idiom) — .as_py() copied every predicate blob to
+                # Python bytes just to read page headers
+                cell = None
+                if f"col_{c}" in names:
+                    scalar = batch.column(f"col_{c}")[i]
+                    if scalar.is_valid:
+                        cell = memoryview(scalar.as_buffer())
                 if cell is not None:
                     pnames.append(c)
                     pblobs.append(cell)
@@ -1339,17 +1383,24 @@ def _partition_bases(blocks: "ray.data.Dataset") -> tuple[dict, int]:
         # COMPENSATING corruption (a missing prefix block plus a
         # duplicated later block of equal size keeps the sum), which the
         # telescoping sum catches (duplicated high spans over-weigh).
+        # The squares are compared MODULO 2^64: Arrow's multiply/sum wrap
+        # int64 silently, so past ~3e9 rows per partition the raw
+        # comparison would spuriously fail on valid data — folding the
+        # Python side to the same residue makes the check a modular
+        # checksum, sound at any partition size.
+        tel = int(r["sum(rs_tel)"]) % (1 << 64)
+        want = (total * total) % (1 << 64)
         if (
             total != int(r["max(rs_end)"])
             or int(r["min(rs_start)"]) != 0
-            or int(r["sum(rs_tel)"]) != total * total
+            or tel != want
         ):
             raise ValueError(
                 "blocks lack a total order (partition "
                 f"{int(r['partition_seq'])}: block rows sum to "
                 f"{total} but row_start spans "
                 f"[{int(r['min(rs_start)'])}, {int(r['max(rs_end)'])}) with "
-                f"telescoping sum {int(r['sum(rs_tel)'])} != {total * total} "
+                f"telescoping checksum {tel} != {want} "
                 "— duplicated or missing blocks, e.g. a union of two "
                 "encodes or a filtered blocks dataset); re-encode with "
                 "encode_dataset_ordered or the resumable job"
@@ -1407,8 +1458,14 @@ def take_rows(
         raise IndexError(f"row index out of range 0..{total - 1}")
     state = _ray.put((idx, bases))
 
+    resolved: dict = {}  # per-task memo: one object-store fetch per pick
+    # task, not one per block row (the closure deserializes once per
+    # task, so this dict persists across the batch's locate calls)
+
     def locate_fast(batch: pa.Table, i: int):
-        w_idx, bs = _ray.get(state)
+        if "s" not in resolved:
+            resolved["s"] = _ray.get(state)
+        w_idx, bs = resolved["s"]
         gs = bs[int(batch["partition_seq"][i].as_py())] + int(
             batch["row_start"][i].as_py()
         )

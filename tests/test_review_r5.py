@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 
 
@@ -37,3 +38,76 @@ def test_selector_stats_by_lang_sum_over_all_null_is_null(ray_session, tmp_path)
     assert rows["de"]["total_chars"] == 3  # partial-NULL sums skip nulls
     assert rows["xx"]["total_chars"] is None  # all-NULL -> NULL, not 0
     assert rows["xx"]["n_docs"] == 2
+
+
+def test_agg_sum_overflow_fallback_exact(ray_session):
+    """Blocks whose worst-case sum could overflow int64 skip the stored
+    zone sum and take the decode path — which must fold in Python ints:
+    pc.sum silently WRAPS int64 (review finding: [2**62]*4 summed to 0)."""
+    import ray.data as rd
+
+    from rayenc.decode import agg_sum
+    from rayenc.encode import encode_dataset
+
+    t = pa.table({"v": pa.array([2**62] * 4, type=pa.int64())})
+    blocks = encode_dataset(rd.from_arrow(t), block_rows=4, hash_column=None).materialize()
+    assert agg_sum(blocks, "v") == 2**64  # exact, beyond int64
+
+
+def test_agg_empty_block_table_graceful(ray_session):
+    """An empty block table (empty source / fully-pruned dataset) must
+    yield COUNT 0 and SUM None, not a NoneType crash."""
+    import ray.data as rd
+
+    from rayenc.decode import agg_count, agg_sum
+
+    empty = rd.from_items([])
+    assert agg_count(empty) == 0
+    assert agg_count(empty, [("v", "==", 1)]) == 0
+    assert agg_sum(empty, "v") is None
+
+
+def test_decode_dataset_unknown_column_raises(ray_session):
+    """A misspelled projection column must fail LOUDLY (it used to be
+    silently dropped, returning an empty/narrower dataset), while
+    fill_missing still admits columns a block legitimately predates."""
+    import ray.data as rd
+
+    from rayenc.decode import decode_dataset
+    from rayenc.encode import encode_dataset
+
+    t = pa.table({"a": pa.array([1, 2, 3], type=pa.int64())})
+    blocks = encode_dataset(rd.from_arrow(t), block_rows=2, hash_column=None).materialize()
+    with pytest.raises(ValueError, match="not in the block table"):
+        decode_dataset(blocks, columns=["typo"])
+    with pytest.raises(ValueError, match="not in the block table"):
+        decode_dataset(blocks, columns=["a", "typo"])
+    # schema evolution: a fill_missing column is allowed through
+    out = decode_dataset(
+        blocks, columns=["a", "later"], fill_missing={"later": pa.int64()}
+    ).take_all()
+    assert len(out) == 3 and all(r["later"] is None for r in out)
+
+
+def test_partition_bases_modular_checksum_at_huge_offsets(ray_session):
+    """The telescoping tiling check compares end^2-start^2 MODULO 2^64
+    (Arrow multiply/sum wrap int64 silently): a valid partition whose
+    offsets pass ~3e9 rows must not spuriously fail, and corruption at
+    that scale must still raise."""
+    import ray.data as rd
+
+    from rayenc.decode import _partition_bases
+
+    n = 1_500_000_000
+    rows = [
+        {"partition_seq": 0, "block_seq": i, "n_rows": n, "row_start": i * n}
+        for i in range(3)  # tiles [0, 4.5e9): end^2 wraps int64
+    ]
+    blocks = rd.from_arrow(pa.Table.from_pylist(rows))
+    bases, total = _partition_bases(blocks)
+    assert bases == {0: 0} and total == 3 * n
+
+    bad = [dict(r) for r in rows]
+    bad[1]["row_start"] += 7  # overlapping/missing span
+    with pytest.raises(ValueError, match="total order"):
+        _partition_bases(rd.from_arrow(pa.Table.from_pylist(bad)))
