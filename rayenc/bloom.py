@@ -82,14 +82,9 @@ def _column_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray] | None:
         # pattern (int64 negatives wrap mod 2^64), which is exactly how
         # _probe_hash maps probe ints, so build and probe always agree.
         try:
-            if pa.types.is_date32(t):
-                ints = vals.cast(pa.int32()).cast(pa.int64())
-            elif pa.types.is_date64(t):
-                ints = vals.cast(pa.int64())
-            elif pa.types.is_uint64(t):
-                ints = vals
-            else:
-                ints = vals.cast(pa.int64())
+            from .codecs.util import epoch_int_view
+
+            ints = vals if pa.types.is_uint64(t) else epoch_int_view(vals)
             np_vals = ints.to_numpy(zero_copy_only=False)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError):
             return None  # unsupported type -> no filter, never prunes
@@ -126,14 +121,9 @@ def array_probe_hashes(
         return np.empty(0, np.uint64), np.empty(0, np.uint64), valid
     if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_integer(t):
         try:
-            if pa.types.is_date32(t):
-                ints = arr.cast(pa.int32()).cast(pa.int64())
-            elif pa.types.is_date64(t) or pa.types.is_timestamp(t):
-                ints = arr.cast(pa.int64())
-            elif pa.types.is_uint64(t):
-                ints = arr
-            else:
-                ints = arr.cast(pa.int64())
+            from .codecs.util import epoch_int_view
+
+            ints = arr if pa.types.is_uint64(t) else epoch_int_view(arr)
             np_vals = pc.fill_null(ints, 0).to_numpy(zero_copy_only=False)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError):
             return None

@@ -21,6 +21,19 @@ import pyarrow as pa
 _ZSTD_CACHE: dict[int, pa.Codec] = {}
 
 
+def epoch_int_view(arr: "pa.Array | pa.ChunkedArray"):
+    """Temporal (or plain int) column -> int64 epoch-int view. date32 and
+    time32 are 32-bit physical with no direct int64 cast (Arrow gap):
+    hop via int32. This is THE one normalization that zone bounds, Bloom
+    hashes, KLL sketches, the zone audit, and the exact row filter must
+    agree on byte-for-byte — fix it here, never per call site (review
+    finding: four hand-copied variants had already accumulated)."""
+    t = arr.type
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return arr.cast(pa.int32()).cast(pa.int64())
+    return arr.cast(pa.int64())
+
+
 def zstd_codec(level: int = 3) -> pa.Codec:
     c = _ZSTD_CACHE.get(level)
     if c is None:

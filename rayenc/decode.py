@@ -277,6 +277,14 @@ def agg_min_max(blocks: "ray.data.Dataset", col: str) -> dict:
                     "unordered type); decode_dataset + an exact aggregate "
                     "is the fallback"
                 )
+            if z.get("approx"):
+                # truncated string bounds (>64-char values): sound for
+                # pruning, but fabricated strings for an EXACT aggregate
+                raise ValueError(
+                    f"agg_min_max: block {batch['block_id'][i].as_py()!r}'s "
+                    f"zone for {col!r} has truncated string bounds; "
+                    "decode_dataset + an exact aggregate is the fallback"
+                )
             rows += int(batch["n_rows"][i].as_py()) if "n_rows" in names else 0
             nulls += int(z.get("null_count", 0))
             zlo, zhi = z.get("min"), z.get("max")
@@ -310,6 +318,11 @@ def agg_min_max(blocks: "ray.data.Dataset", col: str) -> dict:
             lo = p["min"] if lo is None or p["min"] < lo else lo
         if p["max"] is not None:
             hi = p["max"] if hi is None or p["max"] > hi else hi
+    # all-NaN float blocks store the inf/-inf FOLD IDENTITIES (they prune
+    # comparisons soundly); if they survive to here every block was
+    # all-NaN and the honest exact answer is "no orderable values"
+    if isinstance(lo, float) and isinstance(hi, float) and lo > hi:
+        lo = hi = None
     return {
         "min": lo,
         "max": hi,
@@ -826,15 +839,12 @@ def _conjunction_mask(batch: pa.Table, predicates: list[Predicate]):
             or pa.types.is_time(t)
             or pa.types.is_duration(t)
         ):
-            # date32 has no direct int64 cast (same Arrow gap column_zone
-            # works around); time/duration have no compare kernel against
-            # int64 at all — normalize every temporal to its epoch ints
-            if pa.types.is_date32(t) or (
-                pa.types.is_time32(t)
-            ):
-                arr = arr.cast(pa.int32()).cast(pa.int64())
-            else:
-                arr = arr.cast(pa.int64())
+            # time/duration have no compare kernel against int64 —
+            # normalize every temporal via the ONE shared epoch-int view
+            # (zone bounds / blooms / KLL use the same helper)
+            from .codecs.util import epoch_int_view
+
+            arr = epoch_int_view(arr)
         if op == "in":
             try:  # build the set in the column's type (int32 col, python ints)
                 vs = pa.array(list(val), type=arr.type)

@@ -98,22 +98,25 @@ def column_zone(arr: pa.Array | pa.ChunkedArray) -> dict | None:
             z["nan"] = 0
         return z
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        # date32 has no direct int64 cast (ArrowNotImplementedError):
-        # hop through int32, same normalization bloom._column_hashes uses
-        view = (
-            arr.cast(pa.int32()).cast(pa.int64())
-            if pa.types.is_date32(t)
-            else arr.cast(pa.int64())
-        )
-        mm = pc.min_max(view)
+        from .codecs.util import epoch_int_view
+
+        mm = pc.min_max(epoch_int_view(arr))
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
     else:
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    approx = False
     if isinstance(lo, str):
+        raw_lo, raw_hi = lo, hi
         lo = lo[:_ZONE_STR_CAP]  # prefix is a valid lower bound
         hi = _bound_max_str(hi)
+        # truncated bounds are SOUND for pruning but are strings that do
+        # not exist in the data — flag them so the exact-aggregate API
+        # (agg_min_max) refuses instead of returning fabricated values
+        approx = lo != raw_lo or hi != raw_hi
     z = {"min": _zone_jsonable(lo), "max": _zone_jsonable(hi), "null_count": int(nc)}
+    if approx:
+        z["approx"] = 1
     # exact per-block SUM for numeric/bool columns (agg_sum pushdown:
     # fully-included blocks fold this number, zero decode). Skipped when
     # the worst-case |sum| could overflow int64 (agg_sum decodes those
@@ -199,11 +202,9 @@ def column_kll(arr: pa.Array | pa.ChunkedArray, k: int = 128) -> str | None:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if pa.types.is_timestamp(t) or pa.types.is_date(t):
-            arr = (
-                arr.cast(pa.int32()).cast(pa.int64())
-                if pa.types.is_date32(t)
-                else arr.cast(pa.int64())
-            )
+            from .codecs.util import epoch_int_view
+
+            arr = epoch_int_view(arr)
         vals = pc.drop_null(arr).to_numpy(zero_copy_only=False).astype("float64")
         seed = zlib.crc32(vals.tobytes()) or 1
         sk = KllSketch(k, seed=seed)
@@ -465,6 +466,17 @@ class BlockEncoder:
                 {"src_bytes": int(arr.nbytes), "enc_bytes": len(blob), "ms": round(ms, 3)}
             )
             lineage[name] = choice_info
+            if len(blob) >= (1 << 31):
+                # pa.binary() carries int32 offsets: a >=2 GiB blob would
+                # die later in ArrowCapacityError with no hint — name the
+                # fix instead (one blob this size also defeats the
+                # per-block random-access story)
+                raise ValueError(
+                    f"encoded blob for column {name!r} is {len(blob)} bytes "
+                    "(>= 2 GiB): lower block_rows / max_block_bytes so one "
+                    "block's encoded column stays under the Arrow binary "
+                    "offset limit"
+                )
             out[f"col_{name}"] = pa.array([blob], type=pa.binary())
             # full-blob digest: a 64-byte prefix is mostly the fixed JSON
             # header and collides across distinct blocks of the same shape
@@ -538,10 +550,21 @@ def _preselect_sample(ds: "ray.data.Dataset", rows: int) -> "pa.Table":
 
     try:
         # pure-read check: anything downstream of Read (projection,
-        # filter, map) invalidates sampling the source files directly
+        # filter, map) invalidates sampling the source files directly —
+        # INCLUDING reader-level pushdown (read_parquet(filter=/columns=)
+        # is still a single Read op, but raw file heads no longer
+        # reflect the rows the encoder will see; review finding). Any
+        # introspection failure (future Ray renames) degrades to the
+        # safe take_batch fallback.
         from ray.data._internal.logical.operators.read_operator import Read
 
-        is_pure_read = isinstance(ds._logical_plan.dag, Read)
+        dag = ds._logical_plan.dag
+        src = getattr(dag, "_datasource", None)
+        is_pure_read = (
+            isinstance(dag, Read)
+            and not getattr(src, "_to_batches_kwargs")  # filter= etc.
+            and getattr(src, "_data_columns") is None  # columns=
+        )
         files = sorted(ds.input_files()) if is_pure_read else []
     except Exception:
         files = []
@@ -564,10 +587,13 @@ def _preselect_sample(ds: "ray.data.Dataset", rows: int) -> "pa.Table":
                         break
                 if got:
                     parts.append(pa.Table.from_batches(got, schema=pf.schema_arrow))
+            if parts:
+                # inside the try: schema drift across sampled files
+                # (mixed pipeline versions) must degrade to the fallback,
+                # not crash preselect (review finding)
+                return pa.concat_tables(parts).slice(0, rows).combine_chunks()
         except Exception:
-            parts = []
-        if parts:
-            return pa.concat_tables(parts).slice(0, rows).combine_chunks()
+            pass
     return ds.limit(rows).take_batch(rows, batch_format="pyarrow")
 
 

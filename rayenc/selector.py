@@ -104,7 +104,10 @@ def column_stats(sample: pa.Array) -> dict:
         codes = int_view(filled)
         stats["min"] = int(codes.min())
         stats["max"] = int(codes.max())
-        stats["sorted"] = bool(np.all(np.diff(codes.astype(np.int64)) >= 0))
+        # direct comparison, not diff: casting uint64 >= 2^63 to int64
+        # wraps negative (and uint64 diff wraps on decrease), recording a
+        # descending column as sorted (review finding)
+        stats["sorted"] = bool(np.all(codes[1:] >= codes[:-1]))
     else:
         try:
             fv = filled.to_numpy(zero_copy_only=False)
@@ -308,11 +311,15 @@ def select_codec(
     scores = _decode_weighted(ratios, dec_mbps, decode_weight)
     best_name, _ = min(scores.items(), key=lambda kv: kv[1])
     best_ratio = ratios[best_name]
-    # tie-break: a lightweight codec within 2% of the zstd backstop wins —
-    # equal size but cheaper decode + random access at scale
+    # tie-break: a LIGHTWEIGHT codec within 2% of the zstd backstop wins —
+    # equal size but cheaper decode + random access at scale. Restricted
+    # to the genuinely light families: fsst/plain@N also satisfy
+    # `name != "plain"`, and picking one here would silently override the
+    # decode_weight verdict the ranking just produced (review finding)
+    _LIGHT = ("dict", "rle", "bitpack", "foref", "bss", "alp", "fc")
     if best_name == "plain":
         for name, r in sorted(ratios.items(), key=lambda kv: kv[1]):
-            if name != "plain" and r <= best_ratio * 1.02 + 1e-9:
+            if name in _LIGHT and r <= best_ratio * 1.02 + 1e-9:
                 best_name = name
                 break
     reason = (
@@ -521,9 +528,15 @@ def encode_column_auto(
             k: v for k, v in choice.ratios.items() if k.split("@")[0] == opp
         }
         # rival = the opposite family's best candidate by SAMPLE ratio
-        # (pre-prune: the 3% family gate may have dropped it, but the
-        # runoff exists precisely because samples lie on multi-window
-        # payloads); defaults keep the round-2 behavior
+        # (pre-prune: the 3% family gate may have dropped it from the
+        # ranked set, but it stays in all_ratios — the runoff exists
+        # precisely because samples lie on multi-window payloads). An
+        # absent family falls back to its @9 member: the avg_len/distinct
+        # shortlist gates are trial-ECONOMY heuristics the runoff is
+        # designed to override. The ENCODE-COST gate is not — a rival
+        # enc_cap excluded must not be re-admitted at full size (review
+        # finding: that re-creates the encode-wall regression the gate
+        # fixes), so skip the runoff entirely then.
         rival = (
             min(opp_rs, key=opp_rs.get)
             if opp_rs
@@ -531,6 +544,20 @@ def encode_column_auto(
         )
         if rival == opp:  # plain/fsst at base level never beat @9 here
             rival = f"{opp}@9"
+        if not opp_rs and enc_cap is not None and _enc_cost(rival) > enc_cap:
+            try:
+                blob = encode_column(
+                    arr, choice.codec, level, page_rows, page_zones, page_blooms
+                )
+            except Exception:
+                choice = Choice(
+                    "plain", choice.stats, choice.trials,
+                    f"{choice.codec} failed on full data; zstd backstop",
+                )
+                blob = encode_column(
+                    arr, "plain", level, page_rows, page_zones, page_blooms
+                )
+            return blob, choice
         # ROADMAP #3 runoff cost model: if a previous runoff on this
         # column judged the SAME finalist pair and the current sample
         # ratios sit within 15% of that trial's, the full-payload verdict
@@ -672,6 +699,8 @@ def encode_column_auto(
                 f"full-payload runoff beat {choice.codec} ({len(blob_b)} < {len(blob_a)})"
                 + (f" at decode_weight={decode_weight}" if decode_weight else ""),
                 choice.dec_mbps,
+                choice.ratios,  # keep size/speed telemetry on the one
+                choice.enc_mbps,  # branch that changed codecs
             )
         choice.trials[f"runoff:{choice.codec}"] = len(blob_a)
         return blob_a, choice

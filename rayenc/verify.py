@@ -36,10 +36,10 @@ def _bloom_probe_sample(arr: pa.Array) -> list:
     if len(vals) == 0:
         return []
     t = vals.type
-    if pa.types.is_date32(t):
-        vals = vals.cast(pa.int32()).cast(pa.int64())
-    elif pa.types.is_date64(t) or pa.types.is_timestamp(t):
-        vals = vals.cast(pa.int64())
+    if pa.types.is_date(t) or pa.types.is_timestamp(t):
+        from .codecs.util import epoch_int_view
+
+        vals = epoch_int_view(vals)
     step = max(1, len(vals) // 256)
     # take() the spread indices: a full to_pylist would materialize every
     # value as a Python object just to keep 1 in `step`

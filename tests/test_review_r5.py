@@ -111,3 +111,71 @@ def test_partition_bases_modular_checksum_at_huge_offsets(ray_session):
     bad[1]["row_start"] += 7  # overlapping/missing span
     with pytest.raises(ValueError, match="total order"):
         _partition_bases(rd.from_arrow(pa.Table.from_pylist(bad)))
+
+
+def test_runoff_respects_enc_cap():
+    """When enc_cap excluded the opposite family from the trials, the
+    full-payload runoff must NOT re-admit it (review finding: the
+    default fsst@9 rival bypassed the encode-cost gate and could cache a
+    gated-out codec for every subsequent block); without a cap the
+    runoff still fires."""
+    import numpy as np
+
+    from rayenc import selector as sel
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(200)]
+    arr = pa.array(
+        [" ".join(words[j] for j in rng.integers(0, 200, size=800)) for _ in range(3600)]
+    )
+    blob, c = sel.encode_column_auto(arr, enc_cap=5.0)
+    assert not any(k.startswith("runoff:") for k in c.trials), c.trials
+    assert sel._enc_cost(c.codec) <= 5.0, c.codec
+    _, c2 = sel.encode_column_auto(arr)
+    assert any(k.startswith("runoff:") for k in c2.trials)
+
+
+def test_sorted_stat_uint64_wraparound():
+    """uint64 values >= 2^63 used to wrap negative through an int64 cast,
+    recording a strictly DESCENDING column as sorted."""
+    from rayenc.selector import column_stats
+
+    desc = pa.array([2**63 + 5, 2**63 + 1, 7, 1], type=pa.uint64())
+    assert column_stats(desc)["sorted"] is False
+    asc = pa.array([1, 7, 2**63 + 1, 2**63 + 5], type=pa.uint64())
+    assert column_stats(asc)["sorted"] is True
+
+
+def test_agg_min_max_refuses_truncated_string_zones(ray_session):
+    """Zone bounds for >64-char strings are truncated (sound for pruning,
+    fabricated for exact aggregates): agg_min_max must refuse with a
+    named error instead of returning strings that don't exist."""
+    import ray.data as rd
+
+    from rayenc.decode import agg_min_max
+    from rayenc.encode import encode_dataset
+
+    long = pa.table({"u": pa.array([("x%03d" % i) * 30 for i in range(50)])})
+    blocks = encode_dataset(rd.from_arrow(long), block_rows=25, hash_column=None).materialize()
+    with pytest.raises(Exception, match="truncated"):  # surfaces as RayTaskError
+        agg_min_max(blocks, "u")
+    # short strings keep exact zone bounds and still fold fine
+    short = pa.table({"u": pa.array(["b", "a", "c", "aa"])})
+    blocks2 = encode_dataset(rd.from_arrow(short), block_rows=2, hash_column=None).materialize()
+    mm = agg_min_max(blocks2, "u")
+    assert (mm["min"], mm["max"]) == ("a", "c")
+
+
+def test_agg_min_max_all_nan_column(ray_session):
+    """All-NaN float blocks store inf/-inf fold identities (sound for
+    pruning); agg_min_max must report None/None, not the identities."""
+    import ray.data as rd
+
+    from rayenc.decode import agg_min_max
+    from rayenc.encode import encode_dataset
+
+    t = pa.table({"f": pa.array([float("nan")] * 8, type=pa.float64())})
+    blocks = encode_dataset(rd.from_arrow(t), block_rows=4, hash_column=None).materialize()
+    mm = agg_min_max(blocks, "f")
+    assert mm["min"] is None and mm["max"] is None
+    assert mm["n_rows"] == 8
