@@ -68,6 +68,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         ngram_n=args.ngram_n,
         archive=args.archive,
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        cluster_mode=args.cluster_mode,
         append=args.append,
     )
     print(json.dumps(summary))
@@ -467,6 +468,15 @@ def main() -> int:
         help="sort each partition by these columns before blocking: tight "
         "disjoint zones on the key (range scans prune at block level); "
         "decode order becomes clustered, not source, order",
+    )
+    e.add_argument(
+        "--cluster-mode",
+        default="lex",
+        choices=("lex", "zorder"),
+        help="within-partition order for --cluster-by: 'lex' = "
+        "lexicographic sort (tight zones on the FIRST key); 'zorder' = "
+        "Morton curve over quantile ranks (bounded per-block zones on "
+        "EVERY cluster key; needs >= 2 columns)",
     )
     e.add_argument(
         "--append",

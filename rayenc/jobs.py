@@ -43,6 +43,23 @@ from .manifest import Manifest
 DEFAULT_MAX_PARTITION_BYTES = 256 << 20
 DEFAULT_MAX_BLOCK_BYTES = 64 << 20
 
+CLUSTER_MODES = ("lex", "zorder")
+
+
+def validate_cluster_mode(mode: str, cluster_by: list[str] | None) -> str:
+    """`lex` = lexicographic multi-key sort (tight zones on the first
+    key); `zorder` = Morton-curve interleave (bounded per-block range on
+    EVERY cluster key — see rayenc.zorder). Validated here once so the
+    driver (run_encode_job) and the actor (PartitionEncoder) agree."""
+    if mode not in CLUSTER_MODES:
+        raise ValueError(f"cluster_mode must be one of {CLUSTER_MODES}, got {mode!r}")
+    if mode == "zorder" and (not cluster_by or len(cluster_by) < 2):
+        raise ValueError(
+            "cluster_mode='zorder' needs >= 2 cluster_by columns; a single "
+            "key z-order is just a sort — use cluster_mode='lex'"
+        )
+    return mode
+
 
 def _width_or(t, default: int) -> int:
     try:
@@ -298,6 +315,7 @@ class PartitionEncoder:
         hll_b: int = 10,
         archive: bool = False,
         cluster_by: list[str] | None = None,
+        cluster_mode: str = "lex",
         kll: bool = False,
         kll_k: int = 128,
         ngram: bool = False,
@@ -329,6 +347,7 @@ class PartitionEncoder:
         self.max_block_bytes = max_block_bytes
         self.row_filter = row_filter
         self.cluster_by = list(cluster_by) if cluster_by else None
+        self.cluster_mode = validate_cluster_mode(cluster_mode, self.cluster_by)
 
     def _iter_blocks(self, table: pa.Table):
         yield from iter_blocks(table, self.block_rows, self.max_block_bytes)
@@ -388,7 +407,12 @@ class PartitionEncoder:
                     f"cluster_by column(s) {missing} not in the input schema "
                     f"of {part['path']}"
                 )
-            whole = whole.sort_by([(c, "ascending") for c in self.cluster_by])
+            if self.cluster_mode == "zorder":
+                from .zorder import zorder_sort_indices
+
+                whole = whole.take(pa.array(zorder_sort_indices(whole, self.cluster_by)))
+            else:
+                whole = whole.sort_by([(c, "ascending") for c in self.cluster_by])
             if self.columns:
                 whole = whole.select(self.columns)
             tables = [whole]
@@ -644,6 +668,7 @@ def job_params(
     hll_b: int = 10,
     archive: bool = False,
     cluster_by: list[str] | None = None,
+    cluster_mode: str = "lex",
     kll: bool = False,
     kll_k: int = 128,
     ngram: bool = False,
@@ -688,6 +713,10 @@ def job_params(
         # resuming with a different key would give decode_ordered a mix of
         # orderings across partitions (rows intact, order contract broken)
         "cluster_by": list(cluster_by) if cluster_by else None,
+        # strict like cluster_by, and for the same reason; normalized to
+        # None when no clustering is requested so pre-existing unclustered
+        # records never see a phantom "lex" mismatch
+        "cluster_mode": cluster_mode if cluster_by else None,
     }
 
 
@@ -711,6 +740,7 @@ def run_encode_job(
     hll_b: int = 10,
     archive: bool = False,
     cluster_by: list[str] | None = None,
+    cluster_mode: str = "lex",
     append: bool = False,
     kll: bool = False,
     kll_k: int = 128,
@@ -734,6 +764,13 @@ def run_encode_job(
     encode task holds one whole partition (<= max_partition_bytes source
     bytes) instead of one row-group. Strict resume key.
 
+    `cluster_mode` picks the within-partition order: "lex" (default)
+    sorts lexicographically — tight zones on the FIRST key; "zorder"
+    orders along a Morton curve over quantile ranks (rayenc.zorder) —
+    bounded per-block zones on EVERY cluster key, for workloads that
+    filter on any of several columns. Strict resume key (same order
+    contract as cluster_by).
+
     Rerun-safe: partitions already in the manifest are skipped before any
     data is read (kill-and-rerun covered by tests/test_resume.py). The
     out_root carries a job record (format version + parameters); resuming
@@ -745,6 +782,7 @@ def run_encode_job(
     row-groups proven empty by parquet statistics are skipped at PLAN
     time (never read), and the exact row filter runs on each row-group
     table before blocking."""
+    validate_cluster_mode(cluster_mode, cluster_by)
     if concurrency is None:
         # unlike the streaming path, the partition actor reads its own
         # input (no separate read stage to starve): use nearly all CPUs
@@ -807,6 +845,7 @@ def run_encode_job(
             hll_b=hll_b,
             archive=archive,
             cluster_by=cluster_by,
+            cluster_mode=cluster_mode,
             kll=kll,
             kll_k=kll_k,
             ngram=ngram,
@@ -845,6 +884,7 @@ def run_encode_job(
                 "hll_b": hll_b,
                 "archive": archive,
                 "cluster_by": cluster_by,
+                "cluster_mode": cluster_mode,
                 "kll": kll,
                 "kll_k": kll_k,
                 "ngram": ngram,

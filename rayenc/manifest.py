@@ -56,6 +56,10 @@ STRICT_JOB_KEYS = (
     # decode_ordered contract broken) — records predating the key skip
     # the check like any absent key
     "cluster_by",
+    # same order contract as cluster_by: lex vs zorder changes
+    # within-partition row order (normalized to None when cluster_by is
+    # None, so unclustered records predating the key never mismatch)
+    "cluster_mode",
 )
 
 
