@@ -23,8 +23,10 @@ from .decode import (BlockDecoder, agg_approx_distinct, agg_approx_quantiles,
                      decode_dataset, decode_ordered, explain_decode, prune_blocks)
 from .jobs import (
     compact_job,
+    delete_rows,
     encode_dataset_ordered,
     plan_partitions,
+    read_blocks_at,
     run_encode_job,
     run_export_job,
 )
@@ -61,6 +63,8 @@ __all__ = [
     "run_encode_job",
     "run_export_job",
     "compact_job",
+    "delete_rows",
+    "read_blocks_at",
     "Manifest",
     "reference_parquet_bytes",
     "tables_bit_identical",

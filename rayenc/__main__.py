@@ -82,6 +82,33 @@ def cmd_manifest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Pin (or list) snapshot versions of an encode-job dir — read-as-of
+    for append-mode ingestion (rayenc.jobs.read_blocks_at)."""
+    from rayenc.manifest import Manifest
+
+    m = Manifest(args.out)
+    if args.list:
+        print(json.dumps([m.snapshot_record(v) for v in m.snapshot_versions()]))
+        return 0
+    print(json.dumps(m.snapshot(note=args.note)))
+    return 0
+
+
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Copy-on-write DELETE of rows matching --filter from a committed
+    encode-job dir (rayenc.jobs.delete_rows): zone maps bound the
+    rewrite to the partitions/blocks that hold matches."""
+    _init_ray()
+    from rayenc.jobs import delete_rows
+
+    filt = _parse_filters(args.filter)
+    if not filt:
+        raise SystemExit("delete: at least one --filter col:op:value is required")
+    print(json.dumps(delete_rows(args.out, filt)))
+    return 0
+
+
 def cmd_js2pq(args: argparse.Namespace) -> int:
     _init_ray()
     import pyarrow as pa
@@ -486,6 +513,26 @@ def main() -> int:
         "the new files encode",
     )
     e.set_defaults(fn=cmd_encode)
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="pin or list read-as-of snapshot versions of an encode job dir",
+    )
+    sn.add_argument("out", help="encode job output root")
+    sn.add_argument("--note", default=None, help="free-form note stored in the snapshot")
+    sn.add_argument("--list", action="store_true", help="list versions instead of creating one")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    dl = sub.add_parser(
+        "delete",
+        help="copy-on-write delete of rows matching --filter (zone-bounded partition rewrites)",
+    )
+    dl.add_argument("out", help="encode job output root")
+    dl.add_argument(
+        "--filter", action="append", metavar="COL:OP:VALUE",
+        help="conjunction predicate, repeatable (same syntax as encode --filter)",
+    )
+    dl.set_defaults(fn=cmd_delete)
 
     m = sub.add_parser("manifest", help="print the manifest summary of an encode job")
     m.add_argument("out", help="encode job output root")

@@ -32,6 +32,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -1153,6 +1154,306 @@ def compact_job(
         summary["encoded_bytes_before"] += r["encoded_bytes_before"]
         summary["encoded_bytes_after"] += r["encoded_bytes_after"]
     return summary
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write row deletes + snapshot reads. delete_rows rewrites ONLY
+# the partitions (and within them, only the blocks) that actually hold
+# matching rows — zone maps prove the rest untouched, so a narrow delete
+# over a 100 TB job dir rewrites a handful of files. Snapshots
+# (Manifest.snapshot / read_blocks_at) pin the committed-partition set
+# for read-as-of over append-mode growth; a delete bumps the rewritten
+# partitions' generation so stale snapshots fail loudly instead of
+# silently serving post-delete rows. Public precedent: Delta/Iceberg
+# copy-on-write DELETE + snapshot isolation; the reference has no
+# mutation story at all (process.sh reprocesses from scratch,
+# /root/reference/scripts/process.sh:42-59).
+# ---------------------------------------------------------------------------
+
+
+class PartitionDeleter:
+    """Actor-pool stage for delete_rows: one committed-partition manifest
+    entry in -> the same partition rewritten WITHOUT the rows matching a
+    (col, op, value) conjunction. Three-level pruning before any byte is
+    rewritten: (1) the zonemap column alone is read first — a partition
+    whose blocks all prove empty returns untouched without fetching one
+    encoded blob; (2) only zone-candidate blocks decode; (3) a candidate
+    with zero exact matches keeps its original encoded row verbatim.
+    Emptied blocks are dropped; block_seq is renumbered contiguously and
+    row_start re-derived (block_id is a content digest, independent of
+    seq), so decode_ordered / take_rows keep working. The swap is the
+    same atomic tmp+rename as compaction: readers see the old or the new
+    partition, never half."""
+
+    def __init__(self, out_root: str, params: dict, filter: list):
+        from .decode import BlockDecoder
+
+        self.out_root = Path(out_root)
+        self.manifest = Manifest(out_root)
+        self.filter = [tuple(p) for p in filter]
+        self.core = BlockEncoder(
+            columns=None,  # the decoded table already honors the job's projection
+            level=int(params.get("level", 3)),
+            hash_column=params.get("hash_column"),
+            stats=params.get("stats", "block"),
+            page_rows=params.get("page_rows"),
+            decode_weight=float(params.get("decode_weight", 0.0)),
+            enc_cap=params.get("enc_cap"),
+            forced_codecs=params.get("forced_codecs"),
+            hll=bool(params.get("hll", False)),
+            hll_b=int(params.get("hll_b", 10)),
+            kll=bool(params.get("kll", False)),
+            kll_k=int(params.get("kll_k", 128)),
+            archive=bool(params.get("archive", False)),
+            ngram=bool(params.get("ngram", False)),
+            ngram_n=int(params.get("ngram_n", 3)),
+        )
+        self.dec = BlockDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # entries ride as JSON strings: their nested per-column/lineage
+        # dicts vary in shape across partitions (post-delete entries carry
+        # keys fresh ones lack), which a columnar from_items block can't
+        # represent uniformly
+        return pa.Table.from_pylist(
+            [self._delete(json.loads(r["entry"])) for r in batch.to_pylist()]
+        )
+
+    def _delete(self, entry: dict) -> dict:
+        from .decode import _conjunction_mask, zone_may_match
+
+        pid = entry["partition_id"]
+        untouched = {"partition_id": pid, "rewritten": False, "rows_deleted": 0,
+                     "blocks_dropped": 0}
+        # level 1: zonemaps only — no blob columns leave the file
+        if "zonemap" in pq.read_schema(entry["output"]).names:
+            zonly = pq.read_table(entry["output"], columns=["zonemap"])
+            candidates = [
+                i
+                for i, z in enumerate(zonly["zonemap"].to_pylist())
+                if zone_may_match(json.loads(z) if z else {}, self.filter)
+            ]
+        else:  # no zone metadata: every block is a candidate
+            candidates = list(range(pq.ParquetFile(entry["output"]).metadata.num_rows))
+        if not candidates:
+            return untouched
+        old = pq.read_table(entry["output"]).sort_by("block_seq")
+        cand = set(candidates)
+        has_rs = "row_start" in old.column_names
+        deleted = 0
+        keep_rows: list[pa.Table] = []  # original block rows kept verbatim
+        rewritten: dict[int, pa.Table | None] = {}  # idx -> new row | dropped
+        for i in range(old.num_rows):
+            if i not in cand:
+                continue
+            decoded = self.dec(old.slice(i, 1))
+            mask = _conjunction_mask(decoded, self.filter)
+            mask = pc.fill_null(mask, False)
+            n_match = int(pc.sum(mask).as_py() or 0)
+            if n_match == 0:
+                continue  # zone false positive: keep the encoded row as-is
+            deleted += n_match
+            remaining = decoded.filter(pc.invert(mask))
+            if remaining.num_rows == 0:
+                rewritten[i] = None  # block emptied: drop it
+                continue
+            pseq = (
+                int(old["partition_seq"][i].as_py())
+                if "partition_seq" in old.column_names
+                else 0
+            )
+            enc = self.core.encode_table(
+                remaining,
+                block_seq=0,  # renumbered below with the survivors
+                partition_id=pid,
+                partition_seq=pseq,
+                row_start=0 if has_rs else None,
+            )
+            rewritten[i] = enc.select(old.column_names)
+        if deleted == 0:
+            return untouched
+        blocks_dropped = 0
+        for i in range(old.num_rows):
+            if i in rewritten:
+                if rewritten[i] is None:
+                    blocks_dropped += 1
+                else:
+                    keep_rows.append(rewritten[i])
+            else:
+                keep_rows.append(old.slice(i, 1))
+        new = pa.concat_tables(keep_rows) if keep_rows else old.slice(0, 0)
+        # renumber block_seq contiguously; re-derive row_start
+        seq_idx = new.column_names.index("block_seq")
+        new = new.set_column(
+            seq_idx, "block_seq", pa.array(np.arange(new.num_rows), pa.int64())
+        )
+        if has_rs:
+            nr = new["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rs = np.zeros(len(nr), dtype=np.int64)
+            np.cumsum(nr[:-1], out=rs[1:])
+            new = new.set_column(
+                new.column_names.index("row_start"), "row_start",
+                pa.array(rs, pa.int64()),
+            )
+        rows_after = int(new["n_rows"].to_numpy(zero_copy_only=False).sum()) if new.num_rows else 0
+        if rows_after + deleted != entry["rows"]:
+            raise RuntimeError(
+                f"delete_rows: partition {pid} has {entry['rows']} manifest "
+                f"rows but {rows_after} survivors + {deleted} deleted — "
+                "refusing to swap (block file and manifest disagree)"
+            )
+        out_file = Path(entry["output"])
+        tmp = _tmp_path(out_file)
+        pq.write_table(new, tmp, compression="none")
+        os.replace(tmp, out_file)  # atomic: readers see old or new, never half
+        new_entry = dict(entry)
+        new_entry["rows"] = rows_after
+        new_entry["blocks"] = new.num_rows
+        new_entry["encoded_bytes"] = (
+            int(new["encoded_bytes"].to_numpy(zero_copy_only=False).sum())
+            if new.num_rows
+            else 0
+        )
+        new_entry["block_hashes"] = (
+            new["content_sha256"].to_pylist() if new.num_rows else []
+        )
+        # row-changing rewrite: bump the generation (invalidates snapshots
+        # that pinned the pre-delete rows) and append delete lineage
+        new_entry["generation"] = int(entry.get("generation", 0)) + 1
+        lineage = list(entry.get("deletes", []))
+        lineage.append(
+            {
+                "filter": [_jsonable_predicate(p) for p in self.filter],
+                "rows_deleted": deleted,
+                "blocks_dropped": blocks_dropped,
+            }
+        )
+        new_entry["deletes"] = lineage
+        self.manifest.commit(new_entry)
+        return {
+            "partition_id": pid,
+            "rewritten": True,
+            "rows_deleted": deleted,
+            "blocks_dropped": blocks_dropped,
+        }
+
+
+def delete_rows(
+    out_root: str,
+    filter: list,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Copy-on-write DELETE over a committed encode-job dir: every row
+    matching the (col, op, value) conjunction is removed; everything
+    else is byte-identical afterwards. Zone maps bound the rewrite to
+    the partitions/blocks that can hold matches, so a selective delete
+    (one repo, one id set, one date range) over a huge job dir is a
+    metadata scan plus a few file rewrites. Idempotent: rerunning the
+    same delete finds no surviving match and rewrites nothing. Changes
+    ROW CONTENT, so it bumps each rewritten partition's generation —
+    snapshots taken before the delete refuse to read those partitions
+    (read_blocks_at) instead of silently time-traveling to wrong rows."""
+    from .decode import validate_predicate_shapes
+
+    if not filter:
+        raise ValueError(
+            "delete_rows needs a non-empty (col, op, value) conjunction — "
+            "to drop a whole job dir, delete the out_root instead"
+        )
+    validate_predicate_shapes(filter, set(), "job dir")
+    manifest = Manifest(out_root)
+    rec = manifest.job_record()
+    if rec is None:
+        raise ValueError(f"{out_root} has no job record; not an encode-job dir")
+    params = rec.get("params", {})
+    entries = [e for e in manifest.entries() if e.get("output") and e.get("rows")]
+    if entries:
+        cols = {c for e in entries for c in e.get("columns", {})}
+        if cols:
+            validate_predicate_shapes(filter, cols, "encoded columns")
+    summary = {
+        "partitions_total": len(entries),
+        "partitions_rewritten": 0,
+        "rows_deleted": 0,
+        "blocks_dropped": 0,
+    }
+    if not entries:
+        return summary
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() - 2))
+    results = (
+        ray.data.from_items([{"entry": json.dumps(e)} for e in entries])
+        .map_batches(
+            PartitionDeleter,
+            fn_constructor_kwargs={
+                "out_root": out_root,
+                "params": params,
+                "filter": [list(p) for p in filter],
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+        .take_all()  # control-plane rows: one per partition, tiny
+    )
+    summary["partitions_rewritten"] = sum(1 for r in results if r["rewritten"])
+    summary["rows_deleted"] = sum(r["rows_deleted"] for r in results)
+    summary["blocks_dropped"] = sum(r["blocks_dropped"] for r in results)
+    # root-level audit line (single-driver append, like the job record)
+    with open(Path(out_root) / "deletes.log", "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "filter": [_jsonable_predicate(p) for p in filter],
+                    **summary,
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
+        )
+    return summary
+
+
+def read_blocks_at(out_root: str, version: int) -> "ray.data.Dataset":
+    """Open the block table AS OF a snapshot version (Manifest.snapshot):
+    exactly the partitions the snapshot pinned, each verified to still
+    carry the pinned generation. Appended partitions are excluded; a
+    partition rewritten by delete_rows since the snapshot raises a named
+    error (its pinned rows no longer exist — refusing beats silently
+    reading post-delete data as-of). Compaction is generation-neutral:
+    it preserves row content, so compacted snapshots stay readable."""
+    from .encode import read_blocks
+
+    manifest = Manifest(out_root)
+    snap = manifest.snapshot_record(version)
+    current = {
+        e["partition_id"]: int(e.get("generation", 0)) for e in manifest.entries()
+    }
+    files: list[str] = []
+    stale: list[str] = []
+    missing: list[str] = []
+    for pid, gen in sorted(snap["partitions"].items()):
+        if pid not in current:
+            missing.append(pid)
+        elif current[pid] != gen:
+            stale.append(pid)
+        else:
+            files.append(str(Path(out_root) / "blocks" / f"{pid}.parquet"))
+    if missing or stale:
+        raise ValueError(
+            f"snapshot v{version} of {out_root} is no longer readable: "
+            + (f"partitions {missing} vanished from the manifest; " if missing else "")
+            + (
+                f"partitions {stale} were rewritten by delete_rows after the "
+                "snapshot (generation mismatch)"
+                if stale
+                else ""
+            )
+        )
+    if not files:
+        raise ValueError(f"snapshot v{version} of {out_root} pins zero partitions")
+    return read_blocks(files)
 
 
 # ---------------------------------------------------------------------------

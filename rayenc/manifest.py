@@ -242,3 +242,81 @@ class Manifest:
             "ratio": (enc / src) if src else None,
             "codec_counts": codec_counts,
         }
+
+    # -------------------------------------------------------- snapshots
+    #
+    # A snapshot pins the SET of committed partitions (plus each one's
+    # rewrite generation) at a point in time — the lakehouse read-as-of
+    # primitive for append-mode ingestion: a training run records the
+    # snapshot version it read, and a later rerun over the same version
+    # sees byte-identical rows even though the job dir has since grown.
+    # Append-only growth keeps every old snapshot readable forever
+    # (partitions are immutable once committed; compaction preserves row
+    # content so it does NOT bump the generation). Row-CHANGING rewrites
+    # (delete_rows) bump the partition's `generation`, which invalidates
+    # snapshots that pinned the old rows — read_blocks_at raises a named
+    # error rather than silently serving post-delete data as-of.
+
+    def snapshots_dir(self) -> Path:
+        return self.root / "snapshots"
+
+    def snapshot_versions(self) -> list[int]:
+        d = self.snapshots_dir()
+        if not d.is_dir():
+            return []
+        out = []
+        for p in d.glob("v*.json"):
+            try:
+                out.append(int(p.stem[1:]))
+            except ValueError:
+                continue  # foreign file; not ours to interpret
+        return sorted(out)
+
+    def snapshot_record(self, version: int) -> dict:
+        p = self.snapshots_dir() / f"v{int(version):06d}.json"
+        if not p.exists():
+            have = self.snapshot_versions()
+            raise ValueError(
+                f"no snapshot v{version} under {self.root} (have: {have})"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot(self, note: str | None = None) -> dict:
+        """Pin the current committed-partition set as the next snapshot
+        version. O(partitions) metadata; no data is copied — immutable
+        block files ARE the snapshot storage. Single-writer like the job
+        record (the file is created O_EXCL, so two racing drivers get a
+        loud FileExistsError, never a clobbered version)."""
+        import time
+
+        es = self.entries()
+        versions = self.snapshot_versions()
+        version = (versions[-1] + 1) if versions else 1
+        rec = {
+            "version": version,
+            "format_version": FORMAT_VERSION,
+            "created_unix": time.time(),
+            "note": note,
+            "partitions": {
+                e["partition_id"]: int(e.get("generation", 0))
+                for e in es
+                if e.get("output")
+            },
+            "rows": sum(e.get("rows", 0) for e in es),
+            "blocks": sum(e.get("blocks", 0) for e in es),
+            "encoded_bytes": sum(e.get("encoded_bytes", 0) for e in es),
+        }
+        d = self.snapshots_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"v{version:06d}.json"
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(rec, f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            path.unlink(missing_ok=True)
+            raise
+        return rec
