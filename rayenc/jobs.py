@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import secrets
 import time
 from pathlib import Path
 
@@ -294,6 +295,25 @@ def iter_blocks(table: pa.Table, block_rows: int, max_block_bytes: int):
         pos += step
 
 
+def _chaos_die_once(chaos_dir: str, pid: str) -> None:
+    """Fault-injection hook (chaos tests): hard-exit the actor process
+    the FIRST time each partition reaches the caller's crash point. An
+    O_EXCL flag file claims the death atomically, so the Ray-retried
+    attempt (and any concurrent duplicate) sails through. ``os._exit``
+    bypasses every exception handler and finalizer on purpose — this
+    models a node loss, not an error path. Exercised by
+    tests/test_chaos.py; never set in production jobs."""
+    flag = Path(chaos_dir) / (
+        hashlib.sha256(pid.encode()).hexdigest()[:16] + ".died"
+    )
+    try:
+        fd = os.open(flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return
+    os.close(fd)
+    os._exit(1)
+
+
 class PartitionEncoder:
     """Actor-pool stage: one partition descriptor in -> one committed
     partition out (blocks parquet + manifest entry)."""
@@ -321,8 +341,10 @@ class PartitionEncoder:
         kll_k: int = 128,
         ngram: bool = False,
         ngram_n: int = 3,
+        chaos_dir: str | None = None,
     ):
         self.out_root = Path(out_root)
+        self.chaos_dir = chaos_dir
         self.blocks_dir = self.out_root / "blocks"
         self.blocks_dir.mkdir(parents=True, exist_ok=True)
         self.manifest = Manifest(out_root)
@@ -467,6 +489,10 @@ class PartitionEncoder:
         # blocks are already compressed; don't pay zstd twice
         pq.write_table(blocks_table, tmp, compression="none")
         os.replace(tmp, out_file)
+        if self.chaos_dir:
+            # crash window under test: output durable, commit absent —
+            # resume/retry must re-encode and re-publish idempotently
+            _chaos_die_once(self.chaos_dir, pid)
 
         lineages = [json.loads(s) for s in blocks_table["lineage"].to_pylist()]
         col_summary: dict[str, dict] = {}
@@ -747,8 +773,15 @@ def run_encode_job(
     kll_k: int = 128,
     ngram: bool = False,
     ngram_n: int = 3,
+    chaos_dir: str | None = None,
 ) -> dict:
     """Resumable distributed encode. Returns a job summary dict.
+
+    `chaos_dir` is a fault-injection hook for tests ONLY: when set, the
+    first attempt at each partition hard-exits its actor process right
+    after publishing the blocks parquet and before the manifest commit
+    (the worst crash window); Ray Data restarts the actor and retries.
+    It changes no rows and is deliberately NOT part of the job record.
 
     `append=True` is incremental ingestion: the input list may GROW
     across runs (the recorded list must be a prefix of the new one —
@@ -890,6 +923,7 @@ def run_encode_job(
                 "kll_k": kll_k,
                 "ngram": ngram,
                 "ngram_n": ngram_n,
+                "chaos_dir": chaos_dir,
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -1477,8 +1511,16 @@ def _tmp_path(out_file: Path) -> Path:
     """In-directory staging name for an atomic tmp+rename publish.
     Underscore-prefixed so a stale tmp from a killed task never breaks a
     directory-level parquet read (dataset discovery ignores '_' files),
-    and never matches the 'part-*'/'*.parquet' resume globs."""
-    return out_file.with_name("_" + out_file.name + ".tmp")
+    and never matches the 'part-*'/'*.parquet' resume globs. The name is
+    attempt-unique (pid + random hex): on a real cluster a retried task
+    can overlap a still-running original (network partition, straggler
+    re-execution), and two writers sharing one staging file could publish
+    the other's half-written bytes via rename — unique names make each
+    attempt's write private, and the final os.replace stays last-wins
+    with whole-file contents either way."""
+    return out_file.with_name(
+        f"_{out_file.name}.{os.getpid()}-{secrets.token_hex(4)}.tmp"
+    )
 
 
 def _hive_val(v) -> str:

@@ -1,0 +1,119 @@
+"""Chaos tests: in-flight actor death during a distributed encode job.
+
+tests/test_resume.py covers the DRIVER-level story (whole run killed,
+rerun skips committed partitions). These tests cover the RAY-level
+story: a worker process dies mid-job — the norm, not the exception, on
+a multi-node cluster — and Ray Data's actor-pool restart + task retry
+must carry the job to a correct finish without any driver involvement.
+
+The injection point is the worst crash window the sink has: the blocks
+parquet for a partition is already published (durable output) but its
+manifest entry is not yet committed. A retried attempt must re-encode
+the partition and re-publish idempotently: deterministic output names,
+attempt-unique staging files, last-wins atomic rename, one manifest
+entry per partition.
+
+The reference has no analog — its driver reprocesses everything on any
+failure (/root/reference/scripts/process.sh:42-59).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import run_encode_job, verify_blocks
+
+
+def test_actor_death_mid_job_completes_and_verifies(
+    ray_session, corpus_parquet, tmp_path
+):
+    """Every partition's first attempt hard-exits its actor AFTER the
+    blocks file is published and BEFORE the manifest commit; Ray retries
+    and the job still finishes exactly-once correct."""
+    out = str(tmp_path / "job")
+    chaos = tmp_path / "chaos"
+    chaos.mkdir()
+    s = run_encode_job(
+        corpus_parquet,
+        out,
+        block_rows=500,
+        max_partition_bytes=1 << 20,
+        concurrency=2,
+        chaos_dir=str(chaos),
+    )
+    # the injection actually fired: one death flag per partition
+    deaths = list(chaos.glob("*.died"))
+    assert len(deaths) == s["partitions_total"] >= 2
+    assert s["partitions_encoded"] == s["partitions_total"]
+    assert s["rows"] == 3000
+
+    # exactly-once at the sink: one blocks file and one manifest entry
+    # per partition, no stragglers, no duplicates
+    import ray.data as rd
+
+    blocks = rd.read_parquet(f"{out}/blocks")
+    tbl = blocks.select_columns(["partition_id", "n_rows"]).to_pandas()
+    n_files = len(list((tmp_path / "job" / "blocks").glob("*.parquet")))
+    assert tbl["partition_id"].nunique() == n_files == s["partitions_total"]
+    assert tbl["n_rows"].sum() == 3000
+    # per-row sha256 chain verify over the retried output
+    v = verify_blocks(rd.read_parquet(f"{out}/blocks"))
+    assert v["ok"], v
+
+    # decoded content matches the source bit-for-bit
+    from rayenc.decode import decode_dataset
+
+    dec = decode_dataset(rd.read_parquet(f"{out}/blocks"), concurrency=2)
+    src = pq.read_table(corpus_parquet)
+    got = dec.to_pandas().sort_values("content").reset_index(drop=True)
+    want = src.to_pandas().sort_values("content").reset_index(drop=True)
+    assert got["content"].tolist() == want["content"].tolist()
+
+
+def test_chaos_then_clean_rerun_is_noop(ray_session, corpus_parquet, tmp_path):
+    """After a chaos-ridden run commits everything, a clean rerun skips
+    every partition — retries did not corrupt the commit log."""
+    out = str(tmp_path / "job")
+    chaos = tmp_path / "chaos"
+    chaos.mkdir()
+    s1 = run_encode_job(
+        corpus_parquet,
+        out,
+        block_rows=500,
+        max_partition_bytes=1 << 20,
+        concurrency=2,
+        chaos_dir=str(chaos),
+    )
+    assert s1["partitions_encoded"] == s1["partitions_total"]
+    s2 = run_encode_job(
+        corpus_parquet,
+        out,
+        block_rows=500,
+        max_partition_bytes=1 << 20,
+        concurrency=2,
+    )
+    assert s2["partitions_encoded"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+
+
+def test_no_stale_tmp_breaks_reads(ray_session, corpus_parquet, tmp_path):
+    """A staging file left behind by a dead attempt must be invisible to
+    every reader: parquet dataset discovery, resume globs, verify."""
+    out = str(tmp_path / "job")
+    run_encode_job(
+        corpus_parquet, out, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    blocks_dir = tmp_path / "job" / "blocks"
+    # plant a stale attempt-unique staging file of garbage bytes
+    some = next(blocks_dir.glob("*.parquet"))
+    from rayenc.jobs import _tmp_path
+
+    stale = _tmp_path(some)
+    stale.write_bytes(b"\x00garbage not parquet")
+    import ray.data as rd
+
+    blocks = rd.read_parquet(str(blocks_dir))
+    assert verify_blocks(blocks)["ok"]
+    # two calls never collide on the same staging name (attempt-unique)
+    assert _tmp_path(some).name != _tmp_path(some).name
