@@ -1623,8 +1623,11 @@ class PartitionExporter:
         row_filter: list | None = None,
         ordered: bool = True,
         partition_by: list[str] | None = None,
+        chaos_dir: str | None = None,
     ):
         from .decode import BlockDecoder, normalize_dnf
+
+        self.chaos_dir = chaos_dir
 
         self.blocks_dir = Path(blocks_root) / "blocks"
         self.out_root = Path(out_root)
@@ -1717,6 +1720,10 @@ class PartitionExporter:
             tmp = _tmp_path(out_file)
             pq.write_table(dec, tmp, compression="zstd")
             os.replace(tmp, out_file)  # atomic publish: existence == committed
+            if self.chaos_dir:
+                # crash window under test: published but the task result
+                # is lost — the retry must SKIP on the part-file glob
+                _chaos_die_once(self.chaos_dir, pid)
         return {
             "partition_id": pid,
             "rows": len(dec),
@@ -1803,6 +1810,11 @@ class PartitionExporter:
             tmp = _tmp_path(out_file)
             pq.write_table(sub, tmp, compression="zstd")
             os.replace(tmp, out_file)
+        if self.chaos_dir:
+            # crash window under test: every key file written, marker
+            # absent — the retry must re-decode and re-publish
+            # idempotently, then write the marker
+            _chaos_die_once(self.chaos_dir, pid)
         tmp = _tmp_path(done_marker)
         with open(tmp, "w") as f:
             json.dump({"files": len(combos), "rows": len(dec)}, f)
@@ -1817,8 +1829,15 @@ def run_export_job(
     ordered: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     partition_by: list[str] | None = None,
+    chaos_dir: str | None = None,
 ) -> dict:
     """Resumable distributed decode-export. Returns a summary dict.
+
+    `chaos_dir` is the tests-only fault-injection hook (see
+    run_encode_job): first attempt per partition hard-exits its actor —
+    after the atomic publish on the flat path (retry must skip), after
+    the key files but before the _done marker on the hive path (retry
+    must re-publish idempotently).
 
     Output layout: ``out_root/part-{partition_seq:06d}-{pid}.parquet`` —
     one file per committed block partition, published atomically, named
@@ -1933,6 +1952,7 @@ def run_export_job(
                     "row_filter": filter,
                     "ordered": ordered,
                     "partition_by": partition_by,
+                    "chaos_dir": chaos_dir,
                 },
                 batch_format="pyarrow",
                 batch_size=1,

@@ -1517,7 +1517,9 @@ def q_jsonl_source(sf_dir: str) -> pa.Table:
                 batch_size=None, batch_format="pyarrow"
             )
         )
-        tmp = path + ".tmp"
+        # attempt-unique staging name: two driver processes building the
+        # same derived fixture must not interleave on one tmp file
+        tmp = f"{path}.{_os.getpid()}.tmp"
         with open(tmp, "w") as f:
             for row in t.to_pylist():
                 f.write(_json.dumps(row, separators=(",", ":")) + "\n")

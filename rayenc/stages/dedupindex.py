@@ -203,11 +203,14 @@ class DedupIndex:
                 }
             )
             total += t.num_rows
-            tmp = p / f".shard_{i:05d}.tmp"
+            # attempt-unique staging names: two concurrent persists to
+            # the same path must not interleave on one tmp file (each
+            # publish stays last-wins whole-file via os.replace)
+            tmp = p / f".shard_{i:05d}.{os.getpid()}.tmp"
             pq.write_table(t, tmp, compression="zstd")
             os.replace(tmp, p / f"shard_{i:05d}.parquet")
         marker = {"format": 1, "n_shards": self.n_shards, "keys": total}
-        tmp = p / ".index.json.tmp"
+        tmp = p / f".index.json.{os.getpid()}.tmp"
         tmp.write_text(json.dumps(marker))
         os.replace(tmp, p / "index.json")
         return marker

@@ -19,6 +19,7 @@ failure (/root/reference/scripts/process.sh:42-59).
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -95,6 +96,52 @@ def test_chaos_then_clean_rerun_is_noop(ray_session, corpus_parquet, tmp_path):
     )
     assert s2["partitions_encoded"] == 0
     assert s2["partitions_skipped"] == s1["partitions_total"]
+
+
+def test_actor_death_mid_export_flat_and_hive(ray_session, corpus_parquet, tmp_path):
+    """Exporter actor death in both commit protocols: the flat path dies
+    right AFTER its atomic publish (the retry must skip on the part-file
+    glob, not double-export), the hive path dies after the key files and
+    BEFORE the _done marker (the retry must re-publish idempotently)."""
+    from pathlib import Path
+
+    from rayenc.jobs import run_export_job
+
+    root = str(tmp_path / "job")
+    s = run_encode_job(
+        corpus_parquet, root, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    src = pq.read_table(corpus_parquet)
+
+    # flat path
+    out = str(tmp_path / "export_flat")
+    chaos = tmp_path / "chaos_flat"
+    chaos.mkdir()
+    e = run_export_job(root, out, concurrency=2, chaos_dir=str(chaos))
+    assert len(list(chaos.glob("*.died"))) == s["partitions_total"]
+    # every partition was handled exactly once across attempts: each is
+    # either exported by the dying attempt (retry skips) or vice versa
+    assert e["partitions_exported"] + e["partitions_skipped"] == s["partitions_total"]
+    files = sorted(Path(out).glob("part-*.parquet"))
+    assert len(files) == s["partitions_total"]
+    got = pa.concat_tables([pq.read_table(f) for f in files])
+    assert got.select(src.column_names).equals(src)
+
+    # hive path
+    out2 = str(tmp_path / "export_hive")
+    chaos2 = tmp_path / "chaos_hive"
+    chaos2.mkdir()
+    e2 = run_export_job(
+        root, out2, concurrency=2, partition_by=["lang"], chaos_dir=str(chaos2)
+    )
+    assert len(list(chaos2.glob("*.died"))) == s["partitions_total"]
+    assert e2["partitions_exported"] == s["partitions_total"]
+    got2 = pa.concat_tables(
+        pq.read_table(f) for f in sorted(Path(out2).rglob("part-*.parquet"))
+    )
+    a = got2.select(src.column_names).sort_by([("content", "ascending")])
+    b = src.sort_by([("content", "ascending")])
+    assert a.equals(b)
 
 
 def test_no_stale_tmp_breaks_reads(ray_session, corpus_parquet, tmp_path):
