@@ -150,6 +150,15 @@ def cmd_layout(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    """Sweep stale staging files from a job/export dir (no Ray session:
+    a driver-side walk over staging names only, never data)."""
+    from rayenc.jobs import vacuum_job
+
+    print(json.dumps(vacuum_job(args.root, max_age_s=args.max_age)))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Re-block an encoded block table at a new block size (decode ->
     re-encode, streaming) — the maintenance op for ingestion roots full
@@ -657,6 +666,17 @@ def main() -> int:
         help="rewrite the job dir itself (per-partition atomic swap + manifest re-commit)",
     )
     cp.set_defaults(fn=cmd_compact)
+
+    vac = sub.add_parser(
+        "vacuum",
+        help="remove stale staging files (_*.tmp) left by crashed attempts in a job/export dir",
+    )
+    vac.add_argument("root", help="job or export output root")
+    vac.add_argument(
+        "--max-age", type=float, default=3600.0,
+        help="only remove staging files older than this many seconds (default 1h)",
+    )
+    vac.set_defaults(fn=cmd_vacuum)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")
     v.add_argument(

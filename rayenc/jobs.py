@@ -1083,6 +1083,42 @@ def _backfill_row_start(batch: pa.Table, blocks_dir: str) -> pa.Table:
     return pa.Table.from_pylist(out)
 
 
+def vacuum_job(out_root: str, max_age_s: float = 3600.0) -> dict:
+    """Remove stale STAGING files from a job/export dir tree. Crashed
+    attempts leave attempt-unique `_*.tmp` files (and the manifest's
+    mkstemp `.*.tmp` files) behind; they are invisible to every reader
+    (discovery skips '_'/'.' names) but accumulate disk on a long-lived
+    100 TB job dir, so a periodic sweep bounds them. Only files that are
+    BOTH dot/underscore-prefixed AND `.tmp`-suffixed are candidates —
+    published outputs, markers (`_done-*`, no suffix) and records
+    (`_export.json`) can never match — and only when older than
+    `max_age_s` (default 1 h), so a live attempt's staging file is never
+    yanked mid-write. Driver-side walk: the candidate set is tiny
+    (staging files, not data), so no Ray stage is warranted."""
+    root = Path(out_root)
+    removed = 0
+    freed = 0
+    now = time.time()
+    for f in root.rglob("*.tmp"):
+        if not (f.name.startswith("_") or f.name.startswith(".")):
+            continue
+        try:
+            st = f.lstat()
+        except FileNotFoundError:
+            continue  # concurrent publish renamed it away
+        if not os.path.isfile(f) or os.path.islink(f):
+            continue
+        if now - st.st_mtime < max_age_s:
+            continue
+        try:
+            os.unlink(f)
+        except FileNotFoundError:
+            continue
+        removed += 1
+        freed += st.st_size
+    return {"removed": removed, "bytes_freed": freed, "root": str(root)}
+
+
 def compact_job(
     out_root: str,
     target_block_rows: int,

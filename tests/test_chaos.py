@@ -164,3 +164,15 @@ def test_no_stale_tmp_breaks_reads(ray_session, corpus_parquet, tmp_path):
     assert verify_blocks(blocks)["ok"]
     # two calls never collide on the same staging name (attempt-unique)
     assert _tmp_path(some).name != _tmp_path(some).name
+
+    # vacuum removes exactly the stale staging file, never outputs
+    from rayenc.jobs import vacuum_job
+
+    before = sorted(p.name for p in blocks_dir.glob("*.parquet"))
+    v0 = vacuum_job(out, max_age_s=3600)  # too young: kept
+    assert v0["removed"] == 0 and stale.exists()
+    v1 = vacuum_job(out, max_age_s=0)
+    assert v1["removed"] == 1 and v1["bytes_freed"] == len(b"\x00garbage not parquet")
+    assert not stale.exists()
+    assert sorted(p.name for p in blocks_dir.glob("*.parquet")) == before
+    assert verify_blocks(rd.read_parquet(str(blocks_dir)))["ok"]
