@@ -29,6 +29,8 @@ from .jobs import (
     read_blocks_at,
     run_encode_job,
     run_export_job,
+    update_rows,
+    vacuum_job,
 )
 from .partition import locality_encode, salted_partition
 from .manifest import Manifest
@@ -64,6 +66,8 @@ __all__ = [
     "run_export_job",
     "compact_job",
     "delete_rows",
+    "update_rows",
+    "vacuum_job",
     "read_blocks_at",
     "Manifest",
     "reference_parquet_bytes",

@@ -109,6 +109,39 @@ def cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_update(args: argparse.Namespace) -> int:
+    """Copy-on-write UPDATE of rows matching --filter in a committed
+    encode-job dir (rayenc.jobs.update_rows): --set assigns constants,
+    --scrub applies regex rewrites — the in-place PII-redaction path."""
+    _init_ray()
+    from rayenc.jobs import update_rows
+
+    filt = _parse_filters(args.filter)
+    if not filt:
+        raise SystemExit("update: at least one --filter col:op:value is required")
+    set_values = {}
+    for s in args.set or []:
+        col, _, val = s.partition("=")
+        if not _ or not col:
+            raise SystemExit(f"update: --set expects COL=VALUE, got {s!r}")
+        set_values[col] = val
+    scrub: dict[str, list] = {}
+    for s in args.scrub or []:
+        col, _, rest = s.partition(":")
+        pattern, sep, repl = rest.rpartition("=")
+        if not _ or not sep or not col or not pattern:
+            raise SystemExit(f"update: --scrub expects COL:REGEX=REPL, got {s!r}")
+        scrub.setdefault(col, []).append((pattern, repl))
+    print(
+        json.dumps(
+            update_rows(
+                args.out, filt, set_values=set_values or None, scrub=scrub or None
+            )
+        )
+    )
+    return 0
+
+
 def cmd_js2pq(args: argparse.Namespace) -> int:
     _init_ray()
     import pyarrow as pa
@@ -542,6 +575,25 @@ def main() -> int:
         help="conjunction predicate, repeatable (same syntax as encode --filter)",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "update",
+        help="copy-on-write update of rows matching --filter (constant --set and/or regex --scrub)",
+    )
+    up.add_argument("out", help="encode job output root")
+    up.add_argument(
+        "--filter", action="append", metavar="COL:OP:VALUE",
+        help="conjunction predicate, repeatable (same syntax as encode --filter)",
+    )
+    up.add_argument(
+        "--set", action="append", metavar="COL=VALUE",
+        help="assign a constant to COL on matching rows (repeatable; value parsed as string)",
+    )
+    up.add_argument(
+        "--scrub", action="append", metavar="COL:REGEX=REPL",
+        help="regex rewrite on COL for matching rows (repeatable; applied in order)",
+    )
+    up.set_defaults(fn=cmd_update)
 
     m = sub.add_parser("manifest", help="print the manifest summary of an encode job")
     m.add_argument("out", help="encode job output root")

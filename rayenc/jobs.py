@@ -1295,9 +1295,14 @@ class PartitionDeleter:
         pid = entry["partition_id"]
         untouched = {"partition_id": pid, "rewritten": False, "rows_deleted": 0,
                      "blocks_dropped": 0}
-        # level 1: zonemaps only — no blob columns leave the file
+        # level 1: zonemaps only — no blob columns leave the file. Sorted
+        # by block_seq so candidate positions align with the sorted full
+        # read below even if a file's physical row order ever drifts from
+        # seq order (today they coincide; this pins the invariant)
         if "zonemap" in pq.read_schema(entry["output"]).names:
-            zonly = pq.read_table(entry["output"], columns=["zonemap"])
+            zonly = pq.read_table(
+                entry["output"], columns=["zonemap", "block_seq"]
+            ).sort_by("block_seq")
             candidates = [
                 i
                 for i, z in enumerate(zonly["zonemap"].to_pylist())
@@ -1406,6 +1411,267 @@ class PartitionDeleter:
             "rows_deleted": deleted,
             "blocks_dropped": blocks_dropped,
         }
+
+
+class PartitionUpdater:
+    """Actor-pool stage for update_rows: one committed-partition manifest
+    entry in -> the same partition rewritten with the rows matching a
+    (col, op, value) conjunction TRANSFORMED in place — constant SET
+    and/or vectorized regex scrub per column. Same three-level pruning
+    as PartitionDeleter (zonemap scan -> candidate decode -> exact-match
+    check); a block with zero matches keeps its encoded row verbatim.
+    Row COUNT and order never change, so block_seq / row_start /
+    partition_seq carry over from the old block row and decode_ordered /
+    take_rows keep working untouched. The swap is the same atomic
+    tmp+rename. Updating a cluster_by key keeps pruning CORRECT (zones
+    re-derive from the new values at re-encode) but can widen that
+    block's zone — the clustered layout's disjointness is best-effort
+    after an update, like after any append."""
+
+    def __init__(
+        self,
+        out_root: str,
+        params: dict,
+        filter: list,
+        set_values: dict | None,
+        scrub: dict | None,
+    ):
+        from .decode import BlockDecoder
+
+        self.out_root = Path(out_root)
+        self.manifest = Manifest(out_root)
+        self.filter = [tuple(p) for p in filter]
+        self.set_values = dict(set_values or {})
+        self.scrub = {c: [tuple(r) for r in rules] for c, rules in (scrub or {}).items()}
+        self.core = BlockEncoder(
+            columns=None,
+            level=int(params.get("level", 3)),
+            hash_column=params.get("hash_column"),
+            stats=params.get("stats", "block"),
+            page_rows=params.get("page_rows"),
+            decode_weight=float(params.get("decode_weight", 0.0)),
+            enc_cap=params.get("enc_cap"),
+            forced_codecs=params.get("forced_codecs"),
+            hll=bool(params.get("hll", False)),
+            hll_b=int(params.get("hll_b", 10)),
+            kll=bool(params.get("kll", False)),
+            kll_k=int(params.get("kll_k", 128)),
+            archive=bool(params.get("archive", False)),
+            ngram=bool(params.get("ngram", False)),
+            ngram_n=int(params.get("ngram_n", 3)),
+        )
+        self.dec = BlockDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist(
+            [self._update(json.loads(r["entry"])) for r in batch.to_pylist()]
+        )
+
+    def _transform(self, decoded: pa.Table, mask) -> pa.Table:
+        """Apply SET + scrub to the masked rows only; types are pinned to
+        each column's existing type so the block schema cannot drift."""
+        out = decoded
+        for col, val in self.set_values.items():
+            t = out.schema.field(col).type
+            new = pc.if_else(mask, pa.scalar(val, type=t), out[col])
+            out = out.set_column(out.column_names.index(col), col, new)
+        for col, rules in self.scrub.items():
+            scrubbed = out[col]
+            for pattern, replacement in rules:
+                scrubbed = pc.replace_substring_regex(
+                    scrubbed, pattern=pattern, replacement=replacement
+                )
+            new = pc.if_else(mask, scrubbed, out[col])
+            out = out.set_column(out.column_names.index(col), col, new)
+        return out
+
+    def _update(self, entry: dict) -> dict:
+        from .decode import _conjunction_mask, zone_may_match
+
+        pid = entry["partition_id"]
+        untouched = {"partition_id": pid, "rewritten": False, "rows_updated": 0}
+        # level 1: zonemaps only, seq-aligned with the full read below
+        if "zonemap" in pq.read_schema(entry["output"]).names:
+            zonly = pq.read_table(
+                entry["output"], columns=["zonemap", "block_seq"]
+            ).sort_by("block_seq")
+            candidates = [
+                i
+                for i, z in enumerate(zonly["zonemap"].to_pylist())
+                if zone_may_match(json.loads(z) if z else {}, self.filter)
+            ]
+        else:
+            candidates = list(range(pq.ParquetFile(entry["output"]).metadata.num_rows))
+        if not candidates:
+            return untouched
+        old = pq.read_table(entry["output"]).sort_by("block_seq")
+        has_rs = "row_start" in old.column_names
+        updated = 0
+        rewritten: dict[int, pa.Table] = {}
+        for i in candidates:
+            decoded = self.dec(old.slice(i, 1))
+            mask = pc.fill_null(_conjunction_mask(decoded, self.filter), False)
+            n_match = int(pc.sum(mask).as_py() or 0)
+            if n_match == 0:
+                continue  # zone false positive: keep the encoded row as-is
+            updated += n_match
+            enc = self.core.encode_table(
+                self._transform(decoded, mask),
+                block_seq=int(old["block_seq"][i].as_py()),
+                partition_id=pid,
+                partition_seq=(
+                    int(old["partition_seq"][i].as_py())
+                    if "partition_seq" in old.column_names
+                    else 0
+                ),
+                row_start=int(old["row_start"][i].as_py()) if has_rs else None,
+            )
+            rewritten[i] = enc.select(old.column_names)
+        if updated == 0:
+            return untouched
+        new = pa.concat_tables(
+            rewritten.get(i, old.slice(i, 1)) for i in range(old.num_rows)
+        )
+        rows_after = int(new["n_rows"].to_numpy(zero_copy_only=False).sum())
+        if rows_after != entry["rows"]:
+            raise RuntimeError(
+                f"update_rows: partition {pid} has {entry['rows']} manifest "
+                f"rows but {rows_after} after the rewrite — refusing to swap "
+                "(an update must never change the row count)"
+            )
+        out_file = Path(entry["output"])
+        tmp = _tmp_path(out_file)
+        pq.write_table(new, tmp, compression="none")
+        os.replace(tmp, out_file)  # atomic: readers see old or new, never half
+        new_entry = dict(entry)
+        new_entry["encoded_bytes"] = int(
+            new["encoded_bytes"].to_numpy(zero_copy_only=False).sum()
+        )
+        new_entry["block_hashes"] = new["content_sha256"].to_pylist()
+        # row-CONTENT change: bump the generation (stale snapshots must
+        # refuse, same contract as delete) and append update lineage
+        new_entry["generation"] = int(entry.get("generation", 0)) + 1
+        lineage = list(entry.get("updates", []))
+        lineage.append(
+            {
+                "filter": [_jsonable_predicate(p) for p in self.filter],
+                "set": {k: _json_scalar(v) for k, v in self.set_values.items()},
+                "scrub": {c: [list(r) for r in rules] for c, rules in self.scrub.items()},
+                "rows_updated": updated,
+                "blocks_rewritten": len(rewritten),
+            }
+        )
+        new_entry["updates"] = lineage
+        self.manifest.commit(new_entry)
+        return {"partition_id": pid, "rewritten": True, "rows_updated": updated}
+
+
+def _json_scalar(v):
+    """JSON-safe form of a SET constant for the lineage record (bytes
+    are not JSON; record them hex-tagged rather than dropping lineage)."""
+    if isinstance(v, bytes):
+        return {"__hex__": v.hex()}
+    return v
+
+
+def update_rows(
+    out_root: str,
+    filter: list,
+    set_values: dict | None = None,
+    scrub: dict | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Copy-on-write UPDATE over a committed encode-job dir: every row
+    matching the (col, op, value) conjunction is transformed in place —
+    `set_values` assigns constants per column, `scrub` applies an
+    ordered list of (regex, replacement) rewrites per string column
+    (both may be given; scrub runs after set). Everything else is
+    byte-identical afterwards, and zone maps bound the rewrite exactly
+    as in delete_rows, so redacting one repo / one id set / one date
+    range over a huge job dir is a metadata scan plus a few file
+    rewrites. The flagship use is in-place PII redaction of an
+    already-encoded corpus without a full re-encode.
+
+    Reruns rewrite only still-matching rows: a SET that falsifies the
+    filter (e.g. filter lang=='xx', set lang='yy') is idempotent like a
+    delete; a scrub whose filter still matches the scrubbed text
+    re-applies (regexes should consume what they match). Row content
+    changes, so rewritten partitions' generations bump and snapshots
+    taken before the update refuse those partitions (read_blocks_at)."""
+    from .decode import validate_predicate_shapes
+
+    if not filter:
+        raise ValueError("update_rows needs a non-empty (col, op, value) conjunction")
+    if not set_values and not scrub:
+        raise ValueError("update_rows needs set_values and/or scrub")
+    validate_predicate_shapes(filter, set(), "job dir")
+    for col, rules in (scrub or {}).items():
+        for r in rules:
+            if not (isinstance(r, (tuple, list)) and len(r) == 2
+                    and all(isinstance(x, str) for x in r)):
+                raise ValueError(
+                    f"scrub[{col!r}] entries must be (regex, replacement) "
+                    f"string pairs, got {r!r}"
+                )
+    manifest = Manifest(out_root)
+    rec = manifest.job_record()
+    if rec is None:
+        raise ValueError(f"{out_root} has no job record; not an encode-job dir")
+    params = rec.get("params", {})
+    entries = [e for e in manifest.entries() if e.get("output") and e.get("rows")]
+    if entries:
+        cols = {c for e in entries for c in e.get("columns", {})}
+        if cols:
+            validate_predicate_shapes(filter, cols, "encoded columns")
+            for c in list(set_values or {}) + list(scrub or {}):
+                if c not in cols:
+                    raise ValueError(
+                        f"update target column {c!r} is not in the encoded "
+                        f"columns (have: {sorted(cols)})"
+                    )
+    summary = {
+        "partitions_total": len(entries),
+        "partitions_rewritten": 0,
+        "rows_updated": 0,
+    }
+    if not entries:
+        return summary
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() - 2))
+    results = (
+        ray.data.from_items([{"entry": json.dumps(e)} for e in entries])
+        .map_batches(
+            PartitionUpdater,
+            fn_constructor_kwargs={
+                "out_root": out_root,
+                "params": params,
+                "filter": [list(p) for p in filter],
+                "set_values": set_values,
+                "scrub": scrub,
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+        .take_all()  # control-plane rows: one per partition, tiny
+    )
+    summary["partitions_rewritten"] = sum(1 for r in results if r["rewritten"])
+    summary["rows_updated"] = sum(r["rows_updated"] for r in results)
+    with open(Path(out_root) / "updates.log", "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "filter": [_jsonable_predicate(p) for p in filter],
+                    "set": {k: _json_scalar(v) for k, v in (set_values or {}).items()},
+                    "scrub": scrub or {},
+                    **summary,
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
+        )
+    return summary
 
 
 def delete_rows(

@@ -1,0 +1,170 @@
+"""Copy-on-write update_rows: matching rows are transformed in place
+(constant SET and/or regex scrub), everything else is byte-identical,
+row count/order and random access survive, and only the partitions that
+hold matches rewrite. The flagship use is in-place PII redaction of an
+already-encoded corpus (no full re-encode — the reference reprocesses
+from scratch, /root/reference/scripts/process.sh:42-59)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rayenc import (
+    decode_dataset,
+    read_blocks_at,
+    run_encode_job,
+    update_rows,
+    verify_blocks,
+)
+from rayenc.manifest import Manifest
+
+
+def _table(n=2000, id_start=0, seed=3):
+    rng = np.random.default_rng(seed + id_start)
+    ids = np.arange(id_start, id_start + n, dtype=np.int64)
+    mail = [
+        f"contact reach-{i}@example.com for text-{i}" if i % 7 == 0 else f"text-{i}"
+        for i in ids
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], n).tolist()),
+            "body": pa.array(mail),
+        }
+    )
+
+
+def _decode_all(out) -> pa.Table:
+    blocks = rd.read_parquet(f"{out}/blocks")
+    return pa.concat_tables(
+        decode_dataset(blocks).iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id")
+
+
+def _job(tmp_path, n=2000, files=1, **kw):
+    srcs = []
+    for f in range(files):
+        p = tmp_path / f"src{f:02d}.parquet"
+        pq.write_table(_table(n, id_start=f * n), p, row_group_size=max(100, n // 4))
+        srcs.append(str(p))
+    out = tmp_path / "job"
+    kw.setdefault("block_rows", 100)
+    kw.setdefault("hash_column", "body")
+    kw.setdefault("concurrency", 2)
+    run_encode_job(srcs, str(out), **kw)
+    return srcs, out
+
+
+def test_set_updates_exactly_matching_rows(ray_session, tmp_path):
+    srcs, out = _job(tmp_path, n=2000, files=2, max_partition_bytes=20_000)
+    src = pa.concat_tables(pq.read_table(s) for s in srcs)
+    n_de = int((np.array(src["lang"]) == "de").sum())
+    s = update_rows(str(out), [("lang", "==", "de")], set_values={"lang": "xx"})
+    assert s["rows_updated"] == n_de > 0
+    got = _decode_all(out)
+    langs = got["lang"].to_pylist()
+    assert langs.count("xx") == n_de and "de" not in langs
+    # every non-target column is untouched, row count and order intact
+    assert got["doc_id"].to_pylist() == src.sort_by("doc_id")["doc_id"].to_pylist()
+    assert got["body"].to_pylist() == src.sort_by("doc_id")["body"].to_pylist()
+    # sha chains were re-derived at rewrite: verify still green
+    assert verify_blocks(rd.read_parquet(f"{out}/blocks"), hash_column="body")["ok"]
+    # idempotent: the SET falsified the filter
+    s2 = update_rows(str(out), [("lang", "==", "de")], set_values={"lang": "xx"})
+    assert s2["rows_updated"] == 0 and s2["partitions_rewritten"] == 0
+
+
+def test_scrub_redacts_only_matching_rows(ray_session, tmp_path):
+    srcs, out = _job(tmp_path, n=1400, files=1, max_partition_bytes=20_000)
+    src = pq.read_table(srcs[0])
+    s = update_rows(
+        str(out),
+        [("body", "contains", "@example.com")],
+        scrub={"body": [(r"[\w.+-]+@[\w-]+\.[\w.]+", "[EMAIL]")]},
+    )
+    n_mail = sum("@example.com" in b for b in src["body"].to_pylist())
+    assert s["rows_updated"] == n_mail > 0
+    got = _decode_all(out)
+    bodies = got["body"].to_pylist()
+    assert not any("@example.com" in b for b in bodies)
+    assert sum("[EMAIL]" in b for b in bodies) == n_mail
+    # non-matching rows byte-identical
+    want = [
+        b for b in src["body"].to_pylist() if "@example.com" not in b
+    ]
+    assert sorted(b for b in bodies if "[EMAIL]" not in b) == sorted(want)
+    # the scrub consumed its match: rerun is a no-op
+    s2 = update_rows(
+        str(out),
+        [("body", "contains", "@example.com")],
+        scrub={"body": [(r"[\w.+-]+@[\w-]+\.[\w.]+", "[EMAIL]")]},
+    )
+    assert s2["rows_updated"] == 0
+
+
+def test_update_rewrites_only_matching_partitions(ray_session, tmp_path):
+    srcs, out = _job(tmp_path, n=2000, files=2, max_partition_bytes=20_000)
+    before = {
+        f.name: f.stat().st_mtime_ns for f in (out / "blocks").glob("*.parquet")
+    }
+    # doc_id is block-ordered: a narrow id range touches few partitions
+    s = update_rows(
+        str(out),
+        [("doc_id", ">=", 100), ("doc_id", "<", 150)],
+        set_values={"lang": "zz"},
+    )
+    assert s["rows_updated"] == 50
+    assert 1 <= s["partitions_rewritten"] < s["partitions_total"]
+    after = {
+        f.name: f.stat().st_mtime_ns for f in (out / "blocks").glob("*.parquet")
+    }
+    unchanged = [n for n in before if before[n] == after[n]]
+    assert len(unchanged) == s["partitions_total"] - s["partitions_rewritten"]
+
+
+def test_update_keeps_random_access_and_bumps_generation(ray_session, tmp_path):
+    srcs, out = _job(tmp_path, n=1200, files=1, max_partition_bytes=20_000)
+    m = Manifest(str(out))
+    v = m.snapshot(note="pre-update")["version"]
+    s = update_rows(str(out), [("doc_id", "==", 777)], set_values={"body": "gone"})
+    assert s["rows_updated"] == 1
+    # row_start random access still lands on the right rows
+    from rayenc.decode import take_rows
+
+    blocks = rd.read_parquet(f"{out}/blocks")
+    got = take_rows(blocks, [776, 777, 778]).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == [776, 777, 778]
+    assert got["body"].to_pylist()[1] == "gone"
+    # stale snapshot refuses the rewritten partition
+    with pytest.raises(Exception, match="generation|snapshot"):
+        read_blocks_at(str(out), v).materialize()
+    # update lineage recorded in manifest + audit log
+    entry = next(e for e in m.entries() if e.get("updates"))
+    assert entry["updates"][0]["rows_updated"] == 1
+    assert json.loads((out / "updates.log").read_text().splitlines()[-1])[
+        "rows_updated"
+    ] == 1
+
+
+def test_update_validation(ray_session, tmp_path):
+    srcs, out = _job(tmp_path, n=300)
+    with pytest.raises(ValueError, match="non-empty"):
+        update_rows(str(out), [], set_values={"lang": "xx"})
+    with pytest.raises(ValueError, match="set_values and/or scrub"):
+        update_rows(str(out), [("lang", "==", "de")])
+    with pytest.raises(ValueError, match="not in the encoded columns"):
+        update_rows(str(out), [("lang", "==", "de")], set_values={"nope": 1})
+    with pytest.raises(ValueError, match="regex, replacement"):
+        update_rows(
+            str(out), [("lang", "==", "de")], scrub={"body": [("only-one",)]}
+        )
+    with pytest.raises(ValueError, match="no job record"):
+        update_rows(str(tmp_path / "nowhere"), [("lang", "==", "de")],
+                    set_values={"lang": "xx"})
