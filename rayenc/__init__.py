@@ -25,6 +25,7 @@ from .jobs import (
     compact_job,
     delete_rows,
     encode_dataset_ordered,
+    enrich_job,
     plan_partitions,
     read_blocks_at,
     run_encode_job,
@@ -66,6 +67,7 @@ __all__ = [
     "run_export_job",
     "compact_job",
     "delete_rows",
+    "enrich_job",
     "update_rows",
     "vacuum_job",
     "read_blocks_at",

@@ -142,6 +142,23 @@ def cmd_update(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_enrich(args: argparse.Namespace) -> int:
+    """ALTER TABLE ADD COLUMN over a committed encode-job dir: compute a
+    registered enricher (lang_id/quality_score/n_tokens/...) from one
+    decoded column and append it as a new encoded, zone-mapped column."""
+    _init_ray()
+    from rayenc.jobs import enrich_job
+
+    print(
+        json.dumps(
+            enrich_job(
+                args.out, args.column, args.enricher, input_column=args.input_column
+            )
+        )
+    )
+    return 0
+
+
 def cmd_js2pq(args: argparse.Namespace) -> int:
     _init_ray()
     import pyarrow as pa
@@ -594,6 +611,19 @@ def main() -> int:
         help="regex rewrite on COL for matching rows (repeatable; applied in order)",
     )
     up.set_defaults(fn=cmd_update)
+
+    en = sub.add_parser(
+        "enrich",
+        help="append a derived encoded column (lang_id/quality_score/n_tokens/...) to a committed job dir",
+    )
+    en.add_argument("out", help="encode job output root")
+    en.add_argument("column", help="name of the new column")
+    en.add_argument(
+        "enricher",
+        help="registered enricher: lang_id quality_score stopword_ratio n_tokens n_chars fingerprint sha256_hex",
+    )
+    en.add_argument("--input-column", default="content", help="decoded input column")
+    en.set_defaults(fn=cmd_enrich)
 
     m = sub.add_parser("manifest", help="print the manifest summary of an encode job")
     m.add_argument("out", help="encode job output root")

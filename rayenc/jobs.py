@@ -1674,6 +1674,324 @@ def update_rows(
     return summary
 
 
+# ---------------------------------------------------------------------------
+# In-place enrichment: ALTER TABLE ADD COLUMN AS f(existing column) over a
+# committed job dir. The LLM-pipeline use: compute lang-id / quality /
+# token counts / fingerprints over an encoded 100 TB corpus ONCE and store
+# them as first-class encoded, zone-mapped columns — later scans filter on
+# `quality >= x` or `lang_pred == 'en'` with block pruning instead of
+# re-running the model/heuristic per scan. Enrichers are a fixed registry
+# of named, deterministic, vectorized functions so the operation is
+# recordable (manifest lineage) and resumable (a rerun skips partitions
+# whose entry already carries the column).
+# ---------------------------------------------------------------------------
+
+def _enricher_registry() -> dict:
+    """name -> factory() -> fn(decoded_block: pa.Table, input_col) -> pa.Array.
+    Factories run once per ACTOR (stateful setup: stopword tables); the
+    returned fn is called once per block, fully vectorized."""
+    from .rowhash import row_digests
+    from .stages.text import (
+        LangId,
+        fingerprint_batch,
+        quality_scores,
+        token_stats,
+    )
+
+    def _with_ids(t: pa.Table, input_col: str) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(t.num_rows), type=pa.int64()),
+                "text": t[input_col].cast(pa.string()),
+            }
+        )
+
+    def _lang_id():
+        stage = LangId()  # stopword tables built once per actor
+        return lambda t, c: stage(_with_ids(t, c))["lang_pred"]
+
+    def _quality():
+        return lambda t, c: quality_scores(_with_ids(t, c))["quality"]
+
+    def _stopword_ratio():
+        return lambda t, c: quality_scores(_with_ids(t, c))["stopword_ratio"]
+
+    def _n_tokens():
+        return lambda t, c: token_stats(_with_ids(t, c))["n_tokens"]
+
+    def _n_chars():
+        return lambda t, c: pc.utf8_length(t[c].cast(pa.string())).cast(pa.int64())
+
+    def _fingerprint():
+        return lambda t, c: fingerprint_batch(_with_ids(t, c))["fingerprint"]
+
+    def _sha256_hex():
+        return lambda t, c: pa.array(
+            [d.hex() for d in row_digests(t[c])], type=pa.string()
+        )
+
+    return {
+        "lang_id": _lang_id,
+        "quality_score": _quality,
+        "stopword_ratio": _stopword_ratio,
+        "n_tokens": _n_tokens,
+        "n_chars": _n_chars,
+        "fingerprint": _fingerprint,
+        "sha256_hex": _sha256_hex,
+    }
+
+
+class PartitionEnricher:
+    """Actor-pool stage for enrich_job: one committed-partition manifest
+    entry in -> the same partition with ONE new encoded column appended
+    to every block. Existing block bytes are byte-identical (the new
+    col_* column, merged lineage/zonemap JSON and the encoded_bytes
+    counter are the only changes); block_id / content_sha256 / row
+    content are untouched, so verify and ordered decode are unaffected
+    and generations do NOT bump (like compaction: snapshots stay
+    readable). The new column gets the full selector treatment — codec
+    auto-selection, zone maps, and whatever page/bloom/HLL/KLL metadata
+    the job was encoded with — so later scans prune on it like any
+    original column."""
+
+    def __init__(self, out_root: str, params: dict, column: str,
+                 enricher: str, input_column: str):
+        from .decode import BlockDecoder
+
+        self.out_root = Path(out_root)
+        self.manifest = Manifest(out_root)
+        self.column = column
+        self.enricher = enricher
+        self.input_column = input_column
+        self.fn = _enricher_registry()[enricher]()  # stateful setup once
+        # hash_column=None: the block's content chain must NOT be
+        # recomputed (we keep the original row's), and the one-column
+        # table fed to encode_table rarely contains it anyway
+        self.core = BlockEncoder(
+            columns=None,
+            level=int(params.get("level", 3)),
+            hash_column=None,
+            stats=params.get("stats", "block"),
+            page_rows=params.get("page_rows"),
+            decode_weight=float(params.get("decode_weight", 0.0)),
+            enc_cap=params.get("enc_cap"),
+            forced_codecs=None,  # the forced map names ORIGINAL columns
+            hll=bool(params.get("hll", False)),
+            hll_b=int(params.get("hll_b", 10)),
+            kll=bool(params.get("kll", False)),
+            kll_k=int(params.get("kll_k", 128)),
+            archive=bool(params.get("archive", False)),
+            ngram=bool(params.get("ngram", False)),
+            ngram_n=int(params.get("ngram_n", 3)),
+        )
+        self.dec = BlockDecoder(columns=[input_column])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist(
+            [self._enrich(json.loads(r["entry"])) for r in batch.to_pylist()]
+        )
+
+    def _enrich(self, entry: dict) -> dict:
+        pid = entry["partition_id"]
+        old = pq.read_table(entry["output"])
+        if f"col_{self.column}" in old.column_names:
+            # a prior attempt published but died before its manifest
+            # commit: don't append the column twice — FINISH the commit
+            # instead, reconstructing the entry from the published file
+            # (summary from its lineage, totals from its counters), so
+            # the dir never stays manifest-behind-blocks
+            col_summary = {"codecs": {}, "src_bytes": 0, "enc_bytes": 0, "ms": 0.0}
+            for s in old["lineage"].to_pylist():
+                info = json.loads(s or "{}").get(self.column)
+                if not info:
+                    continue
+                col_summary["codecs"][info["codec"]] = (
+                    col_summary["codecs"].get(info["codec"], 0) + 1
+                )
+                col_summary["src_bytes"] += info["src_bytes"]
+                col_summary["enc_bytes"] += info["enc_bytes"]
+                col_summary["ms"] = round(col_summary["ms"] + info["ms"], 3)
+            new_entry = dict(entry)
+            new_entry["encoded_bytes"] = int(
+                sum(old["encoded_bytes"].to_pylist())
+            )
+            cols = dict(entry.get("columns", {}))
+            cols[self.column] = col_summary
+            new_entry["columns"] = cols
+            lineage = list(entry.get("enrichments", []))
+            lineage.append(
+                {"column": self.column, "enricher": self.enricher,
+                 "input": self.input_column}
+            )
+            new_entry["enrichments"] = lineage
+            self.manifest.commit(new_entry)
+            return {"partition_id": pid, "rows": 0, "skipped": True}
+        blobs: list[bytes] = []
+        lineages: list[str] = []
+        zonemaps: list[str] = []
+        enc_bytes: list[int] = []
+        col_summary = {"codecs": {}, "src_bytes": 0, "enc_bytes": 0, "ms": 0.0}
+        for i in range(old.num_rows):
+            decoded = self.dec(old.slice(i, 1))
+            arr = self.fn(decoded, self.input_column)
+            if len(arr) != decoded.num_rows:
+                raise RuntimeError(
+                    f"enricher {self.enricher!r} returned {len(arr)} values "
+                    f"for a {decoded.num_rows}-row block"
+                )
+            enc = self.core.encode_table(pa.table({self.column: arr}))
+            blob = enc[f"col_{self.column}"][0].as_py()
+            blobs.append(blob)
+            info = json.loads(enc["lineage"][0].as_py())[self.column]
+            col_summary["codecs"][info["codec"]] = (
+                col_summary["codecs"].get(info["codec"], 0) + 1
+            )
+            col_summary["src_bytes"] += info["src_bytes"]
+            col_summary["enc_bytes"] += info["enc_bytes"]
+            col_summary["ms"] = round(col_summary["ms"] + info["ms"], 3)
+            lin = json.loads(old["lineage"][i].as_py() or "{}")
+            lin[self.column] = info
+            lineages.append(json.dumps(lin, separators=(",", ":")))
+            # merge the new column's zone + reserved metadata keys into
+            # the block's existing zonemap (reserved keys merge per-column)
+            z_old = json.loads(old["zonemap"][i].as_py() or "{}")
+            z_new = json.loads(enc["zonemap"][0].as_py() or "{}")
+            for k, v in z_new.items():
+                if k.startswith("__") and isinstance(v, dict):
+                    z_old.setdefault(k, {}).update(v)
+                else:
+                    z_old[k] = v
+            zonemaps.append(json.dumps(z_old, separators=(",", ":")))
+            enc_bytes.append(int(old["encoded_bytes"][i].as_py()) + len(blob))
+        new = old
+        new = new.set_column(
+            new.column_names.index("lineage"), "lineage",
+            pa.array(lineages, type=pa.string()),
+        )
+        new = new.set_column(
+            new.column_names.index("zonemap"), "zonemap",
+            pa.array(zonemaps, type=pa.string()),
+        )
+        new = new.set_column(
+            new.column_names.index("encoded_bytes"), "encoded_bytes",
+            pa.array(enc_bytes, type=pa.int64()),
+        )
+        new = new.append_column(f"col_{self.column}", pa.array(blobs, type=pa.binary()))
+        out_file = Path(entry["output"])
+        tmp = _tmp_path(out_file)
+        pq.write_table(new, tmp, compression="none")
+        os.replace(tmp, out_file)  # atomic: readers see old or new, never half
+        new_entry = dict(entry)
+        new_entry["encoded_bytes"] = int(sum(enc_bytes))
+        cols = dict(entry.get("columns", {}))
+        cols[self.column] = col_summary
+        new_entry["columns"] = cols
+        lineage = list(entry.get("enrichments", []))
+        lineage.append(
+            {"column": self.column, "enricher": self.enricher,
+             "input": self.input_column}
+        )
+        new_entry["enrichments"] = lineage
+        self.manifest.commit(new_entry)
+        return {"partition_id": pid, "rows": int(entry["rows"]), "skipped": False}
+
+
+def enrich_job(
+    out_root: str,
+    column: str,
+    enricher: str,
+    input_column: str = "content",
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """ALTER TABLE ADD COLUMN over a committed encode-job dir: compute a
+    named, deterministic enricher over one decoded input column and
+    append the result as a NEW encoded, zone-mapped column in every
+    block — no existing byte is re-encoded. Resumable: a rerun skips
+    partitions whose manifest entry already carries the column; a
+    half-finished dir reads fine meanwhile (schema-evolution null-fill)
+    and the rerun completes it. Refuses a column name that already
+    exists, collides with block metadata, or was previously enriched by
+    a DIFFERENT (enricher, input) pair."""
+    reg = _enricher_registry()
+    if enricher not in reg:
+        raise ValueError(
+            f"unknown enricher {enricher!r} (have: {sorted(reg)})"
+        )
+    if not column or column.startswith("__") or column.startswith("col_"):
+        raise ValueError(f"invalid enrichment column name {column!r}")
+    manifest = Manifest(out_root)
+    rec = manifest.job_record()
+    if rec is None:
+        raise ValueError(f"{out_root} has no job record; not an encode-job dir")
+    params = rec.get("params", {})
+    entries = [e for e in manifest.entries() if e.get("output") and e.get("rows")]
+    meta_names = {
+        "block_id", "partition_id", "partition_seq", "block_seq", "n_rows",
+        "source_bytes", "encoded_bytes", "content_sha256", "row_start",
+        "lineage", "zonemap",
+    }
+    if column in meta_names:
+        raise ValueError(f"column name {column!r} collides with block metadata")
+    pending = []
+    for e in entries:
+        cols = e.get("columns", {})
+        if input_column not in cols:
+            raise ValueError(
+                f"input column {input_column!r} is not in partition "
+                f"{e['partition_id']}'s encoded columns (have: {sorted(cols)})"
+            )
+        prior = [x for x in e.get("enrichments", []) if x["column"] == column]
+        if prior:
+            if prior[-1]["enricher"] != enricher or prior[-1]["input"] != input_column:
+                raise ValueError(
+                    f"column {column!r} was enriched as "
+                    f"{prior[-1]['enricher']}({prior[-1]['input']}) — rerun "
+                    "with the same pair or pick a new column name"
+                )
+            continue  # committed by a prior run: skip
+        if column in cols:
+            raise ValueError(
+                f"column {column!r} already exists in partition "
+                f"{e['partition_id']} (an original encoded column)"
+            )
+        pending.append(e)
+    summary = {
+        "partitions_total": len(entries),
+        "partitions_enriched": 0,
+        "partitions_skipped": len(entries) - len(pending),
+        "rows": 0,
+    }
+    if not pending:
+        return summary
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() - 2))
+    results = (
+        ray.data.from_items([{"entry": json.dumps(e)} for e in pending])
+        .map_batches(
+            PartitionEnricher,
+            fn_constructor_kwargs={
+                "out_root": out_root,
+                "params": params,
+                "column": column,
+                "enricher": enricher,
+                "input_column": input_column,
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+        .take_all()  # control-plane rows: one per partition, tiny
+    )
+    for r in results:
+        if r["skipped"]:
+            summary["partitions_skipped"] += 1
+        else:
+            summary["partitions_enriched"] += 1
+            summary["rows"] += int(r["rows"])
+    return summary
+
+
 def delete_rows(
     out_root: str,
     filter: list,
