@@ -1618,6 +1618,16 @@ def update_rows(
     if rec is None:
         raise ValueError(f"{out_root} has no job record; not an encode-job dir")
     params = rec.get("params", {})
+    # lineage must be recordable: a non-JSON SET constant would otherwise
+    # raise inside the actor AFTER the block swap and BEFORE the manifest
+    # commit — fail fast at the driver instead
+    try:
+        json.dumps({k: _json_scalar(v) for k, v in (set_values or {}).items()})
+    except TypeError as e:
+        raise ValueError(
+            f"set_values must be JSON-recordable constants "
+            f"(str/num/bool/None/bytes): {e}"
+        ) from None
     entries = [e for e in manifest.entries() if e.get("output") and e.get("rows")]
     if entries:
         cols = {c for e in entries for c in e.get("columns", {})}
@@ -1628,6 +1638,33 @@ def update_rows(
                     raise ValueError(
                         f"update target column {c!r} is not in the encoded "
                         f"columns (have: {sorted(cols)})"
+                    )
+        # type gate at the driver, BEFORE any partition rewrites: decode
+        # one block row's target columns and refuse un-SET-table scalars
+        # and scrub on non-string columns here (an actor-side failure
+        # would leave some partitions rewritten, some not)
+        targets = sorted(set(list(set_values or {}) + list(scrub or {})))
+        if targets:
+            from .decode import BlockDecoder
+
+            probe = BlockDecoder(columns=targets)(
+                pq.read_table(entries[0]["output"]).slice(0, 1)
+            )
+            for c, v in (set_values or {}).items():
+                t = probe.schema.field(c).type
+                try:
+                    pa.scalar(v, type=t)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as e:
+                    raise ValueError(
+                        f"set_values[{c!r}]={v!r} is not castable to the "
+                        f"column's type {t}: {e}"
+                    ) from None
+            for c in scrub or {}:
+                t = probe.schema.field(c).type
+                if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                    raise ValueError(
+                        f"scrub column {c!r} has type {t}: regex scrub "
+                        "needs a string column"
                     )
     summary = {
         "partitions_total": len(entries),
@@ -1726,8 +1763,11 @@ def _enricher_registry() -> dict:
         return lambda t, c: fingerprint_batch(_with_ids(t, c))["fingerprint"]
 
     def _sha256_hex():
+        # cast pins non-string inputs to their canonical string repr so
+        # the digest is well-defined for any column type
         return lambda t, c: pa.array(
-            [d.hex() for d in row_digests(t[c])], type=pa.string()
+            [d.hex() for d in row_digests(t[c].cast(pa.string()))],
+            type=pa.string(),
         )
 
     return {

@@ -168,3 +168,14 @@ def test_update_validation(ray_session, tmp_path):
     with pytest.raises(ValueError, match="no job record"):
         update_rows(str(tmp_path / "nowhere"), [("lang", "==", "de")],
                     set_values={"lang": "xx"})
+    # driver-side fail-fast: these would otherwise die INSIDE the actor
+    # after some partitions already rewrote
+    with pytest.raises(ValueError, match="JSON-recordable"):
+        update_rows(str(out), [("lang", "==", "de")],
+                    set_values={"lang": object()})
+    with pytest.raises(ValueError, match="not castable"):
+        update_rows(str(out), [("lang", "==", "de")],
+                    set_values={"doc_id": "not-an-int"})
+    with pytest.raises(ValueError, match="needs a string column"):
+        update_rows(str(out), [("lang", "==", "de")],
+                    scrub={"doc_id": [("1", "2")]})
