@@ -1795,7 +1795,8 @@ class PartitionEnricher:
     original column."""
 
     def __init__(self, out_root: str, params: dict, column: str,
-                 enricher: str, input_column: str):
+                 enricher: str, input_column: str,
+                 chaos_dir: str | None = None):
         from .decode import BlockDecoder
 
         self.out_root = Path(out_root)
@@ -1803,6 +1804,7 @@ class PartitionEnricher:
         self.column = column
         self.enricher = enricher
         self.input_column = input_column
+        self.chaos_dir = chaos_dir
         self.fn = _enricher_registry()[enricher]()  # stateful setup once
         # hash_column=None: the block's content chain must NOT be
         # recomputed (we keep the original row's), and the one-column
@@ -1921,6 +1923,11 @@ class PartitionEnricher:
         tmp = _tmp_path(out_file)
         pq.write_table(new, tmp, compression="none")
         os.replace(tmp, out_file)  # atomic: readers see old or new, never half
+        if self.chaos_dir:
+            # crash window under test: column published, manifest commit
+            # absent — the retried attempt must take the commit-finish
+            # path above, never append the column twice
+            _chaos_die_once(self.chaos_dir, pid)
         new_entry = dict(entry)
         new_entry["encoded_bytes"] = int(sum(enc_bytes))
         cols = dict(entry.get("columns", {}))
@@ -1942,6 +1949,7 @@ def enrich_job(
     enricher: str,
     input_column: str = "content",
     concurrency: int | tuple[int, int] | None = None,
+    chaos_dir: str | None = None,
 ) -> dict:
     """ALTER TABLE ADD COLUMN over a committed encode-job dir: compute a
     named, deterministic enricher over one decoded input column and
@@ -2015,6 +2023,7 @@ def enrich_job(
                 "column": column,
                 "enricher": enricher,
                 "input_column": input_column,
+                "chaos_dir": chaos_dir,
             },
             batch_format="pyarrow",
             batch_size=1,

@@ -144,6 +144,43 @@ def test_actor_death_mid_export_flat_and_hive(ray_session, corpus_parquet, tmp_p
     assert a.equals(b)
 
 
+def test_actor_death_mid_enrich_finishes_commit(ray_session, corpus_parquet, tmp_path):
+    """Enricher actor death after the column is published but before the
+    manifest commit: the Ray-retried attempt must take the commit-finish
+    path — the column appears exactly once and the manifest catches up."""
+    from rayenc.jobs import enrich_job
+    from rayenc.manifest import Manifest
+
+    root = str(tmp_path / "job")
+    s = run_encode_job(
+        corpus_parquet, root, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    chaos = tmp_path / "chaos"
+    chaos.mkdir()
+    e = enrich_job(
+        root, "n_tok", "n_tokens", input_column="content", chaos_dir=str(chaos)
+    )
+    assert len(list(chaos.glob("*.died"))) == s["partitions_total"]
+    # each partition either enriched by the dying attempt (retry finished
+    # the commit and reports skipped) or by the retry itself
+    assert (
+        e["partitions_enriched"] + e["partitions_skipped"] == s["partitions_total"]
+    )
+    for f in (tmp_path / "job" / "blocks").glob("*.parquet"):
+        assert pq.read_schema(str(f)).names.count("col_n_tok") == 1
+    m = Manifest(root)
+    for entry in m.entries():
+        assert entry["enrichments"][-1]["column"] == "n_tok"
+        assert entry["columns"]["n_tok"]["enc_bytes"] > 0
+    # chains untouched by enrichment, even across deaths
+    import ray.data as rd
+
+    assert verify_blocks(rd.read_parquet(f"{root}/blocks"))["ok"]
+    # a clean rerun is a full skip
+    e2 = enrich_job(root, "n_tok", "n_tokens", input_column="content")
+    assert e2["partitions_enriched"] == 0
+
+
 def test_no_stale_tmp_breaks_reads(ray_session, corpus_parquet, tmp_path):
     """A staging file left behind by a dead attempt must be invisible to
     every reader: parquet dataset discovery, resume globs, verify."""
