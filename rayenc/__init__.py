@@ -26,6 +26,7 @@ from .jobs import (
     delete_rows,
     encode_dataset_ordered,
     enrich_job,
+    enrich_many,
     plan_partitions,
     read_blocks_at,
     run_encode_job,
@@ -68,6 +69,7 @@ __all__ = [
     "compact_job",
     "delete_rows",
     "enrich_job",
+    "enrich_many",
     "update_rows",
     "vacuum_job",
     "read_blocks_at",

@@ -147,13 +147,17 @@ def cmd_enrich(args: argparse.Namespace) -> int:
     registered enricher (lang_id/quality_score/n_tokens/...) from one
     decoded column and append it as a new encoded, zone-mapped column."""
     _init_ray()
-    from rayenc.jobs import enrich_job
+    from rayenc.jobs import enrich_many
 
+    columns = {args.column: args.enricher}
+    for s in args.also or []:
+        col, _, en = s.partition("=")
+        if not _ or not col or not en:
+            raise SystemExit(f"enrich: --also expects COL=ENRICHER, got {s!r}")
+        columns[col] = en
     print(
         json.dumps(
-            enrich_job(
-                args.out, args.column, args.enricher, input_column=args.input_column
-            )
+            enrich_many(args.out, columns, input_column=args.input_column)
         )
     )
     return 0
@@ -623,6 +627,10 @@ def main() -> int:
         help="registered enricher: lang_id quality_score stopword_ratio n_tokens n_chars fingerprint sha256_hex",
     )
     en.add_argument("--input-column", default="content", help="decoded input column")
+    en.add_argument(
+        "--also", action="append", metavar="COL=ENRICHER",
+        help="additional derived columns, computed in the same decode pass (repeatable)",
+    )
     en.set_defaults(fn=cmd_enrich)
 
     m = sub.add_parser("manifest", help="print the manifest summary of an encode job")

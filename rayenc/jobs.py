@@ -1782,32 +1782,34 @@ def _enricher_registry() -> dict:
 
 
 class PartitionEnricher:
-    """Actor-pool stage for enrich_job: one committed-partition manifest
-    entry in -> the same partition with ONE new encoded column appended
-    to every block. Existing block bytes are byte-identical (the new
-    col_* column, merged lineage/zonemap JSON and the encoded_bytes
-    counter are the only changes); block_id / content_sha256 / row
-    content are untouched, so verify and ordered decode are unaffected
-    and generations do NOT bump (like compaction: snapshots stay
-    readable). The new column gets the full selector treatment — codec
-    auto-selection, zone maps, and whatever page/bloom/HLL/KLL metadata
-    the job was encoded with — so later scans prune on it like any
-    original column."""
+    """Actor-pool stage for enrich_many/enrich_job: one committed-
+    partition manifest entry in -> the same partition with one or more
+    new encoded columns appended to every block. The input column
+    decodes ONCE per block no matter how many enrichers run — at scale
+    the decode dominates, so N derived columns cost ~1 decode + N cheap
+    vectorized passes, not N decodes. Existing block bytes are
+    byte-identical (the new col_* columns, merged lineage/zonemap JSON
+    and the encoded_bytes counter are the only changes); block_id /
+    content_sha256 / row content are untouched, so verify and ordered
+    decode are unaffected and generations do NOT bump (like compaction:
+    snapshots stay readable). Each new column gets the full selector
+    treatment — codec auto-selection, zone maps, and whatever
+    page/bloom/HLL/KLL metadata the job was encoded with — so later
+    scans prune on it like any original column."""
 
-    def __init__(self, out_root: str, params: dict, column: str,
-                 enricher: str, input_column: str,
-                 chaos_dir: str | None = None):
+    def __init__(self, out_root: str, params: dict, columns: dict,
+                 input_column: str, chaos_dir: str | None = None):
         from .decode import BlockDecoder
 
         self.out_root = Path(out_root)
         self.manifest = Manifest(out_root)
-        self.column = column
-        self.enricher = enricher
+        self.columns = dict(columns)  # name -> enricher
         self.input_column = input_column
         self.chaos_dir = chaos_dir
-        self.fn = _enricher_registry()[enricher]()  # stateful setup once
+        reg = _enricher_registry()
+        self.fns = {n: reg[en]() for n, en in self.columns.items()}  # setup once
         # hash_column=None: the block's content chain must NOT be
-        # recomputed (we keep the original row's), and the one-column
+        # recomputed (we keep the original row's), and the derived-column
         # table fed to encode_table rarely contains it anyway
         self.core = BlockEncoder(
             columns=None,
@@ -1833,153 +1835,175 @@ class PartitionEnricher:
             [self._enrich(json.loads(r["entry"])) for r in batch.to_pylist()]
         )
 
+    @staticmethod
+    def _fold(summary: dict, info: dict) -> None:
+        summary["codecs"][info["codec"]] = (
+            summary["codecs"].get(info["codec"], 0) + 1
+        )
+        summary["src_bytes"] += info["src_bytes"]
+        summary["enc_bytes"] += info["enc_bytes"]
+        summary["ms"] = round(summary["ms"] + info["ms"], 3)
+
+    def _summary_from_lineage(self, old: pa.Table, name: str) -> dict:
+        """Reconstruct a column summary from an already-published file —
+        the commit-finish path after a publish-then-die crash."""
+        s = {"codecs": {}, "src_bytes": 0, "enc_bytes": 0, "ms": 0.0}
+        for ls in old["lineage"].to_pylist():
+            info = json.loads(ls or "{}").get(name)
+            if info:
+                self._fold(s, info)
+        return s
+
     def _enrich(self, entry: dict) -> dict:
         pid = entry["partition_id"]
         old = pq.read_table(entry["output"])
-        if f"col_{self.column}" in old.column_names:
-            # a prior attempt published but died before its manifest
-            # commit: don't append the column twice — FINISH the commit
-            # instead, reconstructing the entry from the published file
-            # (summary from its lineage, totals from its counters), so
-            # the dir never stays manifest-behind-blocks
-            col_summary = {"codecs": {}, "src_bytes": 0, "enc_bytes": 0, "ms": 0.0}
-            for s in old["lineage"].to_pylist():
-                info = json.loads(s or "{}").get(self.column)
-                if not info:
-                    continue
-                col_summary["codecs"][info["codec"]] = (
-                    col_summary["codecs"].get(info["codec"], 0) + 1
+        present = [n for n in self.columns if f"col_{n}" in old.column_names]
+        missing = [n for n in self.columns if f"col_{n}" not in old.column_names]
+        summaries = {n: self._summary_from_lineage(old, n) for n in present}
+        new = old
+        if missing:
+            blobs: dict[str, list[bytes]] = {n: [] for n in missing}
+            for n in missing:
+                summaries[n] = {"codecs": {}, "src_bytes": 0, "enc_bytes": 0,
+                                "ms": 0.0}
+            lineages: list[str] = []
+            zonemaps: list[str] = []
+            enc_bytes: list[int] = []
+            for i in range(old.num_rows):
+                decoded = self.dec(old.slice(i, 1))  # ONE decode per block
+                arrs = {}
+                for n in missing:
+                    arr = self.fns[n](decoded, self.input_column)
+                    if len(arr) != decoded.num_rows:
+                        raise RuntimeError(
+                            f"enricher {self.columns[n]!r} returned "
+                            f"{len(arr)} values for a "
+                            f"{decoded.num_rows}-row block"
+                        )
+                    arrs[n] = arr
+                enc = self.core.encode_table(pa.table(arrs))
+                enc_lin = json.loads(enc["lineage"][0].as_py())
+                lin = json.loads(old["lineage"][i].as_py() or "{}")
+                added = 0
+                for n in missing:
+                    blob = enc[f"col_{n}"][0].as_py()
+                    blobs[n].append(blob)
+                    added += len(blob)
+                    self._fold(summaries[n], enc_lin[n])
+                    lin[n] = enc_lin[n]
+                lineages.append(json.dumps(lin, separators=(",", ":")))
+                # merge the new columns' zones + reserved metadata keys
+                # into the block's existing zonemap (reserved keys merge
+                # per-column)
+                z_old = json.loads(old["zonemap"][i].as_py() or "{}")
+                z_new = json.loads(enc["zonemap"][0].as_py() or "{}")
+                for k, v in z_new.items():
+                    if k.startswith("__") and isinstance(v, dict):
+                        z_old.setdefault(k, {}).update(v)
+                    else:
+                        z_old[k] = v
+                zonemaps.append(json.dumps(z_old, separators=(",", ":")))
+                enc_bytes.append(int(old["encoded_bytes"][i].as_py()) + added)
+            new = new.set_column(
+                new.column_names.index("lineage"), "lineage",
+                pa.array(lineages, type=pa.string()),
+            )
+            new = new.set_column(
+                new.column_names.index("zonemap"), "zonemap",
+                pa.array(zonemaps, type=pa.string()),
+            )
+            new = new.set_column(
+                new.column_names.index("encoded_bytes"), "encoded_bytes",
+                pa.array(enc_bytes, type=pa.int64()),
+            )
+            for n in missing:
+                new = new.append_column(
+                    f"col_{n}", pa.array(blobs[n], type=pa.binary())
                 )
-                col_summary["src_bytes"] += info["src_bytes"]
-                col_summary["enc_bytes"] += info["enc_bytes"]
-                col_summary["ms"] = round(col_summary["ms"] + info["ms"], 3)
-            new_entry = dict(entry)
-            new_entry["encoded_bytes"] = int(
-                sum(old["encoded_bytes"].to_pylist())
-            )
-            cols = dict(entry.get("columns", {}))
-            cols[self.column] = col_summary
+            out_file = Path(entry["output"])
+            tmp = _tmp_path(out_file)
+            pq.write_table(new, tmp, compression="none")
+            os.replace(tmp, out_file)  # atomic: old or new, never half
+            if self.chaos_dir:
+                # crash window under test: columns published, manifest
+                # commit absent — the retried attempt must take the
+                # commit-finish path, never append a column twice
+                _chaos_die_once(self.chaos_dir, pid)
+        # commit (fresh work AND commit-finish for published-but-
+        # uncommitted columns alike)
+        new_entry = dict(entry)
+        new_entry["encoded_bytes"] = int(
+            sum(new["encoded_bytes"].to_pylist())
+        )
+        cols = dict(entry.get("columns", {}))
+        lineage = list(entry.get("enrichments", []))
+        recorded = {x["column"] for x in lineage}
+        changed = False
+        for n in self.columns:
+            if n not in cols:
+                cols[n] = summaries[n]
+                changed = True
+            if n not in recorded:
+                lineage.append(
+                    {"column": n, "enricher": self.columns[n],
+                     "input": self.input_column}
+                )
+                changed = True
+        if missing or changed:
             new_entry["columns"] = cols
-            lineage = list(entry.get("enrichments", []))
-            lineage.append(
-                {"column": self.column, "enricher": self.enricher,
-                 "input": self.input_column}
-            )
             new_entry["enrichments"] = lineage
             self.manifest.commit(new_entry)
-            return {"partition_id": pid, "rows": 0, "skipped": True}
-        blobs: list[bytes] = []
-        lineages: list[str] = []
-        zonemaps: list[str] = []
-        enc_bytes: list[int] = []
-        col_summary = {"codecs": {}, "src_bytes": 0, "enc_bytes": 0, "ms": 0.0}
-        for i in range(old.num_rows):
-            decoded = self.dec(old.slice(i, 1))
-            arr = self.fn(decoded, self.input_column)
-            if len(arr) != decoded.num_rows:
-                raise RuntimeError(
-                    f"enricher {self.enricher!r} returned {len(arr)} values "
-                    f"for a {decoded.num_rows}-row block"
-                )
-            enc = self.core.encode_table(pa.table({self.column: arr}))
-            blob = enc[f"col_{self.column}"][0].as_py()
-            blobs.append(blob)
-            info = json.loads(enc["lineage"][0].as_py())[self.column]
-            col_summary["codecs"][info["codec"]] = (
-                col_summary["codecs"].get(info["codec"], 0) + 1
-            )
-            col_summary["src_bytes"] += info["src_bytes"]
-            col_summary["enc_bytes"] += info["enc_bytes"]
-            col_summary["ms"] = round(col_summary["ms"] + info["ms"], 3)
-            lin = json.loads(old["lineage"][i].as_py() or "{}")
-            lin[self.column] = info
-            lineages.append(json.dumps(lin, separators=(",", ":")))
-            # merge the new column's zone + reserved metadata keys into
-            # the block's existing zonemap (reserved keys merge per-column)
-            z_old = json.loads(old["zonemap"][i].as_py() or "{}")
-            z_new = json.loads(enc["zonemap"][0].as_py() or "{}")
-            for k, v in z_new.items():
-                if k.startswith("__") and isinstance(v, dict):
-                    z_old.setdefault(k, {}).update(v)
-                else:
-                    z_old[k] = v
-            zonemaps.append(json.dumps(z_old, separators=(",", ":")))
-            enc_bytes.append(int(old["encoded_bytes"][i].as_py()) + len(blob))
-        new = old
-        new = new.set_column(
-            new.column_names.index("lineage"), "lineage",
-            pa.array(lineages, type=pa.string()),
-        )
-        new = new.set_column(
-            new.column_names.index("zonemap"), "zonemap",
-            pa.array(zonemaps, type=pa.string()),
-        )
-        new = new.set_column(
-            new.column_names.index("encoded_bytes"), "encoded_bytes",
-            pa.array(enc_bytes, type=pa.int64()),
-        )
-        new = new.append_column(f"col_{self.column}", pa.array(blobs, type=pa.binary()))
-        out_file = Path(entry["output"])
-        tmp = _tmp_path(out_file)
-        pq.write_table(new, tmp, compression="none")
-        os.replace(tmp, out_file)  # atomic: readers see old or new, never half
-        if self.chaos_dir:
-            # crash window under test: column published, manifest commit
-            # absent — the retried attempt must take the commit-finish
-            # path above, never append the column twice
-            _chaos_die_once(self.chaos_dir, pid)
-        new_entry = dict(entry)
-        new_entry["encoded_bytes"] = int(sum(enc_bytes))
-        cols = dict(entry.get("columns", {}))
-        cols[self.column] = col_summary
-        new_entry["columns"] = cols
-        lineage = list(entry.get("enrichments", []))
-        lineage.append(
-            {"column": self.column, "enricher": self.enricher,
-             "input": self.input_column}
-        )
-        new_entry["enrichments"] = lineage
-        self.manifest.commit(new_entry)
-        return {"partition_id": pid, "rows": int(entry["rows"]), "skipped": False}
+        return {
+            "partition_id": pid,
+            "rows": int(entry["rows"]) if missing else 0,
+            "skipped": not missing,
+        }
 
 
-def enrich_job(
+def enrich_many(
     out_root: str,
-    column: str,
-    enricher: str,
+    columns: dict,
     input_column: str = "content",
     concurrency: int | tuple[int, int] | None = None,
     chaos_dir: str | None = None,
 ) -> dict:
-    """ALTER TABLE ADD COLUMN over a committed encode-job dir: compute a
-    named, deterministic enricher over one decoded input column and
-    append the result as a NEW encoded, zone-mapped column in every
-    block — no existing byte is re-encoded. Resumable: a rerun skips
-    partitions whose manifest entry already carries the column; a
-    half-finished dir reads fine meanwhile (schema-evolution null-fill)
-    and the rerun completes it. Refuses a column name that already
+    """ALTER TABLE ADD COLUMNs over a committed encode-job dir: compute
+    several named, deterministic enrichers over ONE decoded input column
+    in one pass and append each result as a NEW encoded, zone-mapped
+    column in every block — no existing byte is re-encoded, and the
+    expensive content decode happens once per block regardless of how
+    many columns are derived. `columns` maps new-column name ->
+    registered enricher name. Resumable per column: a rerun (or a wider
+    rerun adding more columns) skips what is committed, appends only
+    what is missing, and finishes the manifest commit of anything
+    published by a crashed attempt. Refuses a column name that already
     exists, collides with block metadata, or was previously enriched by
     a DIFFERENT (enricher, input) pair."""
     reg = _enricher_registry()
-    if enricher not in reg:
-        raise ValueError(
-            f"unknown enricher {enricher!r} (have: {sorted(reg)})"
-        )
-    if not column or column.startswith("__") or column.startswith("col_"):
-        raise ValueError(f"invalid enrichment column name {column!r}")
+    if not columns:
+        raise ValueError("enrich_many needs at least one column -> enricher")
+    meta_names = {
+        "block_id", "partition_id", "partition_seq", "block_seq", "n_rows",
+        "source_bytes", "encoded_bytes", "content_sha256", "row_start",
+        "lineage", "zonemap",
+    }
+    for column, enricher in columns.items():
+        if enricher not in reg:
+            raise ValueError(
+                f"unknown enricher {enricher!r} (have: {sorted(reg)})"
+            )
+        if not column or column.startswith("__") or column.startswith("col_"):
+            raise ValueError(f"invalid enrichment column name {column!r}")
+        if column in meta_names:
+            raise ValueError(
+                f"column name {column!r} collides with block metadata"
+            )
     manifest = Manifest(out_root)
     rec = manifest.job_record()
     if rec is None:
         raise ValueError(f"{out_root} has no job record; not an encode-job dir")
     params = rec.get("params", {})
     entries = [e for e in manifest.entries() if e.get("output") and e.get("rows")]
-    meta_names = {
-        "block_id", "partition_id", "partition_seq", "block_seq", "n_rows",
-        "source_bytes", "encoded_bytes", "content_sha256", "row_start",
-        "lineage", "zonemap",
-    }
-    if column in meta_names:
-        raise ValueError(f"column name {column!r} collides with block metadata")
     pending = []
     for e in entries:
         cols = e.get("columns", {})
@@ -1988,21 +2012,26 @@ def enrich_job(
                 f"input column {input_column!r} is not in partition "
                 f"{e['partition_id']}'s encoded columns (have: {sorted(cols)})"
             )
-        prior = [x for x in e.get("enrichments", []) if x["column"] == column]
-        if prior:
-            if prior[-1]["enricher"] != enricher or prior[-1]["input"] != input_column:
+        todo = False
+        for column, enricher in columns.items():
+            prior = [x for x in e.get("enrichments", []) if x["column"] == column]
+            if prior:
+                if (prior[-1]["enricher"] != enricher
+                        or prior[-1]["input"] != input_column):
+                    raise ValueError(
+                        f"column {column!r} was enriched as "
+                        f"{prior[-1]['enricher']}({prior[-1]['input']}) — "
+                        "rerun with the same pair or pick a new column name"
+                    )
+                continue  # this column committed by a prior run
+            if column in cols:
                 raise ValueError(
-                    f"column {column!r} was enriched as "
-                    f"{prior[-1]['enricher']}({prior[-1]['input']}) — rerun "
-                    "with the same pair or pick a new column name"
+                    f"column {column!r} already exists in partition "
+                    f"{e['partition_id']} (an original encoded column)"
                 )
-            continue  # committed by a prior run: skip
-        if column in cols:
-            raise ValueError(
-                f"column {column!r} already exists in partition "
-                f"{e['partition_id']} (an original encoded column)"
-            )
-        pending.append(e)
+            todo = True
+        if todo:
+            pending.append(e)
     summary = {
         "partitions_total": len(entries),
         "partitions_enriched": 0,
@@ -2020,8 +2049,7 @@ def enrich_job(
             fn_constructor_kwargs={
                 "out_root": out_root,
                 "params": params,
-                "column": column,
-                "enricher": enricher,
+                "columns": dict(columns),
                 "input_column": input_column,
                 "chaos_dir": chaos_dir,
             },
@@ -2039,6 +2067,25 @@ def enrich_job(
             summary["partitions_enriched"] += 1
             summary["rows"] += int(r["rows"])
     return summary
+
+
+def enrich_job(
+    out_root: str,
+    column: str,
+    enricher: str,
+    input_column: str = "content",
+    concurrency: int | tuple[int, int] | None = None,
+    chaos_dir: str | None = None,
+) -> dict:
+    """Single-column convenience wrapper over enrich_many (one decode
+    pass, one derived column)."""
+    return enrich_many(
+        out_root,
+        {column: enricher},
+        input_column=input_column,
+        concurrency=concurrency,
+        chaos_dir=chaos_dir,
+    )
 
 
 def delete_rows(

@@ -133,6 +133,45 @@ def test_enrich_numeric_zones_prune_scans(ray_session, tmp_path):
     assert dec.count() == 0
 
 
+def test_enrich_many_one_pass_and_incremental_widening(ray_session, tmp_path):
+    """Several derived columns land in ONE decode pass; a later wider
+    call appends only the missing columns (per-column resume)."""
+    from rayenc import enrich_many
+
+    srcs, out = _job(tmp_path)
+    s = enrich_many(
+        str(out), {"lang_pred": "lang_id", "nt": "n_tokens"}, input_column="body"
+    )
+    assert s["partitions_enriched"] == s["partitions_total"]
+    got = _decode_all(out)
+    src = pa.concat_tables(pq.read_table(p) for p in srcs).sort_by("doc_id")
+    assert got["nt"].to_pylist() == [len(t.split()) for t in src["body"].to_pylist()]
+    assert set(got["lang_pred"].to_pylist()) == {"en", "de"}
+    # widen: one committed column + one new — only the new one appends
+    s2 = enrich_many(
+        str(out),
+        {"nt": "n_tokens", "nc": "n_chars"},
+        input_column="body",
+    )
+    assert s2["partitions_enriched"] == s2["partitions_total"]
+    got2 = _decode_all(out)
+    assert got2["nc"].to_pylist() == [len(t) for t in src["body"].to_pylist()]
+    assert got2["nt"].to_pylist() == got["nt"].to_pylist()
+    blocks_file = next((out / "blocks").glob("*.parquet"))
+    names = pq.read_schema(str(blocks_file)).names
+    for c in ("col_lang_pred", "col_nt", "col_nc"):
+        assert names.count(c) == 1
+    # per-column lineage recorded once each
+    m = Manifest(str(out))
+    e = next(iter(m.entries()))
+    assert sorted(x["column"] for x in e["enrichments"]) == [
+        "lang_pred", "nc", "nt"
+    ]
+    assert verify_blocks(
+        rd.read_parquet(f"{out}/blocks"), hash_column="body"
+    )["ok"]
+
+
 def test_enrich_validation(ray_session, tmp_path):
     srcs, out = _job(tmp_path, n=300, files=1)
     with pytest.raises(ValueError, match="unknown enricher"):
