@@ -219,7 +219,20 @@ class Manifest:
             return out
         for p in sorted(self.dir.glob("*.json")):
             with open(p) as f:
-                out.append(json.load(f))
+                e = json.load(f)
+            # RELOCATION SAFETY: entries record the output path as written
+            # by the encoding worker, but a job dir is a portable unit —
+            # copied for an experiment, or the same shared-storage dir
+            # mounted at a different prefix on another node. Rebase the
+            # recorded path onto THIS root whenever the block file exists
+            # here; otherwise a mutation (delete/update/enrich/compact) on
+            # the copy would silently rewrite the ORIGINAL dir's files.
+            rec = e.get("output")
+            if rec:
+                local = self.root / "blocks" / Path(rec).name
+                if str(local) != rec and local.is_file():
+                    e["output"] = str(local)
+            out.append(e)
         return out
 
     def summary(self) -> dict:

@@ -36,6 +36,15 @@ python -m rayenc export "$D/job" "$D/export_hive" --partition-by lang
 python -m rayenc export "$D/job" "$D/export_hive" --partition-by lang  # no-op rerun
 ls -d "$D"/export_hive/lang=*/ | head -3
 
+echo "== 7a4. maintenance DML: snapshot -> enrich -> update(scrub) -> delete -> vacuum =="
+rm -rf "$D/job_dml" && cp -r "$D/job" "$D/job_dml"  # own copy: later steps use the pristine dir
+python -m rayenc snapshot "$D/job_dml" --note "before DML"
+python -m rayenc enrich "$D/job_dml" n_tok n_tokens --also nc=n_chars   # derived cols, one decode pass
+python -m rayenc update "$D/job_dml" --filter "lang:==:python" --scrub "content:import =use " # in-place redaction
+python -m rayenc delete "$D/job_dml" --filter "lang:==:ruby"            # copy-on-write delete
+python -m rayenc verify "$D/job_dml"                                    # chains still green after DML
+python -m rayenc vacuum "$D/job_dml" --max-age 0                        # sweep staging leftovers
+
 echo "== 7b. zone-map filtered decode (predicate pushdown) =="
 python -m rayenc decode "$D/job" "$D/decoded_filtered" --filter "lang:==:python" --filter "path:prefix:src/module00" --columns repo,path,lang
 

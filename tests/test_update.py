@@ -153,6 +153,37 @@ def test_update_keeps_random_access_and_bumps_generation(ray_session, tmp_path):
     ] == 1
 
 
+def test_dml_on_copied_job_dir_leaves_original_untouched(ray_session, tmp_path):
+    """A job dir is a portable unit: manifest entries record the writer's
+    absolute output path, so without read-time rebasing a mutation on a
+    COPY would rewrite the ORIGINAL dir's files (found live by the demo
+    drive). Delete/update/enrich on the copy must touch only the copy."""
+    import shutil
+
+    from rayenc import delete_rows, enrich_job
+
+    srcs, out = _job(tmp_path, n=1200, files=1)
+    copy = tmp_path / "job_copy"
+    shutil.copytree(out, copy)
+    orig_bytes = {
+        f.name: f.read_bytes() for f in (out / "blocks").glob("*.parquet")
+    }
+    d = delete_rows(str(copy), [("lang", "==", "de")])
+    assert d["rows_deleted"] > 0
+    u = update_rows(str(copy), [("lang", "==", "en")], set_values={"lang": "xx"})
+    assert u["rows_updated"] > 0
+    e = enrich_job(str(copy), "nt", "n_tokens", input_column="body")
+    assert e["partitions_enriched"] > 0
+    # original bytes bit-identical
+    for f in (out / "blocks").glob("*.parquet"):
+        assert f.read_bytes() == orig_bytes[f.name], f.name
+    # the copy carries all three mutations
+    got = _decode_all(copy)
+    langs = got["lang"].to_pylist()
+    assert "de" not in langs and "en" not in langs and "xx" in langs
+    assert "nt" in got.column_names
+
+
 def test_update_validation(ray_session, tmp_path):
     srcs, out = _job(tmp_path, n=300)
     with pytest.raises(ValueError, match="non-empty"):
