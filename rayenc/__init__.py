@@ -27,6 +27,7 @@ from .jobs import (
     encode_dataset_ordered,
     enrich_job,
     enrich_many,
+    fsck_job,
     plan_partitions,
     read_blocks_at,
     run_encode_job,
@@ -70,6 +71,7 @@ __all__ = [
     "delete_rows",
     "enrich_job",
     "enrich_many",
+    "fsck_job",
     "update_rows",
     "vacuum_job",
     "read_blocks_at",

@@ -204,6 +204,18 @@ def cmd_layout(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Structural consistency check: manifest <-> blocks-file cross-audit
+    (metadata-only; --deep adds the distributed sha256 chain verify)."""
+    if args.deep:
+        _init_ray()
+    from rayenc.jobs import fsck_job
+
+    report = fsck_job(args.root, deep=args.deep)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_vacuum(args: argparse.Namespace) -> int:
     """Sweep stale staging files from a job/export dir (no Ray session:
     a driver-side walk over staging names only, never data)."""
@@ -767,6 +779,17 @@ def main() -> int:
         help="only remove staging files older than this many seconds (default 1h)",
     )
     vac.set_defaults(fn=cmd_vacuum)
+
+    fs = sub.add_parser(
+        "fsck",
+        help="manifest <-> blocks-file consistency audit of a job dir (--deep adds sha256 verify)",
+    )
+    fs.add_argument("root", help="encode job output root")
+    fs.add_argument(
+        "--deep", action="store_true",
+        help="also run the distributed per-row sha256 chain verify",
+    )
+    fs.set_defaults(fn=cmd_fsck)
 
     v = sub.add_parser("verify", help="verify sha256 chains of a block table")
     v.add_argument(

@@ -1083,6 +1083,98 @@ def _backfill_row_start(batch: pa.Table, blocks_dir: str) -> pa.Table:
     return pa.Table.from_pylist(out)
 
 
+def fsck_job(out_root: str, deep: bool = False) -> dict:
+    """Structural consistency check of a committed job dir: every
+    manifest entry must have its blocks file, and the file's contents
+    must agree with the entry (block count, row total, per-block sha256
+    chain list, encoded-byte total); block files no entry references are
+    reported as orphans (a crashed attempt that published before its
+    plan changed, or a foreign file), staging leftovers are counted
+    (vacuum candidates). Metadata-only by default — parquet footers and
+    small meta columns, no blob decodes — so it is a driver-side scan
+    even on a huge dir. `deep=True` additionally runs the distributed
+    per-row sha256 chain verify over every block (verify_blocks).
+    Returns {"ok": bool, "errors": [...], ...}; never mutates."""
+    manifest = Manifest(out_root)
+    errors: list[str] = []
+    rec = manifest.job_record()
+    if rec is None:
+        return {
+            "ok": False,
+            "errors": [f"{out_root} has no job record; not an encode-job dir"],
+        }
+    blocks_dir = Path(out_root) / "blocks"
+    entries = manifest.entries()
+    referenced: set[str] = set()
+    rows_total = 0
+    blocks_total = 0
+    for e in entries:
+        pid = e["partition_id"]
+        if not e.get("output"):
+            continue  # empty partition (filter left nothing): no file
+        f = Path(e["output"])
+        referenced.add(f.name)
+        if not f.is_file():
+            errors.append(f"{pid}: blocks file missing: {f}")
+            continue
+        t = pq.read_table(
+            str(f), columns=["n_rows", "encoded_bytes", "content_sha256"]
+        )
+        rows = int(sum(t["n_rows"].to_pylist()))
+        rows_total += rows
+        blocks_total += t.num_rows
+        if t.num_rows != e.get("blocks"):
+            errors.append(
+                f"{pid}: {t.num_rows} blocks in file, {e.get('blocks')} in manifest"
+            )
+        if rows != e.get("rows"):
+            errors.append(
+                f"{pid}: {rows} rows in file, {e.get('rows')} in manifest"
+            )
+        if sorted(t["content_sha256"].to_pylist()) != sorted(
+            e.get("block_hashes", [])
+        ):
+            errors.append(f"{pid}: per-block sha256 chain list disagrees")
+        enc = int(sum(t["encoded_bytes"].to_pylist()))
+        if enc != e.get("encoded_bytes"):
+            errors.append(
+                f"{pid}: {enc} encoded bytes in file, "
+                f"{e.get('encoded_bytes')} in manifest"
+            )
+    orphans = sorted(
+        f.name
+        for f in blocks_dir.glob("*.parquet")
+        if f.name not in referenced
+    ) if blocks_dir.is_dir() else []
+    staging = sum(
+        1
+        for f in Path(out_root).rglob("*.tmp")
+        if f.name.startswith(("_", "."))
+    )
+    for o in orphans:
+        errors.append(f"orphan blocks file (no manifest entry): {o}")
+    report = {
+        "ok": not errors,
+        "errors": errors,
+        "partitions": len(entries),
+        "blocks": blocks_total,
+        "rows": rows_total,
+        "orphans": orphans,
+        "staging_files": staging,
+    }
+    if deep and not any("missing" in e for e in errors):
+        from .encode import read_blocks
+        from .verify import verify_blocks
+
+        v = verify_blocks(read_blocks(str(blocks_dir)),
+                          hash_column=rec.get("params", {}).get("hash_column"))
+        report["deep_verify"] = v
+        if not v["ok"]:
+            report["ok"] = False
+            errors.append(f"deep verify failed: {v.get('bad_blocks')} bad blocks")
+    return report
+
+
 def vacuum_job(out_root: str, max_age_s: float = 3600.0) -> dict:
     """Remove stale STAGING files from a job/export dir tree. Crashed
     attempts leave attempt-unique `_*.tmp` files (and the manifest's
