@@ -887,17 +887,26 @@ def filter_table(batch: pa.Table, predicates: list[Predicate]) -> pa.Table:
     return batch.filter(pc.fill_null(mask, False))
 
 
-def filter_table_dnf(batch: pa.Table, dnf: list[list[Predicate]]) -> pa.Table:
-    """Exact DNF filter: Kleene OR over the conjunction masks."""
+def dnf_mask(batch: pa.Table, dnf: list[list[Predicate]]):
+    """Kleene OR over the conjunction masks; None means match-all (an
+    empty DNF or an empty conjunction)."""
     if not dnf:
-        return batch
+        return None
     masks = [_conjunction_mask(batch, conj) for conj in dnf]
     if any(m is None for m in masks):  # an empty conjunction matches all
-        return batch
+        return None
     out = masks[0]
     for m in masks[1:]:
         out = pc.or_kleene(out, m)
-    return batch.filter(pc.fill_null(out, False))
+    return out
+
+
+def filter_table_dnf(batch: pa.Table, dnf: list[list[Predicate]]) -> pa.Table:
+    """Exact DNF filter: Kleene OR over the conjunction masks."""
+    m = dnf_mask(batch, dnf)
+    if m is None:
+        return batch
+    return batch.filter(pc.fill_null(m, False))
 
 
 def apply_row_filter(

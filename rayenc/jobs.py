@@ -1352,7 +1352,8 @@ class PartitionDeleter:
 
         self.out_root = Path(out_root)
         self.manifest = Manifest(out_root)
-        self.filter = [tuple(p) for p in filter]
+        # filter arrives as a NORMALIZED DNF (list of conjunctions)
+        self.dnf = [[tuple(p) for p in conj] for conj in filter]
         self.core = BlockEncoder(
             columns=None,  # the decoded table already honors the job's projection
             level=int(params.get("level", 3)),
@@ -1382,7 +1383,7 @@ class PartitionDeleter:
         )
 
     def _delete(self, entry: dict) -> dict:
-        from .decode import _conjunction_mask, zone_may_match
+        from .decode import dnf_mask, zone_may_match_any
 
         pid = entry["partition_id"]
         untouched = {"partition_id": pid, "rewritten": False, "rows_deleted": 0,
@@ -1398,7 +1399,7 @@ class PartitionDeleter:
             candidates = [
                 i
                 for i, z in enumerate(zonly["zonemap"].to_pylist())
-                if zone_may_match(json.loads(z) if z else {}, self.filter)
+                if zone_may_match_any(json.loads(z) if z else {}, self.dnf)
             ]
         else:  # no zone metadata: every block is a candidate
             candidates = list(range(pq.ParquetFile(entry["output"]).metadata.num_rows))
@@ -1414,8 +1415,10 @@ class PartitionDeleter:
             if i not in cand:
                 continue
             decoded = self.dec(old.slice(i, 1))
-            mask = _conjunction_mask(decoded, self.filter)
-            mask = pc.fill_null(mask, False)
+            m = dnf_mask(decoded, self.dnf)
+            if m is None:  # validated non-empty upstream; belt-and-braces
+                raise RuntimeError("delete_rows: empty filter reached the actor")
+            mask = pc.fill_null(m, False)
             n_match = int(pc.sum(mask).as_py() or 0)
             if n_match == 0:
                 continue  # zone false positive: keep the encoded row as-is
@@ -1490,7 +1493,9 @@ class PartitionDeleter:
         lineage = list(entry.get("deletes", []))
         lineage.append(
             {
-                "filter": [_jsonable_predicate(p) for p in self.filter],
+                "filter": [
+                    [_jsonable_predicate(p) for p in conj] for conj in self.dnf
+                ],
                 "rows_deleted": deleted,
                 "blocks_dropped": blocks_dropped,
             }
@@ -1532,7 +1537,8 @@ class PartitionUpdater:
 
         self.out_root = Path(out_root)
         self.manifest = Manifest(out_root)
-        self.filter = [tuple(p) for p in filter]
+        # filter arrives as a NORMALIZED DNF (list of conjunctions)
+        self.dnf = [[tuple(p) for p in conj] for conj in filter]
         self.set_values = dict(set_values or {})
         self.scrub = {c: [tuple(r) for r in rules] for c, rules in (scrub or {}).items()}
         self.core = BlockEncoder(
@@ -1578,7 +1584,7 @@ class PartitionUpdater:
         return out
 
     def _update(self, entry: dict) -> dict:
-        from .decode import _conjunction_mask, zone_may_match
+        from .decode import dnf_mask, zone_may_match_any
 
         pid = entry["partition_id"]
         untouched = {"partition_id": pid, "rewritten": False, "rows_updated": 0}
@@ -1590,7 +1596,7 @@ class PartitionUpdater:
             candidates = [
                 i
                 for i, z in enumerate(zonly["zonemap"].to_pylist())
-                if zone_may_match(json.loads(z) if z else {}, self.filter)
+                if zone_may_match_any(json.loads(z) if z else {}, self.dnf)
             ]
         else:
             candidates = list(range(pq.ParquetFile(entry["output"]).metadata.num_rows))
@@ -1602,7 +1608,10 @@ class PartitionUpdater:
         rewritten: dict[int, pa.Table] = {}
         for i in candidates:
             decoded = self.dec(old.slice(i, 1))
-            mask = pc.fill_null(_conjunction_mask(decoded, self.filter), False)
+            m = dnf_mask(decoded, self.dnf)
+            if m is None:  # validated non-empty upstream; belt-and-braces
+                raise RuntimeError("update_rows: empty filter reached the actor")
+            mask = pc.fill_null(m, False)
             n_match = int(pc.sum(mask).as_py() or 0)
             if n_match == 0:
                 continue  # zone false positive: keep the encoded row as-is
@@ -1646,7 +1655,9 @@ class PartitionUpdater:
         lineage = list(entry.get("updates", []))
         lineage.append(
             {
-                "filter": [_jsonable_predicate(p) for p in self.filter],
+                "filter": [
+                    [_jsonable_predicate(p) for p in conj] for conj in self.dnf
+                ],
                 "set": {k: _json_scalar(v) for k, v in self.set_values.items()},
                 "scrub": {c: [list(r) for r in rules] for c, rules in self.scrub.items()},
                 "rows_updated": updated,
@@ -1690,13 +1701,18 @@ def update_rows(
     re-applies (regexes should consume what they match). Row content
     changes, so rewritten partitions' generations bump and snapshots
     taken before the update refuse those partitions (read_blocks_at)."""
-    from .decode import validate_predicate_shapes
+    from .decode import normalize_dnf, validate_predicate_shapes
 
     if not filter:
-        raise ValueError("update_rows needs a non-empty (col, op, value) conjunction")
+        raise ValueError("update_rows needs a non-empty (col, op, value) filter")
     if not set_values and not scrub:
         raise ValueError("update_rows needs set_values and/or scrub")
-    validate_predicate_shapes(filter, set(), "job dir")
+    # accept a flat conjunction or a DNF (list of conjunctions)
+    dnf = normalize_dnf(filter)
+    if not all(conj for conj in dnf):
+        raise ValueError("update_rows: empty conjunction in the DNF filter")
+    for conj in dnf:
+        validate_predicate_shapes(conj, set(), "job dir")
     for col, rules in (scrub or {}).items():
         for r in rules:
             if not (isinstance(r, (tuple, list)) and len(r) == 2
@@ -1724,7 +1740,8 @@ def update_rows(
     if entries:
         cols = {c for e in entries for c in e.get("columns", {})}
         if cols:
-            validate_predicate_shapes(filter, cols, "encoded columns")
+            for conj in dnf:
+                validate_predicate_shapes(conj, cols, "encoded columns")
             for c in list(set_values or {}) + list(scrub or {}):
                 if c not in cols:
                     raise ValueError(
@@ -1774,7 +1791,7 @@ def update_rows(
             fn_constructor_kwargs={
                 "out_root": out_root,
                 "params": params,
-                "filter": [list(p) for p in filter],
+                "filter": [[list(p) for p in conj] for conj in dnf],
                 "set_values": set_values,
                 "scrub": scrub,
             },
@@ -1791,7 +1808,9 @@ def update_rows(
         f.write(
             json.dumps(
                 {
-                    "filter": [_jsonable_predicate(p) for p in filter],
+                    "filter": [
+                        [_jsonable_predicate(p) for p in conj] for conj in dnf
+                    ],
                     "set": {k: _json_scalar(v) for k, v in (set_values or {}).items()},
                     "scrub": scrub or {},
                     **summary,
@@ -2195,14 +2214,19 @@ def delete_rows(
     ROW CONTENT, so it bumps each rewritten partition's generation —
     snapshots taken before the delete refuse to read those partitions
     (read_blocks_at) instead of silently time-traveling to wrong rows."""
-    from .decode import validate_predicate_shapes
+    from .decode import normalize_dnf, validate_predicate_shapes
 
     if not filter:
         raise ValueError(
-            "delete_rows needs a non-empty (col, op, value) conjunction — "
+            "delete_rows needs a non-empty (col, op, value) filter — "
             "to drop a whole job dir, delete the out_root instead"
         )
-    validate_predicate_shapes(filter, set(), "job dir")
+    # accept a flat conjunction or a DNF (list of conjunctions)
+    dnf = normalize_dnf(filter)
+    if not all(conj for conj in dnf):
+        raise ValueError("delete_rows: empty conjunction in the DNF filter")
+    for conj in dnf:
+        validate_predicate_shapes(conj, set(), "job dir")
     manifest = Manifest(out_root)
     rec = manifest.job_record()
     if rec is None:
@@ -2212,7 +2236,8 @@ def delete_rows(
     if entries:
         cols = {c for e in entries for c in e.get("columns", {})}
         if cols:
-            validate_predicate_shapes(filter, cols, "encoded columns")
+            for conj in dnf:
+                validate_predicate_shapes(conj, cols, "encoded columns")
     summary = {
         "partitions_total": len(entries),
         "partitions_rewritten": 0,
@@ -2230,7 +2255,7 @@ def delete_rows(
             fn_constructor_kwargs={
                 "out_root": out_root,
                 "params": params,
-                "filter": [list(p) for p in filter],
+                "filter": [[list(p) for p in conj] for conj in dnf],
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -2247,7 +2272,9 @@ def delete_rows(
         f.write(
             json.dumps(
                 {
-                    "filter": [_jsonable_predicate(p) for p in filter],
+                    "filter": [
+                        [_jsonable_predicate(p) for p in conj] for conj in dnf
+                    ],
                     **summary,
                 },
                 separators=(",", ":"),

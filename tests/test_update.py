@@ -153,6 +153,48 @@ def test_update_keeps_random_access_and_bumps_generation(ray_session, tmp_path):
     ] == 1
 
 
+def test_update_and_delete_accept_dnf_filters(ray_session, tmp_path):
+    """OR-of-conjunctions: one update/delete call covers disjoint row
+    sets (e.g. 'lang de OR id range') instead of N sequential rewrites
+    of the same partitions."""
+    from rayenc import delete_rows
+
+    srcs, out = _job(tmp_path, n=2000, files=1)
+    src = pq.read_table(srcs[0])
+    langs = np.array(src["lang"])
+    ids = np.array(src["doc_id"])
+    want = int(((langs == "de") | ((ids >= 100) & (ids < 120))).sum())
+    s = update_rows(
+        str(out),
+        [[("lang", "==", "de")], [("doc_id", ">=", 100), ("doc_id", "<", 120)]],
+        set_values={"lang": "xx"},
+    )
+    assert s["rows_updated"] == want > 0
+    got = _decode_all(out)
+    assert got["lang"].to_pylist().count("xx") == want
+    # DNF recorded in the audit log as a list of conjunctions
+    rec = json.loads((out / "updates.log").read_text().splitlines()[-1])
+    assert rec["filter"] == [
+        [["lang", "==", "de"]],
+        [["doc_id", ">=", 100], ["doc_id", "<", 120]],
+    ]
+    # DNF delete removes the union too (extra id chosen OUTSIDE the
+    # updated set so the two disjuncts are disjoint)
+    extra = int(ids[(langs != "de") & (ids >= 120)][-1])
+    d = delete_rows(
+        str(out),
+        [[("lang", "==", "xx")], [("doc_id", "==", extra)]],
+    )
+    assert d["rows_deleted"] == want + 1
+    left = _decode_all(out)
+    assert "xx" not in left["lang"].to_pylist()
+    assert extra not in left["doc_id"].to_pylist()
+    # empty conjunction (match-all disjunct) refuses loudly
+    with pytest.raises(ValueError, match="empty conjunction"):
+        update_rows(str(out), [[("lang", "==", "fr")], []],
+                    set_values={"lang": "yy"})
+
+
 def test_dml_on_copied_job_dir_leaves_original_untouched(ray_session, tmp_path):
     """A job dir is a portable unit: manifest entries record the writer's
     absolute output path, so without read-time rebasing a mutation on a
