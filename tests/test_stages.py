@@ -498,3 +498,32 @@ def test_anti_join_ids_empty_and_degenerate_shapes(ray_session):
 
     with _pytest.raises(ValueError, match="reserved"):
         anti_join_ids(bad, drop)
+
+
+def test_ascii_counts_are_re2_exact():
+    """The byte-table counting path must replicate Arrow's RE2 classes
+    EXACTLY (oracle queries hash-match on these): alpha=[A-Za-z],
+    digit=[0-9], space=\\s={\\t \\n \\f \\r ' '} (no \\v, no unicode
+    spaces), tokens=\\S+ runs. Nulls stay null; multi-byte UTF-8 never
+    perturbs the counts (continuation bytes are >= 0x80)."""
+    import pyarrow.compute as pc
+
+    from rayenc.stages.text import _WS_TOKEN, _ascii_counts, _masked_f64
+
+    edge = pa.array(
+        ["", None, "  ", "a\v b", "héllo wörld", "中文 字", "\t\n\f\r ",
+         "x" * 5, "a1 B2\tc3", None, " nbsp is not space", "0 1 2"]
+    )
+    a, d, s, t, v = _ascii_counts(pa.chunked_array([edge]))
+    for got, pat in [
+        (a, r"[A-Za-z]"), (d, r"[0-9]"), (s, r"\s"), (t, _WS_TOKEN)
+    ]:
+        want = pc.count_substring_regex(edge, pat).cast(pa.float64()).to_pylist()
+        assert _masked_f64(got, v).to_pylist() == want, pat
+    # only_tokens fast path agrees
+    _, _, _, t2, v2 = _ascii_counts(edge, only_tokens=True)
+    assert _masked_f64(t2, v2).to_pylist() == _masked_f64(t, v).to_pylist()
+    # all-null and all-empty batches
+    for arr in (pa.array([None, None], type=pa.string()), pa.array(["", ""])):
+        a, d, s, t, v = _ascii_counts(arr)
+        assert list(t) == [0.0, 0.0]
