@@ -142,11 +142,18 @@ class LangId:
         return self(t)["lang_pred"][0].as_py()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        samples = [(t or "")[:4000] for t in texts]
-        sample_arr = pa.array(samples, type=pa.string())
-        slen = np.array([len(s) for s in samples], dtype=np.int64)
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        # fully Arrow head (was a Python to_pylist + slice loop): null ->
+        # "" then a 4000-CODEPOINT prefix, same as (t or "")[:4000]
+        sample_arr = pc.utf8_slice_codeunits(
+            pc.fill_null(text.cast(pa.string()), ""), 0, 4000
+        )
+        slen = pc.utf8_length(sample_arr).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         charset_cut = np.maximum(8, slen // 50)
         n_cjk = pc.count_substring_regex(sample_arr, self.cjk_pat).to_numpy(
             zero_copy_only=False
@@ -187,7 +194,7 @@ class LangId:
         preds = np.where(best_score >= 0.03, lang_codes[best_idx], "und")
         preds = np.where(n_cyr > charset_cut, "ru", preds)
         preds = np.where(n_cjk > charset_cut, "zh", preds)
-        empty = np.array([not t for t in texts], dtype=bool)
+        empty = slen == 0  # null text was filled to "" above
         preds = np.where(empty, "und", preds)
         return pa.table(
             {
