@@ -295,6 +295,34 @@ def iter_blocks(table: pa.Table, block_rows: int, max_block_bytes: int):
         pos += step
 
 
+def _encoder_from_params(params: dict, **overrides) -> BlockEncoder:
+    """ONE params->BlockEncoder mapping for every rewrite stage
+    (compaction, delete, update, enrich): each job-record codec/metadata
+    knob must survive an in-place rewrite (a missed knob silently
+    re-encodes with a default — e.g. KLL sketches stripped, an archive
+    job re-encoded at the default tier). `overrides` pins the few
+    per-stage differences (enrich: hash_column=None, forced_codecs=None)."""
+    kwargs = dict(
+        columns=None,  # the decoded table already honors the job's projection
+        level=int(params.get("level", 3)),
+        hash_column=params.get("hash_column"),
+        stats=params.get("stats", "block"),
+        page_rows=params.get("page_rows"),
+        decode_weight=float(params.get("decode_weight", 0.0)),
+        enc_cap=params.get("enc_cap"),
+        forced_codecs=params.get("forced_codecs"),
+        hll=bool(params.get("hll", False)),
+        hll_b=int(params.get("hll_b", 10)),
+        kll=bool(params.get("kll", False)),
+        kll_k=int(params.get("kll_k", 128)),
+        archive=bool(params.get("archive", False)),
+        ngram=bool(params.get("ngram", False)),
+        ngram_n=int(params.get("ngram_n", 3)),
+    )
+    kwargs.update(overrides)
+    return BlockEncoder(**kwargs)
+
+
 def _chaos_die_once(chaos_dir: str, pid: str) -> None:
     """Fault-injection hook (chaos tests): hard-exit the actor process
     the FIRST time each partition reaches the caller's crash point. An
@@ -954,26 +982,7 @@ class PartitionCompactor:
         self.out_root = Path(out_root)
         self.blocks_dir = self.out_root / "blocks"
         self.manifest = Manifest(out_root)
-        self.core = BlockEncoder(
-            columns=None,  # the decoded table already honors the job's projection
-            level=int(params.get("level", 3)),
-            hash_column=params.get("hash_column"),
-            stats=params.get("stats", "block"),
-            page_rows=params.get("page_rows"),
-            decode_weight=float(params.get("decode_weight", 0.0)),
-            enc_cap=params.get("enc_cap"),
-            forced_codecs=params.get("forced_codecs"),
-            hll=bool(params.get("hll", False)),
-            hll_b=int(params.get("hll_b", 10)),
-            # every job-record codec/metadata knob must survive compaction
-            # (review finding: KLL sketches were silently stripped, and an
-            # archive job would have re-encoded at the default tier)
-            kll=bool(params.get("kll", False)),
-            kll_k=int(params.get("kll_k", 128)),
-            archive=bool(params.get("archive", False)),
-            ngram=bool(params.get("ngram", False)),
-            ngram_n=int(params.get("ngram_n", 3)),
-        )
+        self.core = _encoder_from_params(params)
         self.dec = BlockDecoder()
         self.target = int(target_block_rows)
         self.max_block_bytes = int(max_block_bytes)
@@ -1354,23 +1363,7 @@ class PartitionDeleter:
         self.manifest = Manifest(out_root)
         # filter arrives as a NORMALIZED DNF (list of conjunctions)
         self.dnf = [[tuple(p) for p in conj] for conj in filter]
-        self.core = BlockEncoder(
-            columns=None,  # the decoded table already honors the job's projection
-            level=int(params.get("level", 3)),
-            hash_column=params.get("hash_column"),
-            stats=params.get("stats", "block"),
-            page_rows=params.get("page_rows"),
-            decode_weight=float(params.get("decode_weight", 0.0)),
-            enc_cap=params.get("enc_cap"),
-            forced_codecs=params.get("forced_codecs"),
-            hll=bool(params.get("hll", False)),
-            hll_b=int(params.get("hll_b", 10)),
-            kll=bool(params.get("kll", False)),
-            kll_k=int(params.get("kll_k", 128)),
-            archive=bool(params.get("archive", False)),
-            ngram=bool(params.get("ngram", False)),
-            ngram_n=int(params.get("ngram_n", 3)),
-        )
+        self.core = _encoder_from_params(params)
         self.dec = BlockDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1541,23 +1534,7 @@ class PartitionUpdater:
         self.dnf = [[tuple(p) for p in conj] for conj in filter]
         self.set_values = dict(set_values or {})
         self.scrub = {c: [tuple(r) for r in rules] for c, rules in (scrub or {}).items()}
-        self.core = BlockEncoder(
-            columns=None,
-            level=int(params.get("level", 3)),
-            hash_column=params.get("hash_column"),
-            stats=params.get("stats", "block"),
-            page_rows=params.get("page_rows"),
-            decode_weight=float(params.get("decode_weight", 0.0)),
-            enc_cap=params.get("enc_cap"),
-            forced_codecs=params.get("forced_codecs"),
-            hll=bool(params.get("hll", False)),
-            hll_b=int(params.get("hll_b", 10)),
-            kll=bool(params.get("kll", False)),
-            kll_k=int(params.get("kll_k", 128)),
-            archive=bool(params.get("archive", False)),
-            ngram=bool(params.get("ngram", False)),
-            ngram_n=int(params.get("ngram_n", 3)),
-        )
+        self.core = _encoder_from_params(params)
         self.dec = BlockDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1742,12 +1719,19 @@ def update_rows(
         if cols:
             for conj in dnf:
                 validate_predicate_shapes(conj, cols, "encoded columns")
+            # PER-ENTRY membership, not the union: a half-enriched dir (a
+            # legal resumable state) has the target in SOME partitions —
+            # a union check would pass the gate and then fail actor-side
+            # after other partitions were already rewritten and committed
             for c in list(set_values or {}) + list(scrub or {}):
-                if c not in cols:
-                    raise ValueError(
-                        f"update target column {c!r} is not in the encoded "
-                        f"columns (have: {sorted(cols)})"
-                    )
+                for e in entries:
+                    if c not in e.get("columns", {}):
+                        raise ValueError(
+                            f"update target column {c!r} is not in partition "
+                            f"{e['partition_id']}'s encoded columns (have: "
+                            f"{sorted(e.get('columns', {}))}) — finish the "
+                            "pending enrich_many first"
+                        )
         # type gate at the driver, BEFORE any partition rewrites: decode
         # one block row's target columns and refuse un-SET-table scalars
         # and scrub on non-string columns here (an actor-side failure
@@ -1756,8 +1740,15 @@ def update_rows(
         if targets:
             from .decode import BlockDecoder
 
+            # prune the probe read: meta columns + only the target blobs
+            # (a full read would pull every encoded blob of the partition
+            # into the driver just to decode one block row)
+            names = pq.read_schema(entries[0]["output"]).names
+            keep = [c for c in names if not c.startswith("col_")] + [
+                c for c in names if c.startswith("col_") and c[4:] in targets
+            ]
             probe = BlockDecoder(columns=targets)(
-                pq.read_table(entries[0]["output"]).slice(0, 1)
+                pq.read_table(entries[0]["output"], columns=keep).slice(0, 1)
             )
             for c, v in (set_values or {}).items():
                 t = probe.schema.field(c).type
@@ -1922,22 +1913,8 @@ class PartitionEnricher:
         # hash_column=None: the block's content chain must NOT be
         # recomputed (we keep the original row's), and the derived-column
         # table fed to encode_table rarely contains it anyway
-        self.core = BlockEncoder(
-            columns=None,
-            level=int(params.get("level", 3)),
-            hash_column=None,
-            stats=params.get("stats", "block"),
-            page_rows=params.get("page_rows"),
-            decode_weight=float(params.get("decode_weight", 0.0)),
-            enc_cap=params.get("enc_cap"),
-            forced_codecs=None,  # the forced map names ORIGINAL columns
-            hll=bool(params.get("hll", False)),
-            hll_b=int(params.get("hll_b", 10)),
-            kll=bool(params.get("kll", False)),
-            kll_k=int(params.get("kll_k", 128)),
-            archive=bool(params.get("archive", False)),
-            ngram=bool(params.get("ngram", False)),
-            ngram_n=int(params.get("ngram_n", 3)),
+        self.core = _encoder_from_params(
+            params, hash_column=None, forced_codecs=None
         )
         self.dec = BlockDecoder(columns=[input_column])
 

@@ -223,14 +223,19 @@ class Manifest:
             # RELOCATION SAFETY: entries record the output path as written
             # by the encoding worker, but a job dir is a portable unit —
             # copied for an experiment, or the same shared-storage dir
-            # mounted at a different prefix on another node. Rebase the
-            # recorded path onto THIS root whenever the block file exists
-            # here; otherwise a mutation (delete/update/enrich/compact) on
-            # the copy would silently rewrite the ORIGINAL dir's files.
+            # mounted at a different prefix on another node. Rebase any
+            # recorded path that points OUTSIDE this root onto this root,
+            # UNCONDITIONALLY — not only when the local file exists: on a
+            # truncated copy (blocks file missing here), following the
+            # recorded path would let a mutation (delete/update/enrich/
+            # compact) silently rewrite the ORIGINAL dir's files while
+            # committing only the copy's manifest. Rebased-but-missing
+            # files fail loudly downstream (FileNotFoundError, fsck
+            # 'missing'), which is the correct verdict for a torn copy.
             rec = e.get("output")
             if rec:
                 local = self.root / "blocks" / Path(rec).name
-                if str(local) != rec and local.is_file():
+                if str(local) != rec:
                     e["output"] = str(local)
             out.append(e)
         return out

@@ -53,8 +53,13 @@ def _ascii_counts(text, only_tokens: bool = False) -> tuple:
         z = np.zeros(n, dtype=np.float64)
         return z, z.copy(), z.copy(), z.copy(), validity
 
+    # ONE shared cumsum scratch across the (up to) four segment sums:
+    # each is len(data)+1 int64 (8x the text bytes) — reallocating it per
+    # class would make the peak transient footprint ~4x larger than the
+    # text for no reason
+    cs = np.zeros(len(data) + 1, dtype=np.int64)
+
     def _seg_sum(mask: np.ndarray) -> np.ndarray:
-        cs = np.zeros(len(mask) + 1, dtype=np.int64)
         np.cumsum(mask, out=cs[1:])
         return (cs[offsets[1:]] - cs[offsets[:-1]]).astype(np.float64)
 

@@ -226,13 +226,63 @@ def test_dml_on_copied_job_dir_leaves_original_untouched(ray_session, tmp_path):
     assert "nt" in got.column_names
 
 
+def test_dml_on_torn_copy_fails_loudly_and_never_touches_original(
+    ray_session, tmp_path
+):
+    """An interrupted copy (one blocks file missing) must NOT fall back
+    to the recorded absolute path: the mutation on the torn copy fails
+    loudly and the original dir stays byte-identical."""
+    import shutil
+
+    from rayenc import delete_rows, fsck_job
+
+    srcs, out = _job(tmp_path, n=2000, files=2)
+    copy = tmp_path / "torn_copy"
+    shutil.copytree(out, copy)
+    victim = sorted((copy / "blocks").glob("*.parquet"))[0]
+    victim.unlink()  # simulate the interrupted cp
+    orig_bytes = {
+        f.name: f.read_bytes() for f in (out / "blocks").glob("*.parquet")
+    }
+    with pytest.raises(Exception):  # loud failure, not silent cross-write
+        delete_rows(str(copy), [("lang", "==", "de")])
+    for f in (out / "blocks").glob("*.parquet"):
+        assert f.read_bytes() == orig_bytes[f.name], f.name
+    assert fsck_job(str(out))["ok"]
+    r = fsck_job(str(copy))
+    assert not r["ok"] and any("missing" in e for e in r["errors"])
+
+
+def test_update_target_must_exist_in_every_partition(ray_session, tmp_path):
+    """A half-enriched dir (legal resumable state) must refuse an update
+    targeting the enriched column at the DRIVER — not fail actor-side
+    after some partitions already rewrote."""
+    from rayenc import enrich_job
+    from rayenc.manifest import Manifest
+
+    srcs, out = _job(tmp_path, n=2000, files=2)
+    enrich_job(str(out), "nt", "n_tokens", input_column="body")
+    # roll ONE partition's manifest entry back to the pre-enrich state
+    # (published-but-uncommitted crash shape)
+    m = Manifest(str(out))
+    e = next(iter(m.entries()))
+    rolled = dict(e)
+    rolled.pop("enrichments")
+    cols = dict(rolled["columns"])
+    cols.pop("nt")
+    rolled["columns"] = cols
+    m.commit(rolled)
+    with pytest.raises(ValueError, match="finish the pending enrich"):
+        update_rows(str(out), [("lang", "==", "de")], set_values={"nt": 0})
+
+
 def test_update_validation(ray_session, tmp_path):
     srcs, out = _job(tmp_path, n=300)
     with pytest.raises(ValueError, match="non-empty"):
         update_rows(str(out), [], set_values={"lang": "xx"})
     with pytest.raises(ValueError, match="set_values and/or scrub"):
         update_rows(str(out), [("lang", "==", "de")])
-    with pytest.raises(ValueError, match="not in the encoded columns"):
+    with pytest.raises(ValueError, match="not in partition .*encoded columns"):
         update_rows(str(out), [("lang", "==", "de")], set_values={"nope": 1})
     with pytest.raises(ValueError, match="regex, replacement"):
         update_rows(
