@@ -206,9 +206,10 @@ def cmd_layout(args: argparse.Namespace) -> int:
 
 def cmd_fsck(args: argparse.Namespace) -> int:
     """Structural consistency check: manifest <-> blocks-file cross-audit
-    (metadata-only; --deep adds the distributed sha256 chain verify)."""
-    if args.deep:
-        _init_ray()
+    (metadata-only; --deep adds the distributed sha256 chain verify).
+    Ray is needed for --deep and for dirs with >8 partitions (the
+    metadata checks fan out); init unconditionally — cheap and simple."""
+    _init_ray()
     from rayenc.jobs import fsck_job
 
     report = fsck_job(args.root, deep=args.deep)

@@ -1114,42 +1114,78 @@ def fsck_job(out_root: str, deep: bool = False) -> dict:
         }
     blocks_dir = Path(out_root) / "blocks"
     entries = manifest.entries()
-    referenced: set[str] = set()
+    referenced = {
+        Path(e["output"]).name for e in entries if e.get("output")
+    }
+    checkable = [e for e in entries if e.get("output")]
     rows_total = 0
     blocks_total = 0
-    for e in entries:
-        pid = e["partition_id"]
-        if not e.get("output"):
-            continue  # empty partition (filter left nothing): no file
-        f = Path(e["output"])
-        referenced.add(f.name)
-        if not f.is_file():
-            errors.append(f"{pid}: blocks file missing: {f}")
-            continue
-        t = pq.read_table(
-            str(f), columns=["n_rows", "encoded_bytes", "content_sha256"]
-        )
-        rows = int(sum(t["n_rows"].to_pylist()))
-        rows_total += rows
-        blocks_total += t.num_rows
-        if t.num_rows != e.get("blocks"):
-            errors.append(
-                f"{pid}: {t.num_rows} blocks in file, {e.get('blocks')} in manifest"
-            )
-        if rows != e.get("rows"):
-            errors.append(
-                f"{pid}: {rows} rows in file, {e.get('rows')} in manifest"
-            )
-        if sorted(t["content_sha256"].to_pylist()) != sorted(
-            e.get("block_hashes", [])
-        ):
-            errors.append(f"{pid}: per-block sha256 chain list disagrees")
-        enc = int(sum(t["encoded_bytes"].to_pylist()))
-        if enc != e.get("encoded_bytes"):
-            errors.append(
-                f"{pid}: {enc} encoded bytes in file, "
-                f"{e.get('encoded_bytes')} in manifest"
-            )
+    # per-entry checks fan out as a control-plane Dataset stage: each is
+    # one parquet-footer + three tiny meta columns, but at 10^5
+    # partitions a serial driver loop is minutes where the pool is
+    # seconds — the same one-row-per-partition pattern every job here
+    # uses. Results are tiny dicts; order restored by sorting.
+    if checkable:
+        def _check_entry(batch: pa.Table) -> pa.Table:
+            out = []
+            for r in batch.to_pylist():
+                e = json.loads(r["entry"])
+                pid = e["partition_id"]
+                f = Path(e["output"])
+                errs = []
+                rows = blocks = 0
+                if not f.is_file():
+                    errs.append(f"{pid}: blocks file missing: {f}")
+                else:
+                    t = pq.read_table(
+                        str(f),
+                        columns=["n_rows", "encoded_bytes", "content_sha256"],
+                    )
+                    rows = int(sum(t["n_rows"].to_pylist()))
+                    blocks = t.num_rows
+                    if t.num_rows != e.get("blocks"):
+                        errs.append(
+                            f"{pid}: {t.num_rows} blocks in file, "
+                            f"{e.get('blocks')} in manifest"
+                        )
+                    if rows != e.get("rows"):
+                        errs.append(
+                            f"{pid}: {rows} rows in file, "
+                            f"{e.get('rows')} in manifest"
+                        )
+                    if sorted(t["content_sha256"].to_pylist()) != sorted(
+                        e.get("block_hashes", [])
+                    ):
+                        errs.append(
+                            f"{pid}: per-block sha256 chain list disagrees"
+                        )
+                    enc = int(sum(t["encoded_bytes"].to_pylist()))
+                    if enc != e.get("encoded_bytes"):
+                        errs.append(
+                            f"{pid}: {enc} encoded bytes in file, "
+                            f"{e.get('encoded_bytes')} in manifest"
+                        )
+                out.append(
+                    {"pid": pid, "rows": rows, "blocks": blocks,
+                     "errors": json.dumps(errs)}
+                )
+            return pa.Table.from_pylist(out)
+
+        items = [{"entry": json.dumps(e)} for e in checkable]
+        if len(items) <= 8:
+            # tiny dir: the serial loop beats a Ray stage's fixed cost
+            # (and works with no Ray session at all)
+            results = _check_entry(pa.Table.from_pylist(items)).to_pylist()
+        else:
+            results = (
+                ray.data.from_items(items)
+                .map_batches(_check_entry, batch_format="pyarrow", batch_size=64)
+                .take_all()
+            )  # control-plane rows: one per partition, tiny
+        for r in sorted(results, key=lambda x: x["pid"]):
+            rows_total += int(r["rows"])
+            blocks_total += int(r["blocks"])
+            errors.extend(json.loads(r["errors"]))
     orphans = sorted(
         f.name
         for f in blocks_dir.glob("*.parquet")

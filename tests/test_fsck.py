@@ -80,6 +80,27 @@ def test_fsck_counts_staging_files(job):
     assert r["ok"] and r["staging_files"] == 1
 
 
+def test_fsck_parallel_path_many_partitions(ray_session, corpus_parquet, tmp_path):
+    """>8 partitions takes the Ray fan-out path; same verdict shape,
+    and a planted drift in one partition still surfaces."""
+    from rayenc.corpus import write_corpus
+
+    src = write_corpus(str(tmp_path / "c.parquet"), 3000, row_group_size=125)
+    out = str(tmp_path / "job")
+    s = run_encode_job(
+        src, out, block_rows=125, max_partition_bytes=120_000, concurrency=2
+    )
+    assert s["partitions_total"] > 8
+    r = fsck_job(out)
+    assert r["ok"] and r["rows"] == 3000 and r["partitions"] == s["partitions_total"]
+    mfile = sorted(Path(out, "manifest").glob("*.json"))[3]
+    e = json.loads(mfile.read_text())
+    e["encoded_bytes"] += 7
+    mfile.write_text(json.dumps(e))
+    r2 = fsck_job(out)
+    assert not r2["ok"] and any("encoded bytes" in x for x in r2["errors"])
+
+
 def test_fsck_not_a_job_dir(tmp_path):
     r = fsck_job(str(tmp_path / "nowhere"))
     assert not r["ok"] and "no job record" in r["errors"][0]
