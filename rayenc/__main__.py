@@ -637,7 +637,9 @@ def main() -> int:
     en.add_argument("column", help="name of the new column")
     en.add_argument(
         "enricher",
-        help="registered enricher: lang_id quality_score stopword_ratio n_tokens n_chars fingerprint sha256_hex",
+        help="registered enricher: lang_id quality_score stopword_ratio n_tokens "
+             "n_chars fingerprint sha256_hex dup_line_frac top2gram_char_frac "
+             "dup5gram_char_frac",
     )
     en.add_argument("--input-column", default="content", help="decoded input column")
     en.add_argument(

@@ -1908,6 +1908,14 @@ def _enricher_registry() -> dict:
             type=pa.string(),
         )
 
+    def _rep(col: str):
+        from .stages.text import repetition_scores
+
+        def make():
+            return lambda t, c: repetition_scores(_with_ids(t, c))[col]
+
+        return make
+
     return {
         "lang_id": _lang_id,
         "quality_score": _quality,
@@ -1916,6 +1924,11 @@ def _enricher_registry() -> dict:
         "n_chars": _n_chars,
         "fingerprint": _fingerprint,
         "sha256_hex": _sha256_hex,
+        # Gopher repetition gates (text.py:repetition_scores), enrichable
+        # in place so later scans threshold with block pruning
+        "dup_line_frac": _rep("dup_line_frac"),
+        "top2gram_char_frac": _rep("top2gram_char_frac"),
+        "dup5gram_char_frac": _rep("dup5gram_char_frac"),
     }
 
 

@@ -172,6 +172,44 @@ def test_enrich_many_one_pass_and_incremental_widening(ray_session, tmp_path):
     )["ok"]
 
 
+def test_enrich_repetition_gates(ray_session, tmp_path):
+    """Gopher repetition fractions land as prunable encoded columns and
+    match the stage's direct output."""
+    from rayenc import enrich_many
+    from rayenc.stages.text import repetition_scores
+
+    srcs = []
+    texts = [
+        "same line\nsame line\nsame line\nunique one",
+        "all words differ here completely now",
+    ] * 50
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100), pa.int64()),
+            "body": pa.array(texts),
+        }
+    )
+    p = tmp_path / "src.parquet"
+    pq.write_table(t, p, row_group_size=25)
+    out = tmp_path / "job"
+    run_encode_job(str(p), str(out), block_rows=25, hash_column="body",
+                   concurrency=2)
+    s = enrich_many(
+        str(out),
+        {"dlf": "dup_line_frac", "t2g": "top2gram_char_frac"},
+        input_column="body",
+    )
+    assert s["partitions_enriched"] == s["partitions_total"]
+    got = _decode_all(out)
+    want = repetition_scores(
+        pa.table({"doc_id": t["doc_id"], "text": t["body"]})
+    )
+    assert got["dlf"].to_pylist() == want["dup_line_frac"].to_pylist()
+    assert got["t2g"].to_pylist() == want["top2gram_char_frac"].to_pylist()
+    # the repeated-line docs gate above Gopher's 0.30 threshold
+    assert got["dlf"].to_pylist()[0] > 0.3 and got["dlf"].to_pylist()[1] == 0.0
+
+
 def test_enrich_validation(ray_session, tmp_path):
     srcs, out = _job(tmp_path, n=300, files=1)
     with pytest.raises(ValueError, match="unknown enricher"):
