@@ -1378,6 +1378,49 @@ def compact_job(
 # ---------------------------------------------------------------------------
 
 
+def _reconcile_entry(manifest: Manifest, entry: dict, kind: str) -> dict:
+    """Crash-recovery commit-finish for the rewrite stages (delete/
+    update): a prior attempt may have SWAPPED the blocks file and died
+    before its manifest commit — the entry then disagrees with the file
+    (rows/hashes/bytes), and a naive retry that finds nothing left to do
+    would leave the dir manifest-behind-blocks forever (fsck red). Read
+    the file's meta columns (cheap: no blobs), and when they disagree,
+    rebuild the entry's file-derived fields, bump the generation (the
+    row-changing rewrite DID happen), record crash-recovery lineage, and
+    commit. Returns the (possibly corrected) entry."""
+    meta = pq.read_table(
+        entry["output"],
+        columns=["n_rows", "encoded_bytes", "content_sha256", "block_seq"],
+    ).sort_by("block_seq")
+    rows = int(sum(meta["n_rows"].to_pylist()))
+    enc = int(sum(meta["encoded_bytes"].to_pylist()))
+    hashes = meta["content_sha256"].to_pylist()
+    if (
+        rows == entry.get("rows")
+        and meta.num_rows == entry.get("blocks")
+        and enc == entry.get("encoded_bytes")
+        and sorted(hashes) == sorted(entry.get("block_hashes", []))
+    ):
+        return entry
+    new_entry = dict(entry)
+    new_entry["rows"] = rows
+    new_entry["blocks"] = meta.num_rows
+    new_entry["encoded_bytes"] = enc
+    new_entry["block_hashes"] = hashes
+    new_entry["generation"] = int(entry.get("generation", 0)) + 1
+    lineage = list(entry.get(kind, []))
+    lineage.append(
+        {
+            "crash_recovered": True,
+            "rows_before": entry.get("rows"),
+            "rows_after": rows,
+        }
+    )
+    new_entry[kind] = lineage
+    manifest.commit(new_entry)
+    return new_entry
+
+
 class PartitionDeleter:
     """Actor-pool stage for delete_rows: one committed-partition manifest
     entry in -> the same partition rewritten WITHOUT the rows matching a
@@ -1392,11 +1435,13 @@ class PartitionDeleter:
     same atomic tmp+rename as compaction: readers see the old or the new
     partition, never half."""
 
-    def __init__(self, out_root: str, params: dict, filter: list):
+    def __init__(self, out_root: str, params: dict, filter: list,
+                 chaos_dir: str | None = None):
         from .decode import BlockDecoder
 
         self.out_root = Path(out_root)
         self.manifest = Manifest(out_root)
+        self.chaos_dir = chaos_dir
         # filter arrives as a NORMALIZED DNF (list of conjunctions)
         self.dnf = [[tuple(p) for p in conj] for conj in filter]
         self.core = _encoder_from_params(params)
@@ -1415,8 +1460,17 @@ class PartitionDeleter:
         from .decode import dnf_mask, zone_may_match_any
 
         pid = entry["partition_id"]
-        untouched = {"partition_id": pid, "rewritten": False, "rows_deleted": 0,
-                     "blocks_dropped": 0}
+        # finish a crashed attempt's commit BEFORE the zone scan: the
+        # rewritten file's zones may no longer admit the filter at all,
+        # so the scan alone would return untouched and leave the
+        # manifest behind the blocks file forever. A delete's recovered
+        # row count IS derivable (rows_before - rows_after), so the
+        # retry's summary stays truthful across the crash.
+        rows_before = int(entry.get("rows", 0))
+        entry = _reconcile_entry(self.manifest, entry, "deletes")
+        recovered = max(0, rows_before - int(entry.get("rows", 0)))
+        untouched = {"partition_id": pid, "rewritten": recovered > 0,
+                     "rows_deleted": recovered, "blocks_dropped": 0}
         # level 1: zonemaps only — no blob columns leave the file. Sorted
         # by block_seq so candidate positions align with the sorted full
         # read below even if a file's physical row order ever drifts from
@@ -1505,6 +1559,11 @@ class PartitionDeleter:
         tmp = _tmp_path(out_file)
         pq.write_table(new, tmp, compression="none")
         os.replace(tmp, out_file)  # atomic: readers see old or new, never half
+        if self.chaos_dir:
+            # crash window under test: file swapped, manifest commit
+            # absent — the retried attempt must reconcile via
+            # _reconcile_entry, never double-delete or leave drift
+            _chaos_die_once(self.chaos_dir, pid)
         new_entry = dict(entry)
         new_entry["rows"] = rows_after
         new_entry["blocks"] = new.num_rows
@@ -1534,7 +1593,7 @@ class PartitionDeleter:
         return {
             "partition_id": pid,
             "rewritten": True,
-            "rows_deleted": deleted,
+            "rows_deleted": deleted + recovered,
             "blocks_dropped": blocks_dropped,
         }
 
@@ -1561,11 +1620,13 @@ class PartitionUpdater:
         filter: list,
         set_values: dict | None,
         scrub: dict | None,
+        chaos_dir: str | None = None,
     ):
         from .decode import BlockDecoder
 
         self.out_root = Path(out_root)
         self.manifest = Manifest(out_root)
+        self.chaos_dir = chaos_dir
         # filter arrives as a NORMALIZED DNF (list of conjunctions)
         self.dnf = [[tuple(p) for p in conj] for conj in filter]
         self.set_values = dict(set_values or {})
@@ -1600,6 +1661,10 @@ class PartitionUpdater:
         from .decode import dnf_mask, zone_may_match_any
 
         pid = entry["partition_id"]
+        # finish a crashed attempt's commit BEFORE the zone scan (see
+        # PartitionDeleter._delete: a falsified filter would otherwise
+        # skip the partition and leave manifest-behind-blocks drift)
+        entry = _reconcile_entry(self.manifest, entry, "updates")
         untouched = {"partition_id": pid, "rewritten": False, "rows_updated": 0}
         # level 1: zonemaps only, seq-aligned with the full read below
         if "zonemap" in pq.read_schema(entry["output"]).names:
@@ -1657,6 +1722,10 @@ class PartitionUpdater:
         tmp = _tmp_path(out_file)
         pq.write_table(new, tmp, compression="none")
         os.replace(tmp, out_file)  # atomic: readers see old or new, never half
+        if self.chaos_dir:
+            # crash window under test: file swapped, manifest commit
+            # absent — the retry must reconcile, never re-apply blindly
+            _chaos_die_once(self.chaos_dir, pid)
         new_entry = dict(entry)
         new_entry["encoded_bytes"] = int(
             new["encoded_bytes"].to_numpy(zero_copy_only=False).sum()
@@ -1696,6 +1765,7 @@ def update_rows(
     set_values: dict | None = None,
     scrub: dict | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    chaos_dir: str | None = None,
 ) -> dict:
     """Copy-on-write UPDATE over a committed encode-job dir: every row
     matching the (col, op, value) conjunction is transformed in place —
@@ -1821,6 +1891,7 @@ def update_rows(
                 "filter": [[list(p) for p in conj] for conj in dnf],
                 "set_values": set_values,
                 "scrub": scrub,
+                "chaos_dir": chaos_dir,
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -2229,6 +2300,7 @@ def delete_rows(
     out_root: str,
     filter: list,
     concurrency: int | tuple[int, int] | None = None,
+    chaos_dir: str | None = None,
 ) -> dict:
     """Copy-on-write DELETE over a committed encode-job dir: every row
     matching the (col, op, value) conjunction is removed; everything
@@ -2282,6 +2354,7 @@ def delete_rows(
                 "out_root": out_root,
                 "params": params,
                 "filter": [[list(p) for p in conj] for conj in dnf],
+                "chaos_dir": chaos_dir,
             },
             batch_format="pyarrow",
             batch_size=1,

@@ -181,6 +181,65 @@ def test_actor_death_mid_enrich_finishes_commit(ray_session, corpus_parquet, tmp
     assert e2["partitions_enriched"] == 0
 
 
+def test_actor_death_mid_delete_and_update_reconciles(
+    ray_session, corpus_parquet, tmp_path
+):
+    """Deleter/updater actor death after the file swap and before the
+    manifest commit: the retried attempt must RECONCILE the entry from
+    the published file (rows/hashes/bytes + generation bump + crash
+    lineage) — never double-apply, never leave manifest-behind-blocks
+    drift (fsck must end green)."""
+    from rayenc import delete_rows, fsck_job, update_rows
+    from rayenc.manifest import Manifest
+
+    root = str(tmp_path / "job")
+    s = run_encode_job(
+        corpus_parquet, root, block_rows=500, max_partition_bytes=1 << 20, concurrency=2
+    )
+    src = pq.read_table(corpus_parquet)
+    langs = src["lang"].to_pylist()
+
+    chaos_u = tmp_path / "chaos_u"
+    chaos_u.mkdir()
+    u = update_rows(
+        root, [("lang", "==", "python")], set_values={"lang": "py"},
+        chaos_dir=str(chaos_u),
+    )
+    assert len(list(chaos_u.glob("*.died"))) >= 1
+    # an update's crash-recovered count is not derivable from the file,
+    # so the retry summary may undercount — the STATE must be exact:
+    import ray.data as rd
+
+    from rayenc import decode_dataset
+
+    dec = pa.concat_tables(
+        decode_dataset(
+            rd.read_parquet(f"{root}/blocks")
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    got_langs = dec["lang"].to_pylist()
+    assert "python" not in got_langs
+    assert got_langs.count("py") == langs.count("python") > 0
+    assert u["rows_updated"] <= langs.count("python")
+    r = fsck_job(root)
+    assert r["ok"], r["errors"]
+
+    chaos_d = tmp_path / "chaos_d"
+    chaos_d.mkdir()
+    d = delete_rows(root, [("lang", "==", "ruby")], chaos_dir=str(chaos_d))
+    assert len(list(chaos_d.glob("*.died"))) >= 1
+    assert d["rows_deleted"] == langs.count("ruby") > 0
+    r = fsck_job(root, deep=True)
+    assert r["ok"], r["errors"]
+    assert r["rows"] == len(langs) - langs.count("ruby")
+    # crash-recovery lineage visible where a retry reconciled
+    recovered = [
+        e for e in Manifest(root).entries()
+        if any(x.get("crash_recovered") for x in e.get("deletes", []))
+    ]
+    assert recovered, "at least one partition took the reconcile path"
+
+
 def test_no_stale_tmp_breaks_reads(ray_session, corpus_parquet, tmp_path):
     """A staging file left behind by a dead attempt must be invisible to
     every reader: parquet dataset discovery, resume globs, verify."""
